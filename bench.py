@@ -1,0 +1,65 @@
+"""Benchmark runner (driver contract).
+
+Runs every hash-checked query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line ``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{key: sec, ...}, "sf": ...}``.
+
+Protocol (BASELINE.md): one warm session, one warm-up run of the flagship
+(discarded), then each query timed over full materialization.  Set
+``SPARK_GRAFT_BENCH_REPEATS=3`` for median-of-3 (default 1 for the
+driver's per-round run budget).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + codegen + parquet footer caches
+    QUERIES["agg_group"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for key in sorted(QUERIES):
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            # noop sink: full materialization, no driver-side collection
+            QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        per_query[key] = round(statistics.median(samples), 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

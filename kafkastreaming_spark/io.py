@@ -1,0 +1,60 @@
+"""Table loaders over the driver-generated parquet fixtures.
+
+All queries load inputs through :func:`load_table` so that:
+
+* the events nanosecond-timestamp shim is applied exactly once, at load
+  (SURVEY.md §7.5): read ``ts`` as int64 nanos, convert with integer
+  division ``timestamp_micros(ts div 1000)`` (double division would lose
+  microsecond precision at ~1.7e18 nanos).
+* column pruning / predicate pushdown stay available — we return the raw
+  ``spark.read.parquet`` DataFrame untouched for every other table, so
+  Catalyst pushes filters and projections into the scan.
+
+At 100 TB the same function signature holds; only the path changes to a
+partitioned directory layout (e.g. ``events/date=.../``), which activates
+partition pruning on top of row-group pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.session import prepare
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# DuckDB oracle-side CTE for the events view: normalize TIMESTAMP_NS to
+# microseconds so both engines see identical timestamps (SURVEY.md §5.4).
+EVENTS_ORACLE_CTE = (
+    "events AS (SELECT event_id, "
+    "CAST(date_trunc('microsecond', ts) AS TIMESTAMP) AS ts, "
+    "user_id, event_type, value, props FROM events)"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; events gets the ns→µs timestamp shim."""
+    prepare(spark)
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name == "events":
+        # ts arrives as int64 nanoseconds (nanosAsLong=true). Integer
+        # `div` keeps exact microseconds; timestamp_micros is UTC-pinned.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

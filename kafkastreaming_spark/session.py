@@ -1,0 +1,79 @@
+"""SparkSession construction and per-session preparation.
+
+Two paths:
+
+* :func:`get_session` — build our own session (tests, bench) with the
+  configs a 100 TB deployment would want baked in (AQE, UTC, parquet
+  nanos shim, Arrow for pandas UDFs).
+* :func:`prepare` — defensively apply the *runtime-settable* subset of
+  those configs to a session we did not build (the driver hands us its
+  own ``SparkSession``).  Verified: ``spark.sql.legacy.parquet.nanosAsLong``
+  and ``spark.sql.session.timeZone`` are runtime-settable SQL confs in
+  Spark 4.1.2 (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to any session before our queries run.
+_RUNTIME_CONFS: dict[str, str] = {
+    # Determinism: all testdata timestamps are tz-naive; pin UTC so Spark
+    # and the DuckDB oracle agree to the microsecond (SURVEY.md §5.4).
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS); Spark 4.1.2 refuses it unless
+    # read as raw int64 nanos (SURVEY.md §7.5). io.load_table converts.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Exact ASCII semantics for upper/lower etc. independent of JVM locale.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-owned session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+    return spark
+
+
+def get_session(
+    app_name: str = "kafkastreaming_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a session tuned for this engine.
+
+    Local default is ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    caller passes its own master/deploy config and these settings still
+    apply (AQE re-plans shuffles at runtime, which is the main lever that
+    carries a plan from local[32] to 1000 executors).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: coalesce small shuffle partitions, split skewed ones, demote/
+        # promote join strategies with runtime stats (SURVEY.md §4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Arrow transfer for pandas UDFs / toPandas — the only acceptable
+        # Python boundary in the hot path (SURVEY.md §3.2c).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return prepare(spark)

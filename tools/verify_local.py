@@ -1,0 +1,147 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every registered query at a scale factor in Spark AND its DuckDB
+oracle over the same parquet files (views pre-registered exactly like
+``__spark_entry__.py`` describes), then compares:
+
+* row count
+* column-name set (sorted — the driver sorts columns by name before hashing)
+* values, order-insensitive (rows sorted), EXACT equality after stringify —
+  stricter than any reasonable hash, so passing here implies passing there.
+
+Usage::
+
+    python tools/verify_local.py [--sf /root/testdata/sf0.01] [keys...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def canon(v):
+        if v is None or v is pd.NaT or (isinstance(v, float) and np.isnan(v)):
+            return "<NULL>"
+        if isinstance(v, (np.floating, float)):
+            f = float(v)
+            return repr(f)
+        if isinstance(v, (np.integer, int)):
+            return str(int(v))
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        if isinstance(v, (list, np.ndarray)):
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        return str(v)
+
+    out = df.apply(lambda col: col.map(canon))
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    from kafkastreaming_spark.all import ORACLES, QUERIES
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("verify_local", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    keys = args.keys or sorted(QUERIES)
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for key in keys:
+        if key not in QUERIES:
+            print(f"{key}: NO SUCH KEY")
+            n_fail += 1
+            continue
+        t0 = time.time()
+        try:
+            sdf = QUERIES[key](spark, args.sf)
+            spdf = sdf.toPandas()
+        except Exception:
+            print(f"{key}: SPARK ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            failures.append(key)
+            continue
+        if key not in ORACLES:
+            print(f"{key}: rows-only ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(ORACLES[key]).df()
+        except Exception:
+            print(f"{key}: ORACLE ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            failures.append(key)
+            continue
+        ok, msg = compare(spdf, odf)
+        if ok:
+            print(f"{key}: PASS ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"{key}: FAIL — {msg}")
+            n_fail += 1
+            failures.append(key)
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"of {len(keys)} keys =="
+    )
+    if failures:
+        print("failures:", " ".join(failures))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+def compare(spdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
+    if len(spdf) != len(odf):
+        return False, f"row count spark={len(spdf)} oracle={len(odf)}"
+    if sorted(spdf.columns) != sorted(odf.columns):
+        return False, (
+            f"columns spark={sorted(spdf.columns)} oracle={sorted(odf.columns)}"
+        )
+    a, b = normalize(spdf), normalize(odf)
+    if a.equals(b):
+        return True, ""
+    # first differing cell for debugging
+    neq = (a != b)
+    loc = np.argwhere(neq.values)
+    if len(loc) == 0:
+        return True, ""
+    r, c = loc[0]
+    col = a.columns[c]
+    return False, (
+        f"{int(neq.values.sum())} differing cells; first at row {r} col {col!r}: "
+        f"spark={a.iloc[r, c]!r} oracle={b.iloc[r, c]!r}"
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
