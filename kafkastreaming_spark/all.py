@@ -6,5 +6,12 @@ module and then read ``registry.QUERIES`` / ``registry.ORACLES``.
 
 from __future__ import annotations
 
-from kafkastreaming_spark.operators import aggregations  # noqa: F401
+from kafkastreaming_spark.operators import (  # noqa: F401
+    aggregations,
+    joins,
+    projections,
+    scans,
+    setops,
+    sorts,
+)
 from kafkastreaming_spark.registry import ORACLES, QUERIES  # noqa: F401

@@ -38,9 +38,11 @@ TABLES = [
 # DuckDB oracle-side CTE for the events view: normalize TIMESTAMP_NS to
 # microseconds so both engines see identical timestamps (SURVEY.md §5.4).
 EVENTS_ORACLE_CTE = (
+    # `main.events` avoids DuckDB 1.0.0's circular-CTE error when the CTE
+    # shadows the pre-registered view of the same name.
     "events AS (SELECT event_id, "
     "CAST(date_trunc('microsecond', ts) AS TIMESTAMP) AS ts, "
-    "user_id, event_type, value, props FROM events)"
+    "user_id, event_type, value, props FROM main.events)"
 )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkastreaming_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
-from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
 from kafkastreaming_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -62,4 +62,237 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_global / distinct / having / hierarchies / stats / percentile / lists
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {oracle_dsum('l_quantity', 'sum_qty')},
+           {oracle_davg('l_extendedprice', 'avg_price')},
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — collapses to a single row before the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group (Expand + two-phase aggregate under AQE)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one groupBy → Expand-based plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice', 'total_spent')}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+       AND CAST(ROUND(SUM(CAST((o_totalprice) AS DECIMAL(24,8))), 2) AS DOUBLE) > 2000000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spent"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("total_spent") > 2000000))
+    )
+
+
+def _revenue_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⨝ nation ⨝ region ⨝ orders revenue rows (dims broadcast)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "o_totalprice")
+    )
+
+
+_REVENUE_BASE_SQL = """
+    base AS (
+      SELECT r_name, n_name, o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+"""
+
+_HIER_AGG_SQL = f"""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice', 'revenue')}
+    FROM base
+"""
+
+
+def _hier_agg(df: DataFrame, grouped) -> DataFrame:
+    return grouped.agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"WITH {_REVENUE_BASE_SQL} {_HIER_AGG_SQL} GROUP BY ROLLUP(r_name, n_name)",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals: (r, n), (r), () with grouping_id bitmask."""
+    base = _revenue_base(spark, sf_dir)
+    return _hier_agg(base, base.rollup("r_name", "n_name"))
+
+
+@query(
+    "agg_cube",
+    oracle=f"WITH {_REVENUE_BASE_SQL} {_HIER_AGG_SQL} GROUP BY CUBE(r_name, n_name)",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 4 grouping combinations of (r_name, n_name)."""
+    base = _revenue_base(spark, sf_dir)
+    return _hier_agg(base, base.cube("r_name", "n_name"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""WITH {_REVENUE_BASE_SQL} {_HIER_AGG_SQL}
+    GROUP BY GROUPING SETS ((r_name), (n_name))""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: per-region and per-nation totals only."""
+    base = _revenue_base(spark, sf_dir)
+    return _hier_agg(base, base.groupingSets([["r_name"], ["n_name"]], "r_name", "n_name"))
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 6) AS covar_price_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates, rounded 6dp on both engines (SURVEY.md §5.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 6).alias("covar_price_qty"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           ROUND(median(o_totalprice), 6) AS med
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per priority class."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
+        F.round(F.median("o_totalprice"), 6).alias("med"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect → sort → join to string."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query("agg_approx_distinct")  # approx ≠ oracle → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
+    countDistinct (no Expand, constant memory per group)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
     )

@@ -1,0 +1,310 @@
+"""Join operators (SURVEY.md §2.3).
+
+Strategy notes for 100 TB (SURVEY.md §4):
+
+* dimension joins (region/nation/customer) are explicitly ``broadcast()`` —
+  no shuffle of the fact side at all.
+* fact-fact equi joins rely on SortMergeJoin with AQE skew-split enabled;
+  at scale you pre-bucket both sides on the join key
+  (``bucketBy(N, key)``) to eliminate the shuffle entirely on repeat joins.
+* the as-of join is a union + window rewrite — one shuffle on
+  (user_id), no O(n²) pair blowup, state bounded by one row per stream —
+  the idiomatic Spark spelling of a time-series merge join.
+* the interval join keeps an equi key (user_id) so Spark plans SMJ with a
+  range residual instead of a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.registry import query
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dim join; both dims broadcast → zero shuffle of customer."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_smj",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus, l_linenumber, l_extendedprice
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_totalprice > 350000
+    """,
+)
+def join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large equi join — SortMergeJoin above the broadcast threshold.
+
+    The o_totalprice filter is pushed below the join (Catalyst
+    PushDownPredicates), so the shuffle carries only qualifying orders.
+    The explicit ``merge`` hint pins SortMergeJoin — at 100 TB neither side
+    fits the broadcast threshold, so this is the plan that ships; without
+    the hint Catalyst would (correctly) broadcast the small filtered side
+    at test scale and the query would no longer exercise the SMJ path.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.hint("merge").join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "l_linenumber", "l_extendedprice"
+    )
+
+
+# Outer joins: the nullable numeric join outputs are cast to double on BOTH
+# engines so the pandas/arrow representation of NULL agrees (nullable int64
+# degrades differently in the two clients).
+_OUTER_SELECT_SQL = """
+    SELECT c_custkey, c_name, CAST(o_orderkey AS DOUBLE) AS o_orderkey_d,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice_d, o_orderpriority
+"""
+
+
+def _outer_join(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, how).select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderkey").cast("double").alias("o_orderkey_d"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice_d"),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "join_left",
+    oracle=_OUTER_SELECT_SQL
+    + """
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c_custkey = o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no qualifying order."""
+    return _outer_join(spark, sf_dir, "left")
+
+
+@query(
+    "join_right",
+    oracle=_OUTER_SELECT_SQL
+    + """
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (orders on the left, customer preserved)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderkey").cast("double").alias("o_orderkey_d"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice_d"),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT CAST(c_custkey AS DOUBLE) AS c_custkey_d, c_name,
+           CAST(o_orderkey AS DOUBLE) AS o_orderkey_d,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice_d
+    FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c_custkey = o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.col("c_custkey").cast("double").alias("c_custkey_d"),
+        "c_name",
+        F.col("o_orderkey").cast("double").alias("o_orderkey_d"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice_d"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — left-semi join emits each customer at most once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two tiny dims (5 × 25 rows)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi + non-equi condition: SMJ on the equi key with the range
+    predicate evaluated as a join residual (no cartesian explosion)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    ).select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@query(
+    "join_asof",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS last_click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: per purchase, the most recent click at-or-before it.
+
+    Spark has no native as-of join; the scalable rewrite is union-tag +
+    running ``last(click_ts) ignoring nulls`` over (user_id; ts, kind):
+    one shuffle on user_id, O(n log n) per partition, no self-join blowup.
+    Clicks sort before purchases at identical timestamps (kind 0 < 1) to
+    match DuckDB's inclusive ``p.ts >= c.ts`` semantics.
+    100 TB note: this is the pattern for replaying unbounded event history;
+    with streaming inputs the same semantics come from a stream-stream
+    join with a time-range condition (stream_stream_join).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "ts", "value", "last_click_ts"
+    )
+
+
+@query(
+    "join_interval",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    e AS (SELECT event_id, user_id, ts, event_type FROM events)
+    SELECT e1.event_id AS left_id, e2.event_id AS right_id,
+           e1.user_id AS user_id, e1.ts AS left_ts, e2.ts AS right_ts,
+           e2.event_type AS right_type
+    FROM e e1 JOIN e e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    WHERE e1.event_type = 'click'
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: events of the same user within (0, 5min] after a
+    click.  The equi key (user_id) keeps this an SMJ with a range residual.
+    At 100 TB: bucket both sides by user_id, or range-partition by time and
+    join per time-slice to bound the residual scan."""
+    ev = load_table(spark, sf_dir, "events")
+    e1 = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    e2 = ev.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("right_ts"),
+        F.col("event_type").alias("right_type"),
+    )
+    return e1.join(
+        e2,
+        (e1.user_id == F.col("u2"))
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts", "right_type")

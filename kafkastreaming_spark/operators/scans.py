@@ -1,0 +1,108 @@
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+The design rule: every scan is a plain ``spark.read.parquet`` so Catalyst
+pushes predicates into parquet row-group filters and prunes columns at the
+reader (check: ``.explain("formatted")`` shows ``PushedFilters`` and a
+narrow ``ReadSchema``).  At 100 TB these same queries hit partitioned
+directory layouts and additionally get partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.registry import query
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan with column projection — ReadSchema is 4 of 11 columns."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "scan_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_quantity > 45.0
+    """,
+)
+def scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + comparison predicates pushed into the parquet reader.
+
+    ``.explain`` shows PushedFilters: [GreaterThanOrEqual(l_shipdate,...),
+    LessThan(l_shipdate,...), GreaterThan(l_quantity,45.0)] — at 100 TB this
+    skips whole row groups via min/max statistics before any CPU is spent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45.0)
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+@query(
+    "scan_events_ns",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nanosecond-timestamp ingestion shim (SURVEY.md §7.5).
+
+    Spark 4.1.2 cannot read TIMESTAMP(NANOS) parquet natively; io.load_table
+    reads int64 nanos (legacy.parquet.nanosAsLong) and converts with integer
+    division to exact microseconds, matching DuckDB's native TIMESTAMP_NS
+    read truncated to microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "sink_parquet",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parquet sink: aggregate → write parquet → read back.
+
+    Proves the write path round-trips types/values exactly.  In production
+    the same ``.write.parquet`` targets object storage with
+    ``partitionBy(...)`` for downstream partition pruning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(24,8)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    path = os.path.join(tempfile.gettempdir(), "ks_spark_sink_parquet")
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
