@@ -6,11 +6,18 @@ module and then read ``registry.QUERIES`` / ``registry.ORACLES``.
 
 from __future__ import annotations
 
+from kafkastreaming_spark.functions import (  # noqa: F401
+    collections,
+    datetimes,
+    math_cond,
+    strings,
+)
 from kafkastreaming_spark.operators import (  # noqa: F401
     aggregations,
     joins,
     projections,
     scans,
+    windows,
     setops,
     sorts,
 )

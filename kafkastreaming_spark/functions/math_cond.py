@@ -1,0 +1,134 @@
+"""Math, conditional, and cast bundles (SURVEY.md §2.8 fn_math/fn_cond/fn_cast).
+
+Transcendentals (sqrt/ln/exp/power) can differ by 1 ULP between JVM and
+libm, so they are rounded to 6dp AND computed over a filtered subset
+(1 in 20 rows) to keep the tie-boundary probability negligible
+(SURVEY.md §5.4).  ``round(x, 2)`` targets quotient values (never exact
+2dp inputs) because Spark rounds via decimal string and DuckDB via
+multiply — they disagree on exact decimal ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.registry import query
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_disc_delta,
+           round(l_extendedprice / 7, 2) AS price_seventh,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           round(power(l_quantity, 2), 6) AS qty_sq,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           l_orderkey % 7 AS key_mod,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           greatest(l_quantity, l_discount * 100) AS biggest,
+           least(l_quantity, l_discount * 100) AS smallest
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/round/floor/ceil/power/sqrt/ln/exp/mod/sign/greatest/least."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.round(F.col("l_extendedprice") / 7, 2).alias("price_seventh"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("biggest"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("smallest"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 400000 THEN 'jumbo'
+                WHEN o_totalprice >= 150000 THEN 'large'
+                WHEN o_totalprice >= 50000  THEN 'medium'
+                ELSE 'small' END AS size_tier,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_label,
+           nullif(o_orderpriority, '4-NOT SPECIFIED') AS priority_or_null,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+             AS finished_value,
+           if(o_custkey % 2 = 0, 'even', 'odd') AS key_parity
+    FROM orders
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / if."""
+    o = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 400000, "jumbo")
+        .when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+    )
+    return o.select(
+        "o_orderkey",
+        tier.alias("size_tier"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_label"
+        ),
+        F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")).alias("priority_or_null"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(F.lit(0.0))
+        .alias("finished_value"),
+        F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias("key_parity"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id,
+           CAST(trunc(value) AS INTEGER) AS value_int,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str,
+           CAST(user_id AS VARCHAR) AS user_str,
+           TRY_CAST(event_type AS DOUBLE) AS bad_double,
+           TRY_CAST(props AS BIGINT) AS bad_long,
+           TRY_CAST(CAST(user_id AS VARCHAR) AS INTEGER) AS roundtrip_int,
+           CAST(value > 100 AS INTEGER) AS is_big,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts
+    FROM events
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix incl. try_cast of malformed strings → NULL.
+
+    double→int truncates toward zero in Spark but ROUNDS in DuckDB — the
+    oracle uses trunc() to pin Spark's semantics.  double→string goes
+    through DECIMAL(18,2) so both engines print the identical '123.45'.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("int").alias("value_int"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value_str"),
+        F.col("user_id").cast("string").alias("user_str"),
+        F.col("event_type").try_cast("double").alias("bad_double"),
+        F.col("props").try_cast("bigint").alias("bad_long"),
+        F.col("user_id").cast("string").try_cast("int").alias("roundtrip_int"),
+        (F.col("value") > 100).cast("int").alias("is_big"),
+        F.col("ts").cast("date").cast("timestamp").alias("day_ts"),
+    )

@@ -1,0 +1,55 @@
+"""String function bundle (SURVEY.md §2.8 fn_string).
+
+All built-in ``pyspark.sql.functions`` — JVM-side, codegen'd, no Python
+boundary.  The oracle maps each to its DuckDB spelling 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           trim(lpad(c_name, 25, ' ')) AS name_trimmed,
+           substring(c_name, 10, 9) AS name_digits,
+           c_name || '/' || c_mktsegment AS name_seg,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           replace(c_name, 'Customer', 'Cust') AS name_replaced,
+           CAST(length(string_split(c_name, '0')) AS INTEGER) AS n_zero_splits,
+           regexp_extract(c_name, '([1-9][0-9]*)$', 1) AS key_digits,
+           regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+           CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INTEGER) AS seg_lev,
+           c_name LIKE 'Customer#%9' AS ends_in_9
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/trim/substring/concat/length/lpad/replace/split/regexp/
+    levenshtein/like over customer."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim(F.lpad("c_name", 25, " ")).alias("name_trimmed"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_replaced"),
+        F.size(F.split("c_name", "0")).alias("n_zero_splits"),
+        F.regexp_extract("c_name", r"([1-9][0-9]*)$", 1).alias("key_digits"),
+        F.regexp_replace("c_name", "0+", "0").alias("name_squeezed"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("seg_lev"),
+        F.col("c_name").like("Customer#%9").alias("ends_in_9"),
+    )

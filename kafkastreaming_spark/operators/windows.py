@@ -1,0 +1,222 @@
+"""Window function operators (SURVEY.md §2.5).
+
+Determinism rules (SURVEY.md §5.4): every ordering carries a unique-key
+tiebreak, and every windowed sum/avg goes through exact decimal arithmetic
+(running double sums are accumulation-order-dependent and the two engines
+would drift by ULPs otherwise).
+
+Scale note: window functions shuffle once on the partition key and sort
+within partitions.  At 100 TB the lever is ``repartitionByRange`` /
+AQE-coalesce on the same key to keep partitions executor-sized; a window
+with no PARTITION BY is a single-task funnel and never appears here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.registry import query
+
+_DEC = "decimal(24,8)"
+
+
+@query(
+    "win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — row_number + filter (the grouped-top-k
+    idiom; Spark pushes the rn<=3 filter into the window sort as a
+    per-partition limit via WindowGroupLimit)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family within brand, total order via p_partkey tiebreak.
+    percent_rank/cume_dist are exact small-integer ratios — identical IEEE
+    division in both engines, no rounding needed."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id, user_id, ts, value,
+           value - lag(value) OVER w AS delta_value,
+           lead(event_type) OVER w AS next_type,
+           lag(event_type, 2, 'none') OVER w AS prev2_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user deltas and neighbor lookups over event time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_type", 2, "none").over(w).alias("prev2_type"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer — exact-decimal running sum."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "win_moving",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id, user_id, ts,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(24,8))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per user (exact decimal sum / frame count)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    avg = F.sum(F.col("value").cast(_DEC)).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id", "user_id", "ts", F.round(avg, 6).alias("moving_avg")
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    e AS (SELECT event_id, user_id, ts, value,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+          FROM events)
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(24,8))) OVER (
+                PARTITION BY user_id ORDER BY epoch_s
+                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS sum_10min
+    FROM e
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum of value over the trailing 10 minutes per user — a RANGE frame
+    on epoch seconds (value-based frame, includes ties; no unique-order
+    requirement because sum is frame-complete)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("sum_10min"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over an explicit full-partition frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
