@@ -1,0 +1,156 @@
+"""Streaming replay harness (SURVEY.md §5.2 layer 3).
+
+Replays the bounded events table as a genuine multi-micro-batch stream:
+
+1. sort events by ts, split into N parquet chunk files (arrival order);
+   optionally displace a slice of mid-timeline rows into the final chunk
+   to create *late* arrivals for watermark tests;
+2. ``file_event_stream`` reads the chunk dir with maxFilesPerTrigger=1;
+3. ``run_to_memory`` executes with Trigger.AvailableNow — Spark processes
+   chunk-by-chunk (real incremental state, real watermark advancement),
+   then stops — and returns the memory-sink table.
+
+This is how watermark/late-data/stateful semantics are verified without a
+Kafka broker (none exists in this sandbox — SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.sources.factory import file_event_stream
+
+
+def replay_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 6,
+    late_fraction: float = 0.0,
+    tag: str = "replay",
+) -> str:
+    """Write events as n_chunks arrival-ordered parquet files; optionally
+    move a slice of mid-timeline rows into the last chunk (late data).
+    Returns the chunk directory."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"ks_stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows_per_chunk = ev.count() // n_chunks + 1
+    pdf = ev.toPandas()
+    late = None
+    if late_fraction > 0:
+        # displace rows from the 2nd chunk to arrive last → late by most of
+        # the timeline, far beyond any reasonable watermark delay
+        lo, hi = rows_per_chunk, rows_per_chunk + int(len(pdf) * late_fraction)
+        late = pdf.iloc[lo:hi]
+        pdf = pdf.drop(pdf.index[lo:hi])
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * rows_per_chunk : (i + 1) * rows_per_chunk]
+        if len(chunk) == 0:
+            continue
+        chunk.to_parquet(
+            os.path.join(out, f"chunk_{i:03d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    if late is not None and len(late):
+        late.to_parquet(
+            os.path.join(out, "chunk_999_late.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    return out
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; returns the sink table as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = sdf.sparkSession
+    result = spark.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 6,
+    late_fraction: float = 0.0,
+    tag: str = "replay",
+) -> DataFrame:
+    """Convenience: chunked replay of the events table as a streaming DF."""
+    chunk_dir = replay_chunks(spark, sf_dir, n_chunks, late_fraction, tag)
+    return file_event_stream(spark, chunk_dir)
+
+
+def console_sink(sdf: DataFrame, num_rows: int = 5, timeout_sec: int = 60) -> None:
+    """Console sink (operational debugging sink; SURVEY.md §2.1)."""
+    name = f"console_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+    q = (
+        sdf.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def foreach_batch_collect(sdf: DataFrame, timeout_sec: int = 120) -> list:
+    """foreachBatch sink: collects (batch_id, row_count) per micro-batch —
+    the arbitrary-sink escape hatch (JDBC/object-store writes in prod)."""
+    seen: list = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+
+    name = f"feb_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return seen

@@ -1,0 +1,214 @@
+"""Genuinely-streaming operators, executed via the replay harness
+(SURVEY.md §2.9 harness rows + §2.1 source/sink rows).
+
+Every callable here runs a REAL multi-micro-batch Structured Streaming
+job (Trigger.AvailableNow over chunked file replay) inside the query and
+returns the sink contents as a batch DataFrame.  These keys are declared
+rows-only to the driver (approximate/streaming semantics have no exact
+SQL oracle); tests/test_streaming.py asserts their semantics against
+batch twins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafkastreaming_spark.registry import query
+from kafkastreaming_spark.streaming.harness import (
+    console_sink,
+    foreach_batch_collect,
+    run_to_memory,
+    stream_events,
+)
+
+
+@query("source_kafka")
+def source_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-source design, exercised through the source factory's
+    file-replay twin (same schema, same downstream query).
+
+    In production this is ``sources.factory.kafka_event_stream`` —
+    format("kafka"), JSON value parsing, maxOffsetsPerTrigger bounding
+    each micro-batch.  No connector jar exists in this sandbox
+    (SURVEY.md §7.5), so the factory swaps in the file source; the
+    downstream projection/filter is source-agnostic.
+    """
+    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="src")
+    parsed = sdf.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return run_to_memory(parsed, "append")
+
+
+@query("sink_memory")
+def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory sink in complete mode over a per-type running count."""
+    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="sinkmem")
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(24,8)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete")
+
+
+@query("sink_console")
+def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Console + foreachBatch sinks: run both over the replay stream and
+    return the per-micro-batch row counts observed by foreachBatch —
+    proof that the stream really arrived in multiple batches."""
+    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="sinkcon")
+    console_sink(sdf.select("event_id", "ts", "event_type", "value"), num_rows=3)
+    batches = foreach_batch_collect(
+        stream_events(spark, sf_dir, n_chunks=4, tag="sinkfeb")
+    )
+    return spark.createDataFrame(
+        [(int(b), int(n)) for b, n in batches], "batch_id long, n_rows long"
+    )
+
+
+@query("stream_watermark")
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute watermark + 5-minute tumbling window, APPEND mode, with
+    ~2% of rows displaced to arrive days late → they must be dropped.
+
+    Append mode only emits a window once the watermark passes its end;
+    the late chunk's rows target long-closed windows and are discarded
+    (state for those windows was already evicted).  The pytest twin
+    asserts the drop count; at 100 TB this watermark is exactly what
+    bounds state-store size."""
+    sdf = stream_events(spark, sf_dir, n_chunks=6, late_fraction=0.02, tag="wm")
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "append")
+
+
+@query("stream_stream_join")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 5 minutes after a click
+    by the same user, watermarks on both sides bounding join state.
+
+    Batch twin: join_interval (hash-checked).  The time-range condition
+    lets Spark evict click state once the purchase watermark passes
+    click_ts + 5 min — without it, stream-stream join state grows
+    unboundedly."""
+    clicks = (
+        stream_events(spark, sf_dir, n_chunks=4, tag="ssj_c")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir, n_chunks=4, tag="ssj_p")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("click_id", "purchase_id", "c_user", "click_ts", "purchase_ts", "purchase_value")
+    return run_to_memory(joined, "append")
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+_STATEFUL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _running_user_agg(key, pdf_iter, state: GroupState):
+    """Explicit per-user running (count, sum) state — emits the running
+    totals once per micro-batch the user appears in."""
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+
+@query("stream_stateful")
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState running per-user
+    aggregate.  Returns the FINAL state per user (latest emission), whose
+    twin is a plain batch groupBy — asserted in tests/test_streaming.py.
+
+    At 100 TB: state is partitioned by user across executors (RocksDB
+    state store), and the same processor runs unchanged; the emitted
+    update stream feeds a changelog sink."""
+    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="stateful")
+    updates = sdf.groupBy("user_id").applyInPandasWithState(
+        _running_user_agg,
+        outputStructType=_STATEFUL_OUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(updates, "update")
+    # final state per user = emission with the highest running count
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    return (
+        emitted.withColumn("rn", w)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("sum_value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query("stream_late_update")
+def stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-mode semantics: the same windowed count run in append,
+    update, and complete modes; returns per-mode emitted-row counts.
+
+    append < update < complete row volumes demonstrate the mode
+    semantics (finalized-only vs changed-only vs full-table)."""
+    rows = []
+    for mode in ["append", "update", "complete"]:
+        sdf = stream_events(spark, sf_dir, n_chunks=4, tag=f"mode_{mode}")
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "60 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        out = run_to_memory(agg, mode)
+        rows.append((mode, out.count()))
+    return spark.createDataFrame(rows, "output_mode string, emitted_rows long")

@@ -1,0 +1,149 @@
+"""Streaming-semantics tests (SURVEY.md §5.2 layer 3).
+
+The rows-only streaming keys have no SQL oracle; these tests pin their
+semantics against batch twins over the same events table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.all import QUERIES
+from kafkastreaming_spark.io import load_table
+
+
+def test_source_kafka_file_twin_rowcount(spark, sf_dir):
+    out = QUERIES["source_kafka"](spark, sf_dir)
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .count()
+    )
+    assert out.count() == expected
+
+
+def test_sink_memory_complete_equals_batch(spark, sf_dir):
+    out = {r["event_type"]: r for r in QUERIES["sink_memory"](spark, sf_dir).collect()}
+    batch = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert set(out) == set(batch)
+    for et, row in batch.items():
+        assert out[et]["n_events"] == row["n_events"]
+
+
+def test_sink_console_foreachbatch_multi_batch(spark, sf_dir):
+    batches = QUERIES["sink_console"](spark, sf_dir).collect()
+    assert len(batches) >= 2, "replay must produce multiple micro-batches"
+    assert sum(r["n_rows"] for r in batches) == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_watermark_drops_late_rows(spark, sf_dir):
+    """Late-displaced rows must be missing from append-mode output."""
+    out = QUERIES["stream_watermark"](spark, sf_dir)
+    emitted = out.agg(F.sum("n_events")).collect()[0][0]
+    total = load_table(spark, sf_dir, "events").count()
+    # append mode: tail windows not finalized + late rows dropped
+    assert emitted < total
+    # batch counts per (window_start, event_type) are an upper bound, and
+    # the late slice's windows must be strictly below their batch counts
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_batch")
+    )
+    j = out.join(batch, ["window_start", "event_type"]).collect()
+    assert all(r["n_events"] <= r["n_batch"] for r in j)
+    # the displaced (late) rows' windows are long-finalized when they
+    # arrive, so they are absent from append output even though the batch
+    # twin has them: batch-only windows well before the final watermark
+    # are the observed drops.  (At low SF an event often owns its whole
+    # 5-min window, so drops surface as missing windows, not lower counts.)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    batch_only = (
+        batch.join(out, ["window_start", "event_type"], "left_anti")
+        .filter(F.col("window_start") < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .count()
+    )
+    assert batch_only > 0, "no late-row drop observed"
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    out = QUERIES["stream_stream_join"](spark, sf_dir)
+    twin = (
+        QUERIES["join_interval"](spark, sf_dir)
+        .filter(F.col("right_type") == "purchase")
+        .count()
+    )
+    assert out.count() == twin
+
+
+def test_stream_stateful_final_state_equals_batch_agg(spark, sf_dir):
+    out = {r["user_id"]: r for r in QUERIES["stream_stateful"](spark, sf_dir).collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert len(out) == len(batch)
+    for r in batch:
+        got = out[r["user_id"]]
+        assert got["n_events"] == r["n_events"]
+        assert abs(got["sum_value"] - r["sum_value"]) < 0.01
+
+
+def test_stream_late_update_mode_semantics(spark, sf_dir):
+    rows = {r["output_mode"]: r["emitted_rows"] for r in
+            QUERIES["stream_late_update"](spark, sf_dir).collect()}
+    assert set(rows) == {"append", "update", "complete"}
+    # memory-sink semantics: complete REPLACES (final full table), update
+    # ACCUMULATES per-batch changed rows, append holds finalized windows
+    # only.  So: append misses the unfinalized tail (< complete), update
+    # re-emits changed windows across batches (>= complete).
+    n_windows = (
+        load_table(spark, sf_dir, "events")
+        .select(F.window("ts", "60 minutes"))
+        .distinct()
+        .count()
+    )
+    assert rows["complete"] == n_windows
+    assert rows["append"] < rows["complete"]
+    assert rows["update"] >= rows["complete"]
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark removes cross-batch duplicates."""
+    from kafkastreaming_spark.sources.factory import file_event_stream
+    from kafkastreaming_spark.streaming.harness import replay_chunks, run_to_memory
+
+    chunk_dir = replay_chunks(spark, sf_dir, n_chunks=3, tag="deduptest")
+    # duplicate the first 40 rows of chunk 0 into a later-arriving file
+    first = pd.read_parquet(os.path.join(chunk_dir, "chunk_000.parquet")).head(40)
+    first.to_parquet(
+        os.path.join(chunk_dir, "chunk_001a_dupes.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    sdf = file_event_stream(spark, chunk_dir)
+    deduped = sdf.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped, "append")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events, "duplicates must be removed exactly once"
+    assert out.select("event_id").distinct().count() == n_events
