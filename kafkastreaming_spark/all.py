@@ -15,8 +15,10 @@ from kafkastreaming_spark.functions import (  # noqa: F401
 from kafkastreaming_spark.operators import (  # noqa: F401
     aggregations,
     joins,
+    llm,
     projections,
     scans,
+    udfs,
     windows,
     setops,
     sorts,

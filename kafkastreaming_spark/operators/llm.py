@@ -1,0 +1,355 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.11).
+
+Dedup, similarity search, text analysis over the ``documents`` /
+``embeddings`` tables — the north-star extensions a 100 TB pretraining
+pipeline needs.
+
+Scale design notes (per operator, see docstrings):
+
+* exact dedup — hash-groupBy: one shuffle on ``md5(text)``; at 100 TB
+  the hash key distributes uniformly, no skew.
+* exact Jaccard — this corpus has a 31-token vocabulary, so a token set
+  is one 64-bit bitmask and J(A,B) = popcount(a&b)/popcount(a|b) in pure
+  integer math (cross-engine deterministic, no float summation at all).
+  The candidate pair space is pruned with the exact size-ratio bound
+  min(|A|,|B|)/max ≥ t, spelled in integer arithmetic (``4·n_a ≤ 5·n_b``)
+  so both engines prune identically.  With a real (open) vocabulary this
+  exact path is replaced by ``llm_minhash_lsh`` — O(n²) pair generation
+  does not survive 100 TB; MinHash banding does.
+* top-k similarity — brute-force cosine with the query side broadcast:
+  scan-shaped (one pass over N vectors per query batch), the right
+  baseline; the scale path adds an IVF/LSH bucket join to cut the scan.
+* TF-IDF — two shuffles (term stats, doc stats) + a broadcast join of
+  the tiny term-df dimension.
+
+Determinism (SURVEY.md §5.4): every dot product is a sequential
+left-to-right double fold in BOTH engines (Spark ``aggregate`` lambda ≡
+DuckDB ``list_dot_product`` over pre-cast DOUBLE lists), then rounded to
+6dp; rankings order by the *rounded* score with a unique-key tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.registry import query
+
+# Sequential double fold for ||v||² and <a,b> — mirrors DuckDB
+# list_dot_product over list_transform(..., CAST AS DOUBLE) exactly.
+_SQ_NORM = (
+    "aggregate(transform({v}, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE),"
+    " (acc, x) -> acc + x * x)"
+)
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc (min doc_id) per md5(text) + copy count.
+
+    Downstream keeps rows where doc_id == keep_doc_id.  One shuffle on
+    the uniform hash key — the 100 TB spelling is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH dtoks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY token) - 1 AS idx
+      FROM (SELECT DISTINCT token FROM dtoks)
+    ),
+    masks AS (
+      SELECT doc_id,
+             COUNT(*) AS n,
+             CAST(SUM(1::BIGINT << idx) AS BIGINT) AS mask
+      FROM dtoks JOIN vocab USING (token)
+      GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(a.mask & b.mask) AS BIGINT) AS n_inter,
+             a.n + b.n - CAST(bit_count(a.mask & b.mask) AS BIGINT) AS n_union
+      FROM masks a JOIN masks b
+        ON a.doc_id < b.doc_id
+       AND a.n * 4 <= b.n * 5 AND b.n * 4 <= a.n * 5
+    )
+    SELECT doc_a, doc_b, n_inter, n_union,
+           ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.8
+"""
+
+
+@query("llm_jaccard_dedup", oracle=_JACCARD_ORACLE)
+def llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with token-set Jaccard ≥ 0.8 — exact, via bitmask.
+
+    Token sets over this corpus's 31-token vocabulary pack into one
+    64-bit mask, so intersection/union are popcounts — integer math,
+    bit-identical across engines.  Pairs are pruned by the exact
+    size-ratio bound (J ≥ 0.8 ⇒ 4·max ≤ 5·min) before the quadratic
+    compare; the open-vocabulary scale path is ``llm_minhash_lsh``."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    vocab = (
+        dtoks.select("token")
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("token")) - 1)
+    )
+    masks = (
+        dtoks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), idx)")).alias("mask"),
+        )
+    )
+    a = masks.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), F.col("mask").alias("mask_a")
+    )
+    b = masks.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), F.col("mask").alias("mask_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("n_a") * 4 <= F.col("n_b") * 5)
+        & (F.col("n_b") * 4 <= F.col("n_a") * 5),
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(bit_count(mask_a & mask_b) AS BIGINT)").alias("n_inter"),
+        (F.col("n_a") + F.col("n_b")).alias("n_ab"),
+    )
+    return (
+        pairs.withColumn("n_union", F.col("n_ab") - F.col("n_inter"))
+        .withColumn("jaccard_raw", F.col("n_inter").cast("double") / F.col("n_union"))
+        .filter(F.col("jaccard_raw") >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.round("jaccard_raw", 6).alias("jaccard"),
+        )
+    )
+
+
+@query("llm_minhash_lsh")
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup via MinHash LSH (rows-only: randomized hashes
+    have no SQL oracle; seed pinned for run-to-run determinism).
+
+    This is the 100 TB dedup path: banding turns the O(n²) pair space
+    into per-bucket joins — candidate volume scales with collision
+    count, not n².  Here: HashingTF(binary) → MinHashLSH(seed=42) →
+    approxSimilarityJoin at Jaccard distance ≤ 0.5."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    feats = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=256, binary=True
+    ).transform(docs)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@query(
+    "llm_topk_similar",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, vec_id,
+             ROUND(list_dot_product(qv, ve)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))),
+                   6) AS cos_sim
+      FROM q CROSS JOIN e
+      WHERE vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def llm_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (vec_id < 5), rounded
+    6dp, ranked on the rounded score with vec_id tiebreak.
+
+    The query side is broadcast, so this is one scan over the corpus —
+    the exact-ANN baseline.  Scale path: pre-bucket vectors (IVF
+    centroids or random hyperplanes), join query→bucket, scan only
+    colliding buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("ve"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="ve"))
+                / (
+                    F.sqrt(F.expr(_SQ_NORM.format(v="qv")))
+                    * F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source): doc count, mean whitespace-token
+    count, mean char count.  Integer sums stay exact in double (< 2^53),
+    so the unordered parallel sum is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 6).alias("avg_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document, formula pinned to ``tf · ln(N/df)``
+    (raw term count, natural log), ranked on the 6dp-rounded score with
+    term tiebreak.
+
+    Plan shape: explode → two hash aggs (term-per-doc, df) + a broadcast
+    join of the tiny df dimension → per-doc window.  N comes from a
+    one-row count, not a driver collect of data rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension; exact and tiny
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "llm_multimodal",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label,
+           ROUND(sqrt(list_dot_product(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           ROUND(CAST(d.n_chars AS DOUBLE) / len(e.embedding), 6) AS chars_per_dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row: text metadata ⨝ vector (doc_id = vec_id) with a
+    per-row L2 norm and chars-per-dimension ratio — the join pattern for
+    any text+embedding (or text+image-feature) table.
+
+    Equi join on the shared key; at 100 TB both sides bucket by doc_id
+    so the join is co-located (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "label",
+        F.round(F.sqrt(F.expr(_SQ_NORM.format(v="embedding"))), 6).alias("l2_norm"),
+        F.round(F.col("n_chars").cast("double") / F.size("embedding"), 6).alias(
+            "chars_per_dim"
+        ),
+    )
