@@ -26,7 +26,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
 
-    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.all import ORACLES, QUERIES
     from kafkastreaming_spark.session import get_session
 
     spark = get_session("bench")
@@ -35,8 +35,11 @@ def main() -> None:
     # warm-up: JVM + codegen + parquet footer caches
     QUERIES["agg_group"](spark, sf_dir).count()
 
+    # Bench set = the hash-checked inventory (BASELINE.md protocol).  The
+    # rows-only streaming-harness keys time replay-harness I/O, not engine
+    # throughput, and are excluded from the suite metric.
     per_query: dict[str, float] = {}
-    for key in sorted(QUERIES):
+    for key in sorted(ORACLES):
         samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()

@@ -16,6 +16,8 @@ from kafkastreaming_spark.operators import (  # noqa: F401
     aggregations,
     joins,
     llm,
+    multimodal,
+    pipeline,
     projections,
     scans,
     udfs,

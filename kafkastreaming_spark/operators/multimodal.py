@@ -1,0 +1,169 @@
+"""Multimodal (opaque-binary) columns: ingest, frame sampling, decode
+plumbing (driver north star; extends SURVEY.md §2.11).
+
+Media (image/audio/video) is modeled as an opaque ``binary`` payload
+column plus typed metadata — here synthesized as the UTF-8 encoding of
+``documents.text`` so every engine sees identical bytes.  The corpus is
+ASCII by construction, so DuckDB's string functions (which hash/slice
+UTF-8 text) agree byte-for-byte with Spark's binary functions; the
+oracle exploits that: ``sha2(payload, 256)`` ≡ ``sha256(text)``.
+
+The decode stage (`mm_decode_features`) is the real Spark plumbing a
+media pipeline needs — Arrow-batched ``mapInPandas`` over binary
+payloads, explicit output schema, per-batch vectorized feature math.
+The actual codec call is stubbed (no image/audio libs in this sandbox):
+``_real_decode`` raises ``NotImplementedError``, and a deterministic
+byte-histogram fake stands in, so the distributed plumbing is fully
+exercised and tested while the codec remains a drop-in.
+
+Scale: payloads at 100 TB live in parquet binary columns (or pointers
+into object storage); ``mapInPandas`` streams Arrow batches so executor
+memory is bounded by batch size, not partition size — set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` to keep
+(records × payload) within executor budget.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.registry import query
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + opaque binary payload column (the media blob)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+@query(
+    "mm_ingest",
+    oracle="""
+    SELECT doc_id, lang,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media ingest manifest: typed metadata (mime, byte length, content
+    hash) per opaque payload — the dedup/integrity layer of a media lake.
+    Content-hash is the exact-dedup key for binary blobs, the direct
+    analogue of ``llm_exact_dedup``'s md5(text)."""
+    return _with_payload(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, (octet_length(encode(text)) - 32) // 64))
+               AS frame_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           sha256(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32))
+             AS frame_sha
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque payload: every other 32-byte window
+    (stride 64) hashed — the video-keyframe / audio-chunk access pattern,
+    done JVM-side with zero Python.
+
+    ``sequence`` + ``explode`` fans each payload into its frames; at
+    100 TB the fanout is map-side only (no shuffle) and frames inherit
+    the payload partitioning."""
+    return (
+        _with_payload(spark, sf_dir)
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.expr("sequence(0, CAST((octet_length(payload) - 32) / 64 AS INT))")
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.sha2(F.expr("substring(payload, frame_idx * 64 + 1, 32)"), 256).alias(
+                "frame_sha"
+            ),
+        )
+    )
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _real_decode(payload: bytes):  # pragma: no cover - sandbox has no codecs
+    """Production decode hook (PIL / torchaudio / pyav).  Not available
+    in this sandbox — a deployment swaps this in; the Spark plumbing
+    around it is identical."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "_fake_decode provides the deterministic stand-in"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in: 'dimensions' from byte length, 'features'
+    = 16-bin byte histogram, L1-normalized."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+    return len(arr) % 64 + 1, len(arr) // 64 + 1, np.round(hist / hist.sum(), 6)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one feature batch out."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                w, h, feats = _real_decode(bytes(payload))
+            except NotImplementedError:
+                w, h, feats = _fake_decode(bytes(payload))
+            rows.append((int(doc_id), w, h, len(payload), feats.tolist()))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "n_bytes", "features"]
+        )
+
+
+@query("mm_decode_features")
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract via Arrow-batched ``mapInPandas``
+    (rows-only: the fake decoder's histogram math has no SQL oracle;
+    tests pin determinism, schema, and batch shape).
+
+    This is the canonical media-decode topology: binary column in, typed
+    struct out, Python touched once per Arrow batch — swap
+    ``_real_decode`` for a codec and nothing else changes."""
+    return _with_payload(spark, sf_dir).mapInPandas(_decode_batches, _FEAT_SCHEMA)

@@ -1,0 +1,547 @@
+"""Training-data pipeline operators, wave 2 — dedup variants, ANN,
+text analysis (extends SURVEY.md §2.11; the driver's north star).
+
+Cross-engine primitives these build on (verified this session):
+
+* **Portable 60-bit hash** ``H(s)``: both engines parse the first 15 hex
+  chars of ``md5(s)`` as a BIGINT — Spark ``conv(substr(md5(s),1,15),16,10)``
+  ≡ DuckDB ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``.  Same value,
+  bit for bit, so hash-derived operators (SimHash, fingerprints, salted
+  MinHash) are exactly hash-checkable.
+* Bit ops (``&``, ``^``, shifts, ``bit_count``) are exact integer math in
+  both engines — no float determinism discipline needed.
+* Dot products: sequential double folds (see operators/llm.py header).
+
+Scale notes are per-operator; the shared theme: everything here is
+shuffle-on-key or broadcast-join shaped — no driver-side loops, no
+row-at-a-time Python in a hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.operators.llm import _DOT, _SQ_NORM
+from kafkastreaming_spark.registry import query
+
+# Portable 60-bit hash of an expression, Spark / DuckDB spellings.
+_H_SPARK = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_H_DUCK = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+    bitsum AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN ({_H_DUCK.format(x='term')} >> b) & 1 = 1
+                      THEN tf ELSE -tf END) AS contrib
+      FROM tf, bits
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN contrib > 0 THEN 1::BIGINT << b ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@query("llm_simhash_dedup", oracle=_SIMHASH_ORACLE)
+def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit tf-weighted signatures, pairs at Hamming
+    distance ≤ 6.
+
+    Signature build is two hash-aggs (term tf, then per-bit majority via
+    a 60× bit fanout) — linear in corpus size, fully parallel.  The pair
+    scan is O(n²) popcounts here; at 100 TB, band the signature into
+    4×15-bit keys and join on band equality (any pair within Hamming 3
+    shares a band) — same output, candidate-sized work."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.expr(_H_SPARK.format(x="term")))
+    )
+    bitsum = (
+        tf.select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(h >> b) & 1 = 1"), F.col("tf")).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("contrib"))
+    )
+    sig = bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("contrib") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Character n-gram Jaccard (query-docs vs corpus)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(text) - 2),
+                                          i -> substr(text, i, 3))) AS g
+      FROM documents
+    ),
+    q AS (SELECT doc_id AS query_id, g AS qg FROM grams WHERE doc_id < 10),
+    scored AS (
+      SELECT query_id, doc_id,
+             ROUND(CAST(len(list_intersect(qg, g)) AS DOUBLE)
+                   / (len(qg) + len(g) - len(list_intersect(qg, g))), 6) AS jaccard
+      FROM q CROSS JOIN grams
+      WHERE doc_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY jaccard DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, doc_id, jaccard, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard: top-5 most-similar docs for each query
+    doc (doc_id < 10), exact, ranked on the 6dp score with doc_id
+    tiebreak.
+
+    Query side broadcast → one corpus scan; the set math is exact small-
+    integer division.  The all-pairs variant at 100 TB goes through
+    ``llm_minhash_lsh`` banding instead of a cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")
+        ).alias("g"),
+    )
+    q = grams.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("g").alias("qg")
+    )
+    inter = F.size(F.array_intersect("qg", "g"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(grams)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                inter.cast("double") / (F.size("qg") + F.size("g") - inter), 6
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("jaccard").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "jaccard", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding ANN: exact all-pairs 1-NN, and the LSH-bucketed scale path
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_cosine_nn",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(embedding, x -> CAST(x AS DOUBLE))))
+               AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+             ROUND(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, nn_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, nn_id, cos_sim FROM ranked WHERE rn = 1
+    """,
+)
+def llm_cosine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest neighbor (cosine) for EVERY vector — the brute-force
+    all-pairs baseline for embedding near-dup detection.
+
+    O(n²) dot products; correct but the scale ceiling.  The bucketed
+    twin ``llm_ann_lsh`` below does the same job touching only hash-
+    colliding candidates — compare the two in BENCH to see the win."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("ve"),
+        F.sqrt(F.expr(_SQ_NORM.format(v="embedding"))).alias("nrm"),
+    )
+    a = emb.select("vec_id", F.col("ve").alias("va"), F.col("nrm").alias("na"))
+    b = emb.select(
+        F.col("vec_id").alias("nn_id"), F.col("ve").alias("vb"), F.col("nrm").alias("nb")
+    )
+    scored = a.join(b, F.col("vec_id") != F.col("nn_id")).select(
+        "vec_id",
+        "nn_id",
+        F.round(
+            F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cos_sim")
+    )
+
+
+def _hyperplanes(n: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: 6dp-rounded sines, so the
+    SQL literals parse to bit-identical doubles in both engines."""
+    import math
+
+    return [
+        [round(math.sin(1 + p * dim + i), 6) for i in range(dim)] for p in range(n)
+    ]
+
+
+_PLANES = _hyperplanes()
+
+
+def _bucket_expr_spark(vcol: str) -> str:
+    """Sum of sign bits: bucket id in [0, 2^8)."""
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        arr = "array(" + ", ".join(repr(v) + "D" for v in plane) + ")"
+        dot = _DOT.format(a=vcol, b=arr)
+        terms.append(f"CAST(IF(({dot}) > 0, {1 << p}, 0) AS BIGINT)")
+    return " + ".join(terms)
+
+
+def _bucket_expr_duck(vcol: str) -> str:
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vcol}, {arr}) > 0"
+            f" THEN {1 << p}::BIGINT ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "llm_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, ve, {_bucket_expr_duck('ve')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM bucketed
+          WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, vec_id,
+             ROUND(list_dot_product(qv, ve)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(ve, ve))), 6) AS cos_sim
+      FROM q JOIN bucketed USING (bucket)
+      WHERE vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rn AS rnk FROM ranked WHERE rn <= 5
+    """,
+)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine via random-hyperplane LSH bucketing —
+    the scale path for ``llm_topk_similar`` / ``llm_cosine_nn``.
+
+    8 fixed hyperplanes → 256 sign-pattern buckets; queries join only
+    their own bucket (~n/256 of the corpus) before exact rescoring.
+    Fixed literal hyperplanes make the approximation *deterministic*, so
+    unlike MinHashLSH this one is fully hash-checked against the oracle.
+    At 100 TB: repartition by bucket ⇒ each probe is one co-located
+    partition scan; recall tunes via multi-probe (flip one sign bit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ve"),
+        F.expr(_bucket_expr_spark("embedding")).alias("bucket"),
+    )
+    q = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(bucketed, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="ve"))
+                / (
+                    F.sqrt(F.expr(_SQ_NORM.format(v="qv")))
+                    * F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: language-ID, quality score, BPE-ish token count,
+# rolling-hash fingerprint
+# --------------------------------------------------------------------------
+
+# Tiny marker lexicons per language.  On this synthetic corpus (shared
+# 31-word vocabulary) the *predictions* are arbitrary; the operator shape
+# — broadcast lexicons, per-lang overlap score, deterministic argmax — is
+# the real deliverable, identical to a production stopword-profile LID.
+_LID_MARKERS = {
+    "de": ["der", "und", "nicht", "data", "stream"],
+    "en": ["the", "and", "of", "query", "table"],
+    "es": ["el", "la", "que", "filter", "row"],
+    "fr": ["le", "la", "et", "join", "window"],
+    "zh": ["de", "shi", "bu", "spark", "group"],
+}
+
+
+def _lid_oracle() -> str:
+    score_cols = []
+    for lang, words in sorted(_LID_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(
+            f"CAST(len(list_intersect(toks, {arr})) AS BIGINT) AS s_{lang}"
+        )
+    langs = sorted(_LID_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS true_lang,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    scored AS (SELECT doc_id, true_lang, {', '.join(score_cols)} FROM toks),
+    best AS (SELECT *, {greatest} AS best FROM scored)
+    SELECT doc_id, true_lang, {pick} AS pred_lang, best AS score FROM best
+    """
+
+
+@query("llm_langid", oracle=_lid_oracle())
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID: per-lang token-overlap score, argmax
+    with alphabetical tiebreak.  All JVM-side array ops over broadcast
+    literal lexicons — the shape of an n-gram-profile LID at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    langs = sorted(_LID_MARKERS)
+    for lang in langs:
+        arr = F.array(*[F.lit(w) for w in _LID_MARKERS[lang]])
+        toks = toks.withColumn(
+            f"s_{lang}", F.size(F.array_intersect("toks", arr)).cast("long")
+        )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    expr = None
+    for lang in langs:  # first match in sorted order = alphabetical tiebreak
+        cond = F.col(f"s_{lang}") == F.col("score")
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return (
+        toks.withColumn("score", best)
+        .withColumn("pred_lang", expr)
+        .select("doc_id", "true_lang", "pred_lang", "score")
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(CAST(n_digits AS DOUBLE) / n_chars, 6) AS digit_ratio,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           CASE WHEN n_tokens BETWEEN 20 AND 200
+                 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.2
+                THEN 1 ELSE 0 END AS keep
+    FROM feat
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + keep/drop gate: token count,
+    type-token ratio, digit ratio, average token length.
+
+    Pure per-row expressions — embarrassingly parallel, no shuffle; the
+    standard first filter stage of a pretraining data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")).cast("long").alias(
+            "n_digits"
+        ),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_distinct"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_digits").cast("double") / F.col("n_chars"), 6).alias(
+            "digit_ratio"
+        ),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "avg_token_len"
+        ),
+        F.when(
+            F.col("n_tokens").between(20, 200) & (ttr >= 0.2), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "llm_token_count",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT)
+             AS bpe_ish_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budget per language: whitespace tokens vs a BPE-ish
+    regex segmentation (letter runs / digit runs / single punctuation) —
+    the pre-tokenizer census run before any training job."""
+    docs = load_table(spark, sf_dir, "documents")
+    # pattern passed as a Column literal — a SQL string literal would eat
+    # the backslash in \s and silently match whitespace
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_FP_SALTS = [0, 1, 2, 3]
+
+
+def _fp_oracle() -> str:
+    cols = ", ".join(
+        "CAST(MIN(" + _H_DUCK.format(x=f"concat(CAST({s} AS VARCHAR), '|', gram)") + ") AS BIGINT)"
+        f" AS fp{s}"
+        for s in _FP_SALTS
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(text) - 4),
+                                   i -> substr(text, i, 5))) AS gram
+      FROM documents
+    )
+    SELECT doc_id, {cols} FROM grams GROUP BY doc_id
+    """
+
+
+@query("llm_fingerprint", oracle=_fp_oracle())
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: 4 salted min-hashes over rolling character
+    5-grams — a winnowing-style signature; equal fingerprints ⇒ heavy
+    overlap.  Map-side per-doc min-agg, no pair scan; signatures then
+    group-join in O(n) for candidate generation (the MinHash principle
+    spelled by hand with the portable hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))")
+        ).alias("gram"),
+    )
+    aggs = [
+        F.min(
+            F.expr(_H_SPARK.format(x=f"concat(CAST({s} AS STRING), '|', gram)"))
+        ).alias(f"fp{s}")
+        for s in _FP_SALTS
+    ]
+    return grams.groupBy("doc_id").agg(*aggs)
