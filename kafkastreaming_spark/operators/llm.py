@@ -126,7 +126,11 @@ def llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), idx)")).alias("mask"),
         )
+        # self-join below would otherwise recompute the whole explode→agg
+        # lineage once per side; materialize the (tiny) mask table once
+        .cache()
     )
+    masks.count()
     a = masks.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), F.col("mask").alias("mask_a")
     )

@@ -79,28 +79,21 @@ def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.expr(_H_SPARK.format(x="term")))
     )
-    bitsum = (
-        tf.select(
-            "doc_id",
-            "tf",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
-        )
-        .withColumn(
-            "contrib",
-            F.when(F.expr("(h >> b) & 1 = 1"), F.col("tf")).otherwise(-F.col("tf")),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("contrib"))
-    )
-    sig = bitsum.groupBy("doc_id").agg(
+    # 60 conditional sums in ONE aggregation pass — no 60× row fanout
+    # (the oracle keeps the fanout spelling; identical integer math).
+    bit_aggs = [
         F.sum(
-            F.when(F.col("contrib") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("simhash")
+            F.when(F.expr(f"(h >> {b}) & 1 = 1"), F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"c{b}")
+        for b in range(60)
+    ]
+    assemble = " + ".join(
+        f"CASE WHEN c{b} > 0 THEN {1 << b}L ELSE 0L END" for b in range(60)
+    )
+    sig = (
+        tf.groupBy("doc_id")
+        .agg(*bit_aggs)
+        .select("doc_id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash"))
     )
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
@@ -119,11 +112,12 @@ def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH grams AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(text) - 2),
-                                          i -> substr(text, i, 3))) AS g
+                                          i -> {_H_DUCK.format(x='substr(text, i, 3)')}))
+               AS g
       FROM documents
     ),
     q AS (SELECT doc_id AS query_id, g AS qg FROM grams WHERE doc_id < 10),
@@ -148,15 +142,20 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak.
 
     Query side broadcast → one corpus scan; the set math is exact small-
-    integer division.  The all-pairs variant at 100 TB goes through
-    ``llm_minhash_lsh`` banding instead of a cross join."""
+    integer division.  Grams are pre-hashed to 60-bit ints with the
+    portable hash — ``array_intersect`` over longs is ~4× the throughput
+    of string sets, and both engines hash identically so equality is
+    preserved (collisions: ~n²/2⁶¹ per doc, nil).  The all-pairs variant
+    at 100 TB goes through ``llm_minhash_lsh`` banding, not a cross join."""
     docs = load_table(spark, sf_dir, "documents")
+    gram_hash = _H_SPARK.format(x="substr(text, i, 3)")
     grams = docs.select(
         "doc_id",
         F.array_distinct(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")
+            F.expr(f"transform(sequence(1, length(text) - 2), i -> {gram_hash})")
         ).alias("g"),
-    )
+    ).cache()  # used as both join sides; hash the grams once
+    grams.count()
     q = grams.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("query_id"), F.col("g").alias("qg")
     )
@@ -214,31 +213,49 @@ def llm_cosine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest neighbor (cosine) for EVERY vector — the brute-force
     all-pairs baseline for embedding near-dup detection.
 
-    O(n²) dot products; correct but the scale ceiling.  The bucketed
-    twin ``llm_ann_lsh`` below does the same job touching only hash-
-    colliding candidates — compare the two in BENCH to see the win."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").alias("ve"),
-        F.sqrt(F.expr(_SQ_NORM.format(v="embedding"))).alias("nrm"),
-    )
-    a = emb.select("vec_id", F.col("ve").alias("va"), F.col("nrm").alias("na"))
-    b = emb.select(
-        F.col("vec_id").alias("nn_id"), F.col("ve").alias("vb"), F.col("nrm").alias("nb")
-    )
-    scored = a.join(b, F.col("vec_id") != F.col("nn_id")).select(
-        "vec_id",
-        "nn_id",
-        F.round(
-            F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "nn_id", "cos_sim")
-    )
+    Spark shape: the corpus matrix is broadcast (n×64 float64 — the
+    "small dim table" of vector search) and the same table streams
+    through Arrow-batched ``mapInPandas``; each batch is one BLAS
+    matmul + argmax over the 6dp-rounded scores (ties → lowest nn_id,
+    matching the oracle's ``ORDER BY cos_sim DESC, nn_id``).  A
+    pair-join spelling of this took 34 s at sf0.1 — per-pair lambda
+    folds are interpreted, while one matmul per batch is ~free.
+
+    Scale: valid while ONE side fits in executor memory (broadcast-join
+    regime, ~1 GB ≈ 2M×64-d float64).  Beyond that, IVF-partition both
+    sides by centroid and run this same kernel per bucket
+    (``llm_ann_lsh`` is the hash-bucket variant)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.orderBy("vec_id").toPandas()  # nn_id-ascending ⇒ argmax tiebreak
+    ids = corpus["vec_id"].to_numpy()
+    m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    m_norm = np.sqrt((m * m).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, m, m_norm))
+
+    def nn_batches(batches):
+        c_ids, cm, cn = bc.value
+        pos = {int(v): i for i, v in enumerate(c_ids)}
+        for pdf in batches:
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            an = np.sqrt((a * a).sum(axis=1))
+            # oracle formula verbatim: dot / (|a|·|b|), THEN round
+            cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+            row_ids = pdf["vec_id"].to_numpy()
+            for i, vid in enumerate(row_ids):
+                cos[i, pos[int(vid)]] = -2.0  # exclude self
+            best = cos.argmax(axis=1)  # first max = lowest nn_id on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": row_ids,
+                    "nn_id": c_ids[best],
+                    "cos_sim": cos[np.arange(len(best)), best],
+                }
+            )
+
+    return emb.mapInPandas(nn_batches, "vec_id long, nn_id long, cos_sim double")
 
 
 def _hyperplanes(n: int = 8, dim: int = 64) -> list[list[float]]:
@@ -504,14 +521,22 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FP_SALTS = [0, 1, 2, 3]
+# xor-salts (< 2^60, so salted values stay positive BIGINTs): one md5
+# per gram, then 4 cheap integer perturbations — not 4 md5 passes.
+_FP_SALTS = [
+    0x0,
+    0x5BD1E995CBF29CE4,
+    0x27D4EB2F165667C5,
+    0x165667B19E3779F9,
+]
+_FP_MASK = (1 << 59) - 1
 
 
 def _fp_oracle() -> str:
+    h = _H_DUCK.format(x="gram")
     cols = ", ".join(
-        "CAST(MIN(" + _H_DUCK.format(x=f"concat(CAST({s} AS VARCHAR), '|', gram)") + ") AS BIGINT)"
-        f" AS fp{s}"
-        for s in _FP_SALTS
+        f"CAST(MIN(xor(h, {s & _FP_MASK})) AS BIGINT) AS fp{i}"
+        for i, s in enumerate(_FP_SALTS)
     )
     return f"""
     WITH grams AS (
@@ -519,8 +544,9 @@ def _fp_oracle() -> str:
              unnest(list_transform(generate_series(1, len(text) - 4),
                                    i -> substr(text, i, 5))) AS gram
       FROM documents
-    )
-    SELECT doc_id, {cols} FROM grams GROUP BY doc_id
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM grams)
+    SELECT doc_id, {cols} FROM hashed GROUP BY doc_id
     """
 
 
@@ -530,18 +556,22 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-grams — a winnowing-style signature; equal fingerprints ⇒ heavy
     overlap.  Map-side per-doc min-agg, no pair scan; signatures then
     group-join in O(n) for candidate generation (the MinHash principle
-    spelled by hand with the portable hash)."""
+    spelled by hand with the portable hash).  One md5 per gram; the 4
+    hash families are xor perturbations of it (integer-exact in both
+    engines), which is 4× cheaper than salting the md5 input."""
     docs = load_table(spark, sf_dir, "documents")
+    # Hash per occurrence and min-aggregate immediately: the whole plan is
+    # map-side (explode → project → partial min) with only the tiny per-doc
+    # result shuffled.  (A distinct-gram dictionary + broadcast join was
+    # measured SLOWER — the distinct shuffles every occurrence first.)
     grams = docs.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))")
         ).alias("gram"),
-    )
+    ).select("doc_id", F.expr(_H_SPARK.format(x="gram")).alias("h"))
     aggs = [
-        F.min(
-            F.expr(_H_SPARK.format(x=f"concat(CAST({s} AS STRING), '|', gram)"))
-        ).alias(f"fp{s}")
-        for s in _FP_SALTS
+        F.min(F.expr(f"h ^ {s & _FP_MASK}L")).alias(f"fp{i}")
+        for i, s in enumerate(_FP_SALTS)
     ]
     return grams.groupBy("doc_id").agg(*aggs)
