@@ -19,6 +19,7 @@ from kafkastreaming_spark.operators import (  # noqa: F401
     multimodal,
     pipeline,
     projections,
+    relational_ext,
     scans,
     udfs,
     windows,

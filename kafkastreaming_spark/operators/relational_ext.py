@@ -1,0 +1,148 @@
+"""Relational extensions: pivot/unpivot reshaping and correlated
+subqueries (extends SURVEY.md §2; declared in §2.13).
+
+Subqueries are spelled as SQL over temp views on purpose: they exercise
+Catalyst's decorrelation rules (`RewriteCorrelatedScalarSubquery`,
+exists-to-semi-join) — `.explain` shows the correlated form rewritten to
+the same join shapes §2.3 uses, which is exactly why no custom operator
+is needed at 100 TB: a correlated predicate IS a join after analysis.
+
+Determinism: the correlated scalar uses MAX (exact for doubles — no
+summation-order dependence); pivot cells use the exact-decimal money sum
+from functions/numeric.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.functions.numeric import dsum, oracle_dsum
+from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.registry import query
+
+_PIVOT_YEARS = [1995, 1996, 1997, 1998]
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {", ".join(oracle_dsum(f"CASE WHEN year(o_orderdate) = {y} THEN o_totalprice END", f'y{y}') for y in _PIVOT_YEARS)}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order revenue per priority × year, years as columns.
+
+    Spark's ``pivot`` with an EXPLICIT value list — never inferred, so
+    the schema is stable (inference would add a distinct-scan job and
+    make columns data-dependent).  Physically this is one hash-agg over
+    conditional sums; the oracle spells that desugaring directly."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.withColumn("yr", F.year("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .pivot("yr", _PIVOT_YEARS)
+        .agg(dsum("o_totalprice", "v"))
+    )
+    # pivot names columns by value ("1995"); alias to match the oracle
+    return out.select(
+        "o_orderpriority",
+        *[F.col(f"`{y}`").alias(f"y{y}") for y in _PIVOT_YEARS],
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             {oracle_dsum('l_quantity', 'sum_qty')},
+             {oracle_dsum('l_extendedprice', 'sum_price')},
+             {oracle_dsum('l_discount', 'sum_disc')}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty'  AS metric, sum_qty  AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag aggregates → long (metric, value)
+    rows — the wide→long reshape feeding metric stores and plotting.
+    ``DataFrame.unpivot`` is a zero-shuffle Expand over the wide input;
+    the oracle uses the equivalent UNION ALL spelling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "sub_scalar_corr",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def sub_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers holding their nation's
+    maximum balance.  Catalyst decorrelates this into an aggregate +
+    join (no per-row re-execution — the naive reading would be O(n²));
+    MAX keeps the comparison float-exact in both engines."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("ks_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM ks_customer c
+        WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM ks_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "sub_exists",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+      AND o.o_orderkey NOT IN (SELECT l2.l_orderkey FROM lineitem l2
+                               WHERE l2.l_discount > 0.09)
+    """,
+)
+def sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT IN predicate subqueries: orders with a returned
+    lineitem but no deep-discount lineitem.  Catalyst rewrites these to
+    the left-semi / null-aware anti joins of §2.3 — same physical plans,
+    declarative spelling.  (l_orderkey is non-null here, so NOT IN's
+    three-valued-logic trap is inert and both engines agree.)"""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ks_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ks_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority
+        FROM ks_orders o
+        WHERE EXISTS (SELECT 1 FROM ks_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+          AND o.o_orderkey NOT IN (SELECT l2.l_orderkey FROM ks_lineitem l2
+                                   WHERE l2.l_discount > 0.09)
+        """
+    )
