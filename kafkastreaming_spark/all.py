@@ -21,6 +21,7 @@ from kafkastreaming_spark.operators import (  # noqa: F401
     projections,
     relational_ext,
     scans,
+    timeseries,
     udfs,
     windows,
     setops,
