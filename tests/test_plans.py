@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the scale-critical plan shapes (pushdown,
+broadcast, merge join, top-k pushdown, partial aggregation) must not
+silently regress — a correct-but-unscalable plan fails here even though
+every value check still passes."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafkastreaming_spark.all import QUERIES
+
+
+def _plan(spark, sf_dir, key: str) -> str:
+    df = QUERIES[key](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # pruned read schema: the 11-column table must not be fully read
+    assert "l_comment" not in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast")
+    # formatted mode lists each operator in the tree AND the detail section
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_join_merges(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_smj")
+    assert "SortMergeJoin" in plan
+
+
+def test_topk_pushes_down(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_group")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_tfidf_df_dimension_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_tfidf")
+    assert "BroadcastHashJoin" in plan
+    # rank-1 filter must become a WindowGroupLimit, not a full sort+filter
+    assert "WindowGroupLimit" in plan
+
+
+def test_stream_static_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stream_static_join")
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("key", ["agg_group", "filter_pred", "proj_compute"])
+def test_hot_relational_paths_are_codegen(spark, sf_dir, key):
+    # AQE hides codegen ids in the pre-execution formatted plan; the
+    # codegen explain mode reports fused subtrees regardless
+    df = QUERIES[key](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "WholeStageCodegen" in plan

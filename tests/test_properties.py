@@ -1,0 +1,91 @@
+"""Property-based checks (hypothesis) for the cross-engine primitives the
+oracle comparisons depend on.  These pin the *math*, independent of any
+fixture: if one fails, some hash-checked key is wrong for some input the
+fixtures merely failed to contain."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _h_py(s: str) -> int:
+    """Python reference of the portable 60-bit hash (operators/pipeline.py)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), min_size=0, max_size=40))
+def test_portable_hash_duckdb_matches_python(s):
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [s]
+    ).fetchone()[0]
+    assert got == _h_py(s)
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=30), min_size=1),
+    st.sets(st.integers(min_value=0, max_value=30), min_size=1),
+)
+def test_bitmask_jaccard_equals_set_jaccard(a, b):
+    """The 64-bit mask popcount math in llm_jaccard_dedup IS set Jaccard."""
+    mask_a = sum(1 << i for i in a)
+    mask_b = sum(1 << i for i in b)
+    inter = bin(mask_a & mask_b).count("1")
+    union = len(a) + len(b) - inter
+    assert inter == len(a & b)
+    assert union == len(a | b)
+    assert inter / union == len(a & b) / len(a | b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_sequential_fold_matches_duckdb_list_sum_of_squares(xs):
+    """Spark `aggregate` folds left-to-right in double; DuckDB
+    list_dot_product must produce the identical value for ||v||²."""
+    con = duckdb.connect()
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    got = con.execute(
+        "SELECT list_dot_product(?::DOUBLE[], ?::DOUBLE[])", [xs, xs]
+    ).fetchone()[0]
+    assert got == acc or (math.isclose(got, acc, rel_tol=0, abs_tol=0.0))
+    con.close()
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_round6_never_hits_exact_midpoint(x):
+    """6dp rounding ties are impossible in float64: a tie value is
+    odd/(2·10⁶), whose denominator contains 5⁶ and so has no finite
+    binary expansion.  Hence HALF_UP (Spark/DuckDB) vs banker's (NumPy)
+    rounding cannot diverge — the assumption behind every rounded float
+    comparison in the suite.  Decimal(x) is the EXACT value of the
+    double, so this checks the real claim, not a float approximation."""
+    from decimal import Decimal
+
+    scaled = Decimal(x) * 10**7
+    if scaled == scaled.to_integral_value():
+        # x has a finite 7-decimal expansion ⇒ its 7th digit can't be a
+        # bare 5 (that would need 5⁶ in a power-of-two denominator)
+        assert int(scaled) % 10 != 5
