@@ -14,6 +14,7 @@ from kafkastreaming_spark.functions import (  # noqa: F401
 )
 from kafkastreaming_spark.operators import (  # noqa: F401
     aggregations,
+    analytics,
     joins,
     llm,
     multimodal,
