@@ -362,6 +362,108 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_DUCK = (
+    "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@query(
+    "llm_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id < 16),
+    asg AS (
+      SELECT vec_id, ve, cid, {_COS_DUCK.format(a='ve', b='cv')} AS sim
+      FROM e CROSS JOIN cent
+    ),
+    arank AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid) AS rn
+      FROM asg
+    ),
+    bucket AS (SELECT vec_id, ve, cid AS bucket FROM arank WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, ve AS qv, cid AS bucket
+               FROM arank WHERE vec_id < 5 AND rn <= 2),
+    cand AS (
+      SELECT p.query_id, p.qv, b.vec_id, b.ve
+      FROM probes p JOIN bucket b USING (bucket)
+      WHERE b.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id, {_COS_DUCK.format(a='qv', b='ve')} AS cos_sim
+      FROM cand
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5 cosine — the third point of the ANN
+    triad (exact `llm_cosine_nn` / hash-bucket `llm_ann_lsh` / centroid
+    `llm_ann_ivf`).
+
+    Centroids are the first 16 corpus vectors (a deterministic stand-in
+    for a k-means fit — the topology, not the training, is the operator):
+    every vector joins its nearest centroid's inverted list; queries probe
+    their top-2 centroids and rescore exactly inside those lists only.
+    All ranking on 6dp-rounded scores with id tiebreaks, so the
+    approximation itself is deterministic and fully hash-checked.
+    At 100 TB: centroids come from k-means on a sample, lists are
+    bucketed-by-centroid parquet, and a probe reads ~n/K of the corpus —
+    the standard billion-scale vector-search layout."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").alias("ve"))
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("ve").alias("cv")
+    )
+    sim = F.round(
+        F.expr(_DOT.format(a="ve", b="cv"))
+        / (
+            F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
+            * F.sqrt(F.expr(_SQ_NORM.format(v="cv")))
+        ),
+        6,
+    )
+    asg = emb.crossJoin(F.broadcast(cent)).select("vec_id", "ve", "cid", sim.alias("sim"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    arank = asg.withColumn("rn", F.row_number().over(w_assign))
+    bucket = arank.filter(F.col("rn") == 1).select(
+        "vec_id", "ve", F.col("cid").alias("bucket")
+    )
+    probes = arank.filter((F.col("vec_id") < 5) & (F.col("rn") <= 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("cid").alias("bucket"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(bucket, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="ve"))
+        / (
+            F.sqrt(F.expr(_SQ_NORM.format(v="qv")))
+            * F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
+        ),
+        6,
+    )
+    scored = cand.select("query_id", "vec_id", cos.alias("cos_sim"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis: language-ID, quality score, BPE-ish token count,
 # rolling-hash fingerprint
