@@ -79,6 +79,7 @@ def mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS frame_idx,
              text
       FROM documents
+      WHERE octet_length(encode(text)) >= 32
     )
     SELECT doc_id, frame_idx,
            sha256(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32))
@@ -96,6 +97,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the payload partitioning."""
     return (
         _with_payload(spark, sf_dir)
+        # guard sub-frame payloads: Spark's int cast truncates toward zero
+        # while the oracle's // floors, so a <32-byte payload would diverge
+        .filter(F.octet_length("payload") >= 32)
         .select(
             "doc_id",
             "payload",
