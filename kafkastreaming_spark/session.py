@@ -69,6 +69,16 @@ def get_session(
         # Arrow transfer for pandas UDFs / toPandas — the only acceptable
         # Python boundary in the hot path (SURVEY.md §3.2c).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Split size sized to the LOCAL bench layout: the sf0.1 tables are
+        # single ≤11 MB files, which the 128 MB default packs into ~3 input
+        # splits — 32 cores sit idle through every scan.  2 MB splits give
+        # the scans real parallelism here (measured: join_smj 0.91→0.58 s).
+        # A cluster deployment against 100 TB overrides this back to
+        # 128–512 MB via the env var (SCALE.md "Layout and scan path").
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
+        )
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
