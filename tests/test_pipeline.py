@@ -75,3 +75,38 @@ def test_llm_langid_total_and_deterministic(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert out.count() == n_docs
     assert out.filter(F.col("pred_lang").isNull()).count() == 0
+
+
+def test_llm_minhash_lsh_recall_of_exact_pairs(spark, sf_dir):
+    """Every exact Jaccard>=0.8 pair (distance <= 0.2) must be found by the
+    LSH join at distance threshold 0.5 — banding with 8 tables at these
+    similarities has essentially unit recall, and the seed is pinned."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["llm_jaccard_dedup"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["llm_minhash_lsh"](spark, sf_dir).collect()
+    }
+    missed = exact - approx
+    assert len(missed) <= max(1, len(exact) // 20), f"LSH missed {len(missed)}/{len(exact)}"
+
+
+def test_agg_approx_distinct_within_error_bound(spark, sf_dir):
+    """HyperLogLog++ estimates must sit within a loose rsd envelope of the
+    exact distinct counts (default rsd 5%; assert 15% to avoid flakes)."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.15 * n), (et, approx[et], n)
