@@ -664,8 +664,10 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Hash per occurrence and min-aggregate immediately: the whole plan is
     # map-side (explode → project → partial min) with only the tiny per-doc
-    # result shuffled.  (A distinct-gram dictionary + broadcast join was
-    # measured SLOWER — the distinct shuffles every occurrence first.)
+    # result shuffled.  (Two rejected variants, both measured slower: a
+    # distinct-gram dictionary + broadcast join — the distinct shuffles
+    # every occurrence first — and per-doc array_distinct before the
+    # explode, whose cost exceeds the saved md5 calls.)
     grams = docs.select(
         "doc_id",
         F.explode(
