@@ -132,3 +132,37 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") > 100).cast("int").alias("is_big"),
         F.col("ts").cast("date").cast("timestamp").alias("day_ts"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id,
+           event_id & user_id AS b_and,
+           event_id | user_id AS b_or,
+           xor(event_id, user_id) AS b_xor,
+           CAST(event_id << 3 AS BIGINT) AS b_shl,
+           event_id >> 2 AS b_shr,
+           CAST(bit_count(event_id) AS INTEGER) AS b_pop,
+           CASE WHEN value IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END AS v_is_null,
+           CASE WHEN event_type IS DISTINCT FROM 'click' THEN 1 ELSE 0 END AS not_click
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops + null-safe comparison bundle — exact integer math, no
+    determinism discipline needed (DuckDB spells xor as a function and
+    null-safe equality as IS [NOT] DISTINCT FROM vs Spark's ^ and <=>)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & user_id").alias("b_and"),
+        F.expr("event_id | user_id").alias("b_or"),
+        F.expr("event_id ^ user_id").alias("b_xor"),
+        F.expr("shiftleft(event_id, 3)").alias("b_shl"),
+        F.expr("shiftright(event_id, 2)").alias("b_shr"),
+        F.expr("bit_count(event_id)").alias("b_pop"),
+        F.expr("CAST(value <=> NULL AS INT)").alias("v_is_null"),
+        F.expr("CAST(NOT (event_type <=> 'click') AS INT)").alias("not_click"),
+    )
