@@ -296,3 +296,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "agg_salted",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the hand-rolled skew relief from
+    SCALE.md, verified to produce EXACTLY the plain groupBy result.
+
+    Phase 1 groups by (key, salt=pmod(hash(event_id), 16)) so one hot key
+    spreads over 16 reducers; phase 2 merges the 16 partials.  Decimal
+    partial sums stay exact through the merge, so the oracle is the plain
+    single-phase aggregation.  At 100 TB this is the manual fallback when
+    AQE skew-split can't help (e.g. skewed aggregation, not join)."""
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", F.expr("pmod(hash(event_id), 16)"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(24,8)")).alias("ps"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("ps"), 2).cast("double").alias("sum_value"),
+    )

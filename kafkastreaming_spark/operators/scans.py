@@ -106,3 +106,32 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), "ks_spark_sink_parquet")
     out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@query(
+    "sink_partitioned",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout round trip: write events partitioned by
+    event_type (the SCALE.md fact-table layout), read back with a
+    partition filter — the plan prunes to the two matching directories
+    (``PartitionFilters`` in explain; asserted in tests/test_plans.py)
+    instead of scanning the table.
+
+    This is the mechanism that makes 100 TB scans affordable: partition
+    pruning happens at file listing, before any row is read."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(tempfile.gettempdir(), "ks_spark_sink_partitioned")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # partition column comes back last and typed string; restore order
+    return back.select("event_id", "user_id", "event_type", "value")

@@ -66,3 +66,9 @@ def test_hot_relational_paths_are_codegen(spark, sf_dir, key):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     plan = df._jdf.queryExecution().explainString(mode)
     assert "WholeStageCodegen" in plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sink_partitioned")
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
