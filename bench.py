@@ -50,14 +50,38 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Per-query detail goes to a file: the driver captures only a tail of
+    # stdout, and a 90-entry JSON line overflows it (BENCH_r01 "parsed": null).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+                "repeats": repeats,
+            },
+            f,
+            indent=1,
+        )
+
+    # The machine-readable contract line: SHORT, and the LAST stdout line.
+    slowest = sorted(per_query, key=per_query.get, reverse=True)[:5]
     print(
         json.dumps(
             {
                 "metric": "suite_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(per_query),
+                "queries": {k: per_query[k] for k in slowest},
             }
         )
     )

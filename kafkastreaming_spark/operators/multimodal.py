@@ -123,7 +123,10 @@ _FEAT_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("features", T.ArrayType(T.DoubleType())),
+        # canonical CSV of the 16 integer histogram bins: arrays are not
+        # hashable by the driver's canonicalizer (CORRECTNESS_r01), and the
+        # integer form sidesteps cross-engine float formatting entirely
+        T.StructField("features_csv", T.StringType()),
     ]
 )
 
@@ -140,10 +143,10 @@ def _real_decode(payload: bytes):  # pragma: no cover - sandbox has no codecs
 
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in: 'dimensions' from byte length, 'features'
-    = 16-bin byte histogram, L1-normalized."""
+    = 16-bin high-nibble byte histogram (raw integer counts)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-    return len(arr) % 64 + 1, len(arr) // 64 + 1, np.round(hist / hist.sum(), 6)
+    hist = np.bincount(arr >> 4, minlength=16)
+    return len(arr) % 64 + 1, len(arr) // 64 + 1, hist
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -155,19 +158,49 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 w, h, feats = _real_decode(bytes(payload))
             except NotImplementedError:
                 w, h, feats = _fake_decode(bytes(payload))
-            rows.append((int(doc_id), w, h, len(payload), feats.tolist()))
+            rows.append(
+                (
+                    int(doc_id),
+                    w,
+                    h,
+                    len(payload),
+                    ",".join(str(int(c)) for c in feats),
+                )
+            )
         yield pd.DataFrame(
-            rows, columns=["doc_id", "width", "height", "n_bytes", "features"]
+            rows, columns=["doc_id", "width", "height", "n_bytes", "features_csv"]
         )
 
 
-@query("mm_decode_features")
+def _nibble_count_sql(b: int) -> str:
+    """DuckDB expression counting chars whose codepoint >> 4 == b (RE2 hex
+    class; ASCII corpus so char count == byte count)."""
+    lo, hi = b * 16, b * 16 + 15
+    return (
+        f"length(text) - length(regexp_replace(text, "
+        f"'[\\x{lo:02x}-\\x{hi:02x}]', '', 'g'))"
+    )
+
+
+@query(
+    "mm_decode_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) % 64 + 1 AS INTEGER) AS width,
+           CAST(length(text) // 64 + 1 AS INTEGER) AS height,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           concat_ws(',', {", ".join(_nibble_count_sql(b) for b in range(16))})
+             AS features_csv
+    FROM documents
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract via Arrow-batched ``mapInPandas``
-    (rows-only: the fake decoder's histogram math has no SQL oracle;
-    tests pin determinism, schema, and batch shape).
+    """Decode + feature-extract via Arrow-batched ``mapInPandas``.
 
     This is the canonical media-decode topology: binary column in, typed
     struct out, Python touched once per Arrow batch — swap
-    ``_real_decode`` for a codec and nothing else changes."""
+    ``_real_decode`` for a codec and nothing else changes.  The fake
+    decoder's nibble histogram is emitted as a canonical integer CSV so
+    the driver can hash it AND DuckDB can reproduce it (16 regexp
+    char-class counts) — a full value oracle, not just rows-only."""
     return _with_payload(spark, sf_dir).mapInPandas(_decode_batches, _FEAT_SCHEMA)

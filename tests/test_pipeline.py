@@ -14,10 +14,11 @@ def test_mm_decode_features_deterministic_and_shaped(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     rows = out1.collect()
     assert len(rows) == n_docs
-    assert out1.columns == ["doc_id", "width", "height", "n_bytes", "features"]
+    assert out1.columns == ["doc_id", "width", "height", "n_bytes", "features_csv"]
     for r in rows[:20]:
-        assert len(r["features"]) == 16
-        assert abs(sum(r["features"]) - 1.0) < 1e-4  # L1-normalized histogram
+        bins = [int(c) for c in r["features_csv"].split(",")]
+        assert len(bins) == 16
+        assert sum(bins) == r["n_bytes"]  # histogram covers every byte
         assert r["n_bytes"] >= 44
     # deterministic across executions (fake decode is pure)
     rows2 = QUERIES["mm_decode_features"](spark, sf_dir).collect()
