@@ -103,50 +103,106 @@ _JACCARD_ORACLE = """
 
 @query("llm_jaccard_dedup", oracle=_JACCARD_ORACLE)
 def llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with token-set Jaccard ≥ 0.8 — exact, via bitmask.
+    """Near-dup pairs with token-set Jaccard ≥ 0.8 — exact, via prefix
+    filter + bitmask verify.
 
-    Token sets over this corpus's 31-token vocabulary pack into one
-    64-bit mask, so intersection/union are popcounts — integer math,
-    bit-identical across engines.  Pairs are pruned by the exact
-    size-ratio bound (J ≥ 0.8 ⇒ 4·max ≤ 5·min) before the quadratic
-    compare; the open-vocabulary scale path is ``llm_minhash_lsh``."""
+    Candidate generation is the AllPairs/PPJoin prefix filter: order
+    each doc's tokens rarest-first (ascending document frequency) and
+    keep the first ``n - ceil(0.8*n) + 1``; any pair with J ≥ 0.8 must
+    share a token inside both prefixes (the smallest common token in
+    canonical order sits within the first ``n - |A∩B| + 1 ≤ prefix``
+    positions of each side), so an equi-join on prefix tokens has full
+    recall — no O(n²) nested-loop anywhere in the plan.  ``ceil(0.8*n)``
+    is computed as integer ``(4n+4) div 5``: the float spelling is wrong
+    at n=5 (0.8 is not binary-representable).  Verification packs token
+    sets into a 64-bit mask (this corpus's vocabulary is ≤ 64 tokens;
+    the vocabulary is bounded metadata, collected once and broadcast —
+    no global sort window) so intersection/union are exact popcounts.
+    The open-vocabulary scale path is ``llm_minhash_lsh``; the prefix
+    join itself is the standard exact-similarity-join shape at scale."""
     docs = load_table(spark, sf_dir, "documents")
     dtoks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
-    vocab = (
-        dtoks.select("token")
-        .distinct()
-        .withColumn("idx", F.row_number().over(Window.orderBy("token")) - 1)
+    # Vocabulary is bounded by the 64-bit mask width — driver-side
+    # metadata by construction, like a broadcast dimension.
+    tok_df = dtoks.groupBy("token").agg(F.count(F.lit(1)).alias("df")).collect()
+    if len(tok_df) > 64:
+        raise ValueError(
+            f"vocabulary of {len(tok_df)} tokens exceeds the 64-bit mask; "
+            "use llm_minhash_lsh for open vocabularies"
+        )
+    by_alpha = sorted(r["token"] for r in tok_df)
+    alpha_idx = {t: i for i, t in enumerate(by_alpha)}
+    by_rarity = sorted(tok_df, key=lambda r: (r["df"], r["token"]))
+    vocab = spark.createDataFrame(
+        [(r["token"], alpha_idx[r["token"]], rank) for rank, r in enumerate(by_rarity)],
+        "token string, idx int, rare int",
     )
-    masks = (
+    per_doc = (
         dtoks.join(F.broadcast(vocab), "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), idx)")).alias("mask"),
+            F.sort_array(F.collect_list("rare")).alias("rares"),
         )
-        # self-join below would otherwise recompute the whole explode→agg
-        # lineage once per side; materialize the (tiny) mask table once
+        # prefix length n - ceil(0.8n) + 1, in exact integer math; the
+        # prefix is carried as a 64-bit mask over rarity ranks so all
+        # downstream pair math is codegen'd integer ops, never array ops
+        .withColumn(
+            "prefix", F.expr("slice(rares, 1, CAST(n - ((4*n + 4) div 5) + 1 AS INT))")
+        )
+        .withColumn(
+            "pmask",
+            F.expr(
+                "aggregate(prefix, CAST(0 AS BIGINT),"
+                " (acc, r) -> acc | shiftleft(CAST(1 AS BIGINT), r))"
+            ),
+        )
+        .select("doc_id", "n", "mask", "prefix", "pmask")
+        # both candidate-join sides share this subtree; materialize once
         .cache()
     )
-    masks.count()
-    a = masks.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), F.col("mask").alias("mask_a")
+    per_doc.count()
+    pref = per_doc.select("doc_id", "n", "mask", "pmask", F.explode("prefix").alias("rare"))
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.col("mask").alias("mask_a"),
+        F.col("pmask").alias("pmask_a"),
+        "rare",
     )
-    b = masks.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), F.col("mask").alias("mask_b")
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.col("mask").alias("mask_b"),
+        F.col("pmask").alias("pmask_b"),
+        "rare",
     )
-    pairs = a.join(
-        b,
-        (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("n_a") * 4 <= F.col("n_b") * 5)
-        & (F.col("n_b") * 4 <= F.col("n_a") * 5),
-    ).select(
-        "doc_a",
-        "doc_b",
-        F.expr("CAST(bit_count(mask_a & mask_b) AS BIGINT)").alias("n_inter"),
-        (F.col("n_a") + F.col("n_b")).alias("n_ab"),
+    pairs = (
+        a.join(b, "rare")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # exact size-ratio bound: J ≥ 0.8 ⇒ 4·max ≤ 5·min
+            & (F.col("n_a") * 4 <= F.col("n_b") * 5)
+            & (F.col("n_b") * 4 <= F.col("n_a") * 5)
+        )
+        # shuffle-free dedup of multi-token collisions: keep the pair only
+        # at its smallest shared prefix token = lowest set bit of the
+        # prefix-mask AND (pure integer math, whole-stage codegen)
+        .filter(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), rare) = "
+                "((pmask_a & pmask_b) & -(pmask_a & pmask_b))"
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(mask_a & mask_b) AS BIGINT)").alias("n_inter"),
+            (F.col("n_a") + F.col("n_b")).alias("n_ab"),
+        )
     )
     return (
         pairs.withColumn("n_union", F.col("n_ab") - F.col("n_inter"))

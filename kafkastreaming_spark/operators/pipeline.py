@@ -62,6 +62,13 @@ _SIMHASH_ORACLE = f"""
 """
 
 
+# Band layout for the Hamming-≤6 pair scan: 7 bands (9,9,9,9,8,8,8 bits).
+# Pigeonhole: ≤6 differing bits across 7 bands leaves ≥1 band untouched, so
+# every qualifying pair shares at least one exact band value — the banded
+# equi-join has FULL recall and the popcount filter restores exactness.
+_SIMHASH_BANDS = [9, 9, 9, 9, 8, 8, 8]
+
+
 @query("llm_simhash_dedup", oracle=_SIMHASH_ORACLE)
 def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit tf-weighted signatures, pairs at Hamming
@@ -69,9 +76,14 @@ def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signature build is two hash-aggs (term tf, then per-bit majority via
     a 60× bit fanout) — linear in corpus size, fully parallel.  The pair
-    scan is O(n²) popcounts here; at 100 TB, band the signature into
-    4×15-bit keys and join on band equality (any pair within Hamming 3
-    shares a band) — same output, candidate-sized work."""
+    scan is BANDED: each signature explodes into 7 (band, value) keys and
+    candidates come from a shuffled equi-join on them — never an O(n²)
+    nested-loop.  7 bands guarantee recall at Hamming ≤ 6 (pigeonhole),
+    duplicates from multi-band collisions are dropped with one distinct,
+    and the exact popcount keeps only true pairs, so the output is
+    identical to the all-pairs oracle.  At 100 TB candidate volume
+    scales with band collisions, not n²; skewed bands fall to AQE's
+    skew-join split."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -94,11 +106,47 @@ def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.groupBy("doc_id")
         .agg(*bit_aggs)
         .select("doc_id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash"))
+        # both band-join sides share this subtree; materialize it once
+        .cache()
     )
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    sig.count()
+    offsets, off = [], 0
+    for w in _SIMHASH_BANDS:
+        offsets.append(off)
+        off += w
+    band_vals = F.array(
+        *[
+            F.expr(f"shiftright(simhash, {o}) & {(1 << w) - 1}")
+            for o, w in zip(offsets, _SIMHASH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "bval",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "band",
+        "bval",
+    )
+    # Multi-band collisions are deduped WITHOUT a shuffle: a pair is kept
+    # only in its first matching band (computable from the two signatures
+    # with pure bit math), so every true pair survives exactly once.
+    first_match = "CASE " + " ".join(
+        f"WHEN (shiftright(sig_a, {o}) & {(1 << w) - 1}) = "
+        f"(shiftright(sig_b, {o}) & {(1 << w) - 1}) THEN {i}"
+        for i, (o, w) in enumerate(zip(offsets, _SIMHASH_BANDS))
+    ) + " END"
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.expr(f"band = {first_match}"))
         .withColumn("hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
         .filter(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")

@@ -68,6 +68,32 @@ def test_hot_relational_paths_are_codegen(spark, sf_dir, key):
     assert "WholeStageCodegen" in plan
 
 
+@pytest.mark.parametrize(
+    "key",
+    ["llm_simhash_dedup", "llm_jaccard_dedup", "llm_ann_lsh"],
+)
+def test_dedup_and_ann_have_no_nested_loop(spark, sf_dir, key):
+    """The dedup band/prefix joins and ANN probe joins must stay equi-join
+    shaped: an O(n²) BroadcastNestedLoopJoin or CartesianProduct here is
+    the 100 TB death sentence the banding exists to avoid."""
+    plan = _plan(spark, sf_dir, key)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_probe_join_is_hash(spark, sf_dir):
+    """IVF's centroid *assignment* is a legitimate corpus × K broadcast
+    loop (bounded by K=16, map-side); the *probe* join onto inverted
+    lists is the part that touches candidate volume and must be an
+    equi hash join on the bucket id."""
+    plan = _plan(spark, sf_dir, "llm_ann_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probes ⋈ bucket on bucket id
+    # only the two ×K assignment scans may loop-join; never more
+    # (formatted mode prints each operator twice: tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
 def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sink_partitioned")
     assert "PartitionFilters: [" in plan
