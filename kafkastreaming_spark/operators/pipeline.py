@@ -233,6 +233,13 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# One side of the NN matmul is broadcast only below this corpus size
+# (~50 MB of float64 at 64 dims — the vector-search analogue of Spark's
+# autoBroadcastJoinThreshold).  Above it, llm_cosine_nn flips to the
+# block-decomposed plan with bounded per-task memory.
+_NN_BROADCAST_MAX_N = 100_000
+
+
 @query(
     "llm_cosine_nn",
     oracle="""
@@ -261,22 +268,32 @@ def llm_cosine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest neighbor (cosine) for EVERY vector — the brute-force
     all-pairs baseline for embedding near-dup detection.
 
-    Spark shape: the corpus matrix is broadcast (n×64 float64 — the
-    "small dim table" of vector search) and the same table streams
-    through Arrow-batched ``mapInPandas``; each batch is one BLAS
-    matmul + argmax over the 6dp-rounded scores (ties → lowest nn_id,
-    matching the oracle's ``ORDER BY cos_sim DESC, nn_id``).  A
-    pair-join spelling of this took 34 s at sf0.1 — per-pair lambda
-    folds are interpreted, while one matmul per batch is ~free.
+    Statistics-driven physical strategy, exactly like Catalyst's
+    broadcast-vs-shuffle join choice: below ``_NN_BROADCAST_MAX_N``
+    vectors the corpus matrix is broadcast and one Arrow-batched
+    ``mapInPandas`` BLAS matmul scores each batch (driver holds one
+    bounded ~50 MB matrix, never an unbounded collect); above it the
+    plan flips to ``_cosine_nn_blocked`` — the distributed analogue of
+    block matrix multiply with no driver collect and no full-corpus
+    broadcast at any size (shuffle volume 2·n·B rows, per-task memory
+    one block pair).  Both paths produce identical output (pytest pins
+    them against each other); ties → lowest nn_id, matching the
+    oracle's ``ORDER BY cos_sim DESC, nn_id``.  A pair-join spelling
+    took 34 s at sf0.1 — per-pair lambda folds are interpreted, while
+    one matmul per batch/block is ~free."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()  # parquet footer metadata — no scan
+    if n <= _NN_BROADCAST_MAX_N:
+        return _cosine_nn_broadcast(spark, emb)
+    return _cosine_nn_blocked(spark, emb, n_blocks=max(1, -(-n // 100_000)))
 
-    Scale: valid while ONE side fits in executor memory (broadcast-join
-    regime, ~1 GB ≈ 2M×64-d float64).  Beyond that, IVF-partition both
-    sides by centroid and run this same kernel per bucket
-    (``llm_ann_lsh`` is the hash-bucket variant)."""
+
+def _cosine_nn_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Broadcast-regime kernel: bounded corpus matrix to every executor,
+    one matmul per Arrow batch."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.orderBy("vec_id").toPandas()  # nn_id-ascending ⇒ argmax tiebreak
     ids = corpus["vec_id"].to_numpy()
     m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
@@ -304,6 +321,77 @@ def llm_cosine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(nn_batches, "vec_id long, nn_id long, cos_sim double")
+
+
+def _cosine_nn_blocked(
+    spark: SparkSession, emb: DataFrame, n_blocks: int
+) -> DataFrame:
+    """Block-decomposed exact NN: B×B cogrouped block pairs, one BLAS
+    matmul each, then a per-query max-merge of block-local winners."""
+    import numpy as np
+    import pandas as pd
+
+    blk = emb.withColumn("blk", F.crc32(F.col("vec_id").cast("string")) % n_blocks)
+    rep = F.broadcast(spark.range(n_blocks).select(F.col("id").alias("other")))
+    queries = blk.crossJoin(rep).select(
+        F.col("blk").alias("qblk"), F.col("other").alias("cblk"), "vec_id", "embedding"
+    )
+    corpus = blk.crossJoin(rep).select(
+        F.col("other").alias("qblk"), F.col("blk").alias("cblk"),
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+    )
+
+    def block_nn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []})
+        right = right.sort_values("c_id")  # argmax's first max = lowest nn_id
+        cm = np.stack(right["c_emb"].to_numpy()).astype(np.float64)
+        cn = np.sqrt((cm * cm).sum(axis=1))
+        c_ids = right["c_id"].to_numpy()
+        a = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        an = np.sqrt((a * a).sum(axis=1))
+        # oracle formula verbatim: dot / (|a|·|b|), THEN round
+        cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+        pos = {int(v): i for i, v in enumerate(c_ids)}
+        row_ids = left["vec_id"].to_numpy()
+        for i, vid in enumerate(row_ids):
+            j = pos.get(int(vid))
+            if j is not None:
+                cos[i, j] = -2.0  # exclude self
+        best = cos.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": row_ids,
+                "nn_id": c_ids[best],
+                "cos_sim": cos[np.arange(len(best)), best],
+            }
+        )
+
+    local = (
+        queries.groupby("qblk", "cblk")
+        .cogroup(corpus.groupby("qblk", "cblk"))
+        .applyInPandas(
+            lambda l, r: block_nn(l, r), "vec_id long, nn_id long, cos_sim double"
+        )
+    )
+    # merge block-local winners: max on (cos_sim, -nn_id) == best score,
+    # lowest id on ties — exact because scores are already 6dp-rounded
+    return (
+        local.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim").alias("cos_sim"),
+                    (-F.col("nn_id")).alias("neg_nn"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.neg_nn")).alias("nn_id"),
+            F.col("m.cos_sim").alias("cos_sim"),
+        )
+    )
 
 
 def _hyperplanes(n: int = 8, dim: int = 64) -> list[list[float]]:

@@ -25,6 +25,27 @@ def test_mm_decode_features_deterministic_and_shaped(spark, sf_dir):
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
 
 
+def test_cosine_nn_blocked_matches_broadcast(spark, sf_dir):
+    """The >100k-vector block-decomposed plan must produce exactly the
+    broadcast-regime result — forced here with 4 blocks at small sf."""
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.operators.pipeline import (
+        _cosine_nn_blocked,
+        _cosine_nn_broadcast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    got = {
+        r["vec_id"]: (r["nn_id"], r["cos_sim"])
+        for r in _cosine_nn_blocked(spark, emb, n_blocks=4).collect()
+    }
+    want = {
+        r["vec_id"]: (r["nn_id"], r["cos_sim"])
+        for r in _cosine_nn_broadcast(spark, emb).collect()
+    }
+    assert got == want
+
+
 def test_mm_ingest_sha_matches_exact_dedup_grouping(spark, sf_dir):
     """Same content ⇒ same payload hash: sha-group count == md5-group count."""
     ingest = QUERIES["mm_ingest"](spark, sf_dir)
