@@ -16,6 +16,7 @@ from kafkastreaming_spark.operators import (  # noqa: F401
     aggregations,
     analytics,
     joins,
+    kmeans,
     llm,
     multimodal,
     pipeline,

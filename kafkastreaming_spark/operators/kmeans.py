@@ -1,0 +1,124 @@
+"""Distributed Lloyd k-means over the embeddings table — the real IVF
+training step behind ``llm_ann_ivf``'s centroid table (SURVEY.md §2.11;
+round-1 verdict item 7: replace the first-16-vectors stand-in with an
+actual trained index).
+
+Spark shape (the MLlib/treeAggregate pattern, spelled with the public
+DataFrame API):
+
+* each iteration is ONE ``mapInPandas`` pass: per Arrow batch, a BLAS
+  matmul scores every vector against the broadcast K×64 centroid matrix
+  (K=16 — bounded driver/executor metadata, like a broadcast dim table),
+  argmin assigns, and the batch emits per-cluster PARTIAL sums — K×65
+  rows per batch, the map-side combine that keeps shuffle volume
+  independent of corpus size;
+* the driver folds the partials into new centroids.  Partials are summed
+  in sorted (cid, dim, part_id) order so float accumulation order — and
+  therefore the trained index — is bit-deterministic run to run.
+
+Iterative refinement is not SQL-expressible, so ``llm_ivf_train`` is a
+rows-only key; pytest pins run-to-run determinism and the monotone
+inertia decrease that defines Lloyd's algorithm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.registry import query
+
+_K = 16
+_ITERS = 5
+
+
+def kmeans_fit(
+    spark: SparkSession, emb: DataFrame, k: int = _K, iters: int = _ITERS
+) -> tuple[np.ndarray, np.ndarray, list[float]]:
+    """Lloyd's algorithm; returns (centroids k×d, member counts, per-iter
+    inertia).  Deterministic: init = first k vectors by vec_id, argmin
+    ties → lowest cid, partial sums folded in sorted order."""
+    init = (
+        emb.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cent = np.array([r["embedding"] for r in init], dtype=np.float64)
+    d = cent.shape[1]
+    counts = np.zeros(k, dtype=np.int64)
+    inertia: list[float] = []
+
+    schema = "cid int, dim int, s double, cnt long, part long"
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches, _b=bc):
+            from pyspark import TaskContext
+
+            c = _b.value
+            c_sq = (c * c).sum(axis=1)
+            pi = TaskContext.get().partitionId()
+            for pdf in batches:
+                a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                # ||a-c||² = ||a||² - 2a·c + ||c||²; ||a||² constant per row
+                d2 = c_sq[None, :] - 2.0 * (a @ c.T)
+                cid = d2.argmin(axis=1)  # first min = lowest cid on ties
+                err = (d2[np.arange(len(cid)), cid] + (a * a).sum(axis=1)).sum()
+                rows = []
+                for ci in np.unique(cid):
+                    sel = a[cid == ci]
+                    for di in range(sel.shape[1]):
+                        rows.append((int(ci), di, float(sel[:, di].sum()), len(sel), pi))
+                rows.append((-1, 0, float(err), len(a), pi))  # inertia partial
+                yield pd.DataFrame(rows, columns=["cid", "dim", "s", "cnt", "part"])
+
+        got = emb.select("embedding").mapInPandas(partials, schema).collect()
+        # fixed fold order ⇒ deterministic float accumulation
+        got.sort(key=lambda r: (r["cid"], r["dim"], r["part"]))
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        err_total = 0.0
+        for r in got:
+            if r["cid"] < 0:
+                err_total += r["s"]
+            else:
+                sums[r["cid"], r["dim"]] += r["s"]
+                if r["dim"] == 0:
+                    counts[r["cid"]] += r["cnt"]
+        inertia.append(err_total)
+        nonempty = counts > 0
+        cent = np.where(
+            nonempty[:, None], sums / np.maximum(counts, 1)[:, None], cent
+        )
+        bc.destroy()
+    return cent, counts, inertia
+
+
+@query("llm_ivf_train")
+def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: K=16 Lloyd iterations over
+    ``embeddings`` (rows-only: iterative, not SQL-expressible).
+
+    Output is driver-hashable scalars only: cluster id, member count,
+    centroid L2 norm and the centroid itself as a canonical 6dp CSV —
+    the trained replacement for ``llm_ann_ivf``'s first-16 stand-in
+    (wired together in tests/test_pipeline.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent, counts, _ = kmeans_fit(spark, emb)
+    rows = [
+        (
+            int(ci),
+            int(counts[ci]),
+            float(np.round(np.sqrt((cent[ci] * cent[ci]).sum()), 6)),
+            ",".join(f"{v:.6f}" for v in cent[ci]),
+        )
+        for ci in range(cent.shape[0])
+    ]
+    return spark.createDataFrame(
+        rows, "cid int, n_members long, c_norm double, centroid_csv string"
+    )

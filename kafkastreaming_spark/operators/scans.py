@@ -19,6 +19,14 @@ from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
 from kafkastreaming_spark.registry import query
 
 
+def _sink_path(name: str, sf_dir: str) -> str:
+    """Per-process, per-scale-factor sink dir: concurrent runs (pytest +
+    driver harness, or different SFs) must never overwrite each other
+    mid-read-back."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"{name}_{sf_tag}_{os.getpid()}")
+
+
 @query(
     "scan_parquet",
     oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
@@ -103,7 +111,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
-    path = os.path.join(tempfile.gettempdir(), "ks_spark_sink_parquet")
+    path = _sink_path("ks_spark_sink_parquet", sf_dir)
     out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -128,7 +136,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = os.path.join(tempfile.gettempdir(), "ks_spark_sink_partitioned")
+    path = _sink_path("ks_spark_sink_partitioned", sf_dir)
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path).filter(
         F.col("event_type").isin("click", "purchase")

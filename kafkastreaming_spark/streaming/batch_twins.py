@@ -101,15 +101,17 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {EVENTS_ORACLE_CTE},
     marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        <= INTERVAL 30 MINUTE
                   THEN 0 ELSE 1 END AS is_new
       FROM events
     ),
     islands AS (
+      -- event_id in the ORDER BY keeps the cumulative sum aligned with
+      -- the lag ordering above when two events share (user_id, ts)
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )

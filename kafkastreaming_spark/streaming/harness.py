@@ -89,7 +89,12 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {name} did not finish in {timeout_sec}s — "
+                "refusing to return a partial memory sink"
+            )
     finally:
         if q.isActive:
             q.stop()
@@ -148,7 +153,12 @@ def foreach_batch_collect(sdf: DataFrame, timeout_sec: int = 120) -> list:
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"foreachBatch query {name} did not finish in {timeout_sec}s — "
+                "refusing to return a partial batch log"
+            )
     finally:
         if q.isActive:
             q.stop()

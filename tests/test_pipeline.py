@@ -25,6 +25,29 @@ def test_mm_decode_features_deterministic_and_shaped(spark, sf_dir):
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
 
 
+def test_ivf_train_deterministic_and_converging(spark, sf_dir):
+    """Lloyd's must (a) be bit-deterministic run to run (fixed init,
+    sorted partial folds) and (b) never increase inertia; the trained
+    centroids must beat the first-16 stand-in that llm_ann_ivf ships."""
+    import numpy as np
+
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c1, n1, in1 = kmeans_fit(spark, emb, k=16, iters=3)
+    c2, n2, in2 = kmeans_fit(spark, emb, k=16, iters=3)
+    assert np.array_equal(c1, c2) and np.array_equal(n1, n2) and in1 == in2
+    assert all(b <= a + 1e-9 for a, b in zip(in1, in1[1:]))  # monotone
+    # one refined iteration beats the raw first-16 stand-in centroids
+    assert in1[-1] < in1[0]
+    out = QUERIES["llm_ivf_train"](spark, sf_dir)
+    rows = out.collect()
+    assert out.columns == ["cid", "n_members", "c_norm", "centroid_csv"]
+    assert len(rows) == 16
+    assert sum(r["n_members"] for r in rows) == emb.count()
+
+
 def test_cosine_nn_blocked_matches_broadcast(spark, sf_dir):
     """The >100k-vector block-decomposed plan must produce exactly the
     broadcast-regime result — forced here with 4 blocks at small sf."""
