@@ -85,25 +85,22 @@ def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with band collisions, not n²; skewed bands fall to AQE's
     skew-join split."""
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.expr(_H_SPARK.format(x="term")))
+    # Per-OCCURRENCE ±1 sums equal per-term ±tf sums, so no (doc_id, term)
+    # tf pre-aggregation shuffle is needed — one explode, one groupBy.
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).select(
+        "doc_id", F.expr(_H_SPARK.format(x="term")).alias("h")
     )
     # 60 conditional sums in ONE aggregation pass — no 60× row fanout
-    # (the oracle keeps the fanout spelling; identical integer math).
+    # (the oracle keeps the tf-weighted fanout spelling; identical math).
     bit_aggs = [
-        F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1 = 1"), F.col("tf")).otherwise(-F.col("tf"))
-        ).alias(f"c{b}")
+        F.sum(F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)).alias(f"c{b}")
         for b in range(60)
     ]
     assemble = " + ".join(
         f"CASE WHEN c{b} > 0 THEN {1 << b}L ELSE 0L END" for b in range(60)
     )
     sig = (
-        tf.groupBy("doc_id")
+        occ.groupBy("doc_id")
         .agg(*bit_aggs)
         .select("doc_id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash"))
         # both band-join sides share this subtree; materialize it once
@@ -160,13 +157,18 @@ def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_ngram_jaccard",
-    oracle=f"""
-    WITH grams AS (
-      SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(text) - 2),
-                                          i -> {_H_DUCK.format(x='substr(text, i, 3)')}))
-               AS g
+    oracle="""
+    WITH codes AS (
+      SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)) AS c
       FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(c) - 2),
+               i -> ((CAST(c[i] AS BIGINT) * 131 + c[i+1]) % 2147483647 * 131
+                     + c[i+2]) % 2147483647))
+               AS g
+      FROM codes
     ),
     q AS (SELECT doc_id AS query_id, g AS qg FROM grams WHERE doc_id < 10),
     scored AS (
@@ -190,21 +192,36 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak.
 
     Query side broadcast → one corpus scan; the set math is exact small-
-    integer division.  Grams are pre-hashed to 60-bit ints with the
-    portable hash — ``array_intersect`` over longs is ~4× the throughput
-    of string sets, and both engines hash identically so equality is
-    preserved (collisions: ~n²/2⁶¹ per doc, nil).  The all-pairs variant
-    at 100 TB goes through ``llm_minhash_lsh`` banding, not a cross join."""
+    integer division.  Grams are pre-hashed to ints with the polynomial
+    char-code hash mod 2^31-1 (identical integer math in both engines;
+    ~300 grams/doc from a 2^31 space ⇒ collision-free in practice) —
+    a handful of codegen-cheap int ops per gram where the previous
+    md5+hex-parse per gram was the dominant cost of the whole query.
+    ``array_intersect`` over ints beats string sets ~4×.  The all-pairs
+    variant at 100 TB goes through ``llm_minhash_lsh`` banding, not a
+    cross join."""
     docs = load_table(spark, sf_dir, "documents")
-    gram_hash = _H_SPARK.format(x="substr(text, i, 3)")
-    grams = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(f"transform(sequence(1, length(text) - 2), i -> {gram_hash})")
-        ).alias("g"),
-    ).cache()  # used as both join sides; hash the grams once
-    grams.count()
-    q = grams.filter(F.col("doc_id") < 10).select(
+    poly3 = (
+        "((CAST(c[i-1] AS BIGINT) * 131 + c[i]) % 2147483647 * 131"
+        " + c[i+1]) % 2147483647"
+    )
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.expr("transform(split(text, ''), ch -> ascii(ch))").alias("c")
+        ).select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, size(c) - 2), i -> {poly3})")
+            ).alias("g"),
+        )
+
+    # The query side is 10 docs: re-derive it from a pushed-down filter
+    # instead of caching the shared gram subtree — the corpus side is then
+    # computed exactly once, streaming through the broadcast join, and no
+    # cache materialization pass is paid (or leaked across invocations).
+    grams = grams_of(docs)
+    q = grams_of(docs.filter(F.col("doc_id") < 10)).select(
         F.col("doc_id").alias("query_id"), F.col("g").alias("qg")
     )
     inter = F.size(F.array_intersect("qg", "g"))
