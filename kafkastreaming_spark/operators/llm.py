@@ -250,6 +250,62 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_embed_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT vec_id, ve,
+             list_aggregate(ve, 'min') AS mn,
+             list_aggregate(ve, 'max') AS mx
+      FROM e
+    )
+    SELECT vec_id,
+           ROUND(mn, 6) AS qmin,
+           ROUND(mx, 6) AS qmax,
+           array_to_string(
+             list_transform(ve, x -> CAST(
+               CASE WHEN mx = mn THEN 0
+                    ELSE floor((x - mn) * 255 / (mx - mn)) END AS INTEGER)),
+             ',') AS codes_csv
+    FROM stats
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-range quantization (min/max affine, 256 levels) —
+    the storage-compression step of a vector lake: 64 float32 → 64 bytes
+    + two scalars, a 4× footprint cut before any index is built.
+
+    Map-side only (no shuffle, no UDF): min/max + the affine transform
+    are array expressions per row.  Cross-engine exactness: both engines
+    evaluate the identical IEEE-754 expression tree on identical doubles,
+    so the floored codes match bit for bit; the degenerate constant
+    vector maps to code 0 to avoid NaN.  Codes emit as a canonical CSV
+    (driver-hashable; arrays are not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"),
+    ).select(
+        "vec_id", "ve", F.array_min("ve").alias("mn"), F.array_max("ve").alias("mx")
+    )
+    return stats.select(
+        "vec_id",
+        F.round("mn", 6).alias("qmin"),
+        F.round("mx", 6).alias("qmax"),
+        F.array_join(
+            F.expr(
+                "transform(ve, x -> CAST(CASE WHEN mx = mn THEN 0"
+                " ELSE floor((x - mn) * 255 / (mx - mn)) END AS INT))"
+            ),
+            ",",
+        ).alias("codes_csv"),
+    )
+
+
+@query(
     "llm_topk_similar",
     oracle="""
     WITH e AS (

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE
+from kafkastreaming_spark.functions.numeric import dsum, oracle_dsum
 from kafkastreaming_spark.registry import query
 from kafkastreaming_spark.streaming.harness import (
     console_sink,
@@ -70,6 +72,60 @@ def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(b), int(n)) for b, n in batches], "batch_id long, n_rows long"
     )
+
+
+@query(
+    "sink_exactly_once",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value', 'sum_value')}
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file sink via foreachBatch + idempotent per-batch
+    overwrite — the standard recipe when the target (object store, JDBC
+    without XA, …) offers no transactional streaming commit.
+
+    Each micro-batch writes to ``batch=<batchId>/`` with mode=overwrite:
+    a retried batch (same batchId after failure/restart) REPLACES its own
+    previous partial output instead of appending duplicates, which is
+    what upgrades at-least-once delivery to exactly-once file contents.
+    The key is hash-checked: the read-back of every batch directory must
+    aggregate to exactly the batch-table answer — any dropped or doubled
+    batch breaks the oracle."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="e1")
+    out = os.path.join(tempfile.gettempdir(), f"ks_e1_{uuid.uuid4().hex[:12]}")
+    ckpt = out + "_ckpt"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("exactly-once sink did not finish in 120s")
+    finally:
+        if q.isActive:
+            q.stop()
+    back = spark.read.parquet(out).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+    result = back.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 @query("stream_watermark")

@@ -25,6 +25,43 @@ def test_mm_decode_features_deterministic_and_shaped(spark, sf_dir):
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
 
 
+def test_winnow_guarantee_and_density(spark, sf_dir):
+    """Winnowing's defining property: docs sharing a substring of length
+    ≥ w+4 (=12) share at least one selected gram hash; and selections are
+    a strict subset of grams (~2/(w+1) density)."""
+    out = QUERIES["llm_winnow"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # identical docs (exact dups exist in the corpus) ⇒ identical hash sets
+    dup = (
+        QUERIES["llm_exact_dedup"](spark, sf_dir)
+        .filter(F.col("n_copies") >= 2)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        keep = dup[0]["keep_doc_id"]
+        twin_ids = [
+            r["doc_id"]
+            for r in docs.join(
+                docs.filter(F.col("doc_id") == keep).select(
+                    F.col("text").alias("t2")
+                ),
+                F.col("text") == F.col("t2"),
+            )
+            .select("doc_id")
+            .collect()
+        ]
+        sets = {
+            i: {(r["gram_hash"], r["pos"]) for r in out.filter(F.col("doc_id") == i).collect()}
+            for i in twin_ids[:2]
+        }
+        a, b = list(sets.values())
+        assert a == b and len(a) > 0
+    n_sel = out.count()
+    n_grams = docs.select(F.sum(F.length("text") - 4)).collect()[0][0]
+    assert 0 < n_sel < n_grams / 2  # far denser cut than every-gram
+
+
 def test_ivf_train_deterministic_and_converging(spark, sf_dir):
     """Lloyd's must (a) be bit-deterministic run to run (fixed init,
     sorted partial folds) and (b) never increase inertia; the trained

@@ -41,6 +41,30 @@ def test_sink_memory_complete_equals_batch(spark, sf_dir):
         assert out[et]["n_events"] == row["n_events"]
 
 
+def test_sink_exactly_once_idempotent_retry(spark, sf_dir):
+    """The exactly-once recipe's core claim: re-writing the SAME batch id
+    (a retry after failure) replaces its output instead of appending —
+    read-back row count is unchanged after a double write."""
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    out = os.path.join(tempfile.gettempdir(), f"ks_e1_test_{os.getpid()}")
+    for _ in range(2):  # initial write + simulated retry of batch 0
+        ev.write.mode("overwrite").parquet(os.path.join(out, "batch=0"))
+    assert spark.read.parquet(out).count() == 100
+    # and the full streaming key aggregates to the batch answer
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in QUERIES["sink_exactly_once"](spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_sink_console_foreachbatch_multi_batch(spark, sf_dir):
     batches = QUERIES["sink_console"](spark, sf_dir).collect()
     assert len(batches) >= 2, "replay must produce multiple micro-batches"
