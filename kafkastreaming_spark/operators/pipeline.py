@@ -617,6 +617,39 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS clean_text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_clean
+    FROM documents
+    """,
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleaning — the first stage of every training-data
+    pipeline: lowercase, non-alphanumerics → space, whitespace collapse,
+    trim.  Pure per-row JVM expressions (zero shuffle, zero Python); the
+    character classes are shared RE2/Java regex syntax so both engines
+    transform identically.  At 100 TB this is a map-only pass that
+    pipelines into whatever consumes it."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(clean).cast("long").alias("n_clean"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis: language-ID, quality score, BPE-ish token count,
 # rolling-hash fingerprint

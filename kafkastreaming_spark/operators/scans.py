@@ -117,6 +117,63 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_bucketed",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: write orders and customer bucketed
+    8 ways on the join key (``bucketBy`` + ``sortBy``), then join the two
+    bucketed tables with a merge hint — Spark aligns bucket files
+    one-to-one and the join runs with NO Exchange on either side
+    (plan-asserted in tests/test_plans.py: no ``hashpartitioning`` on
+    either join key).
+
+    This is the 100 TB fact-fact join strategy: pay the shuffle ONCE at
+    write time, then every subsequent join/aggregation on the bucket key
+    is shuffle-free.  The same layout serves `repartition`-style
+    co-location for any downstream consumer of the table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_ord, t_cust = f"bkt_orders_{sf_tag}_{os.getpid()}", f"bkt_cust_{sf_tag}_{os.getpid()}"
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(t_ord)
+    )
+    (
+        customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(t_cust)
+    )
+    bo, bc = spark.table(t_ord), spark.table(t_cust)
+    return (
+        bo.hint("merge")
+        .join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(24,8)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@query(
     "sink_partitioned",
     oracle=f"""
     WITH {EVENTS_ORACLE_CTE}

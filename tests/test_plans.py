@@ -94,6 +94,17 @@ def test_ann_ivf_probe_join_is_hash(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 4
 
 
+def test_bucketed_join_has_no_shuffle_on_join_keys(spark, sf_dir):
+    """Bucketed co-located join: the whole point is that neither side is
+    re-shuffled — pay the partitioning once at write time, join free
+    forever after."""
+    plan = _plan(spark, sf_dir, "sink_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+    assert "Bucketed: true" in plan
+
+
 def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sink_partitioned")
     assert "PartitionFilters: [" in plan
