@@ -308,3 +308,50 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("right_ts") > F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 5 MINUTES")),
     ).select("left_id", "right_id", "user_id", "left_ts", "right_ts", "right_type")
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    dim AS (SELECT DISTINCT event_type, length(event_type) AS w FROM events)
+    SELECT e.event_id, e.event_type, e.value, e.value * d.w AS weighted
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join over a pathologically hot key — events.event_type has 5
+    values, so an unsalted shuffle join lands ~20% of the fact table on
+    single reducers.  Salting: the fact side derives salt = pmod(event_id,
+    8), the dimension side replicates each row for all 8 salts, and the
+    join key becomes (event_type, salt) — every hot key spreads over 8
+    reducers, deterministically (plan-asserted: the exchange partitions on
+    BOTH columns).
+
+    This is the manual, layout-stable alternative to AQE's skew-join
+    split, and the only option when BOTH sides are too big to broadcast
+    and the skew is known ahead of time (AQE splits only what it observes
+    at runtime).  The salt never escapes: the output and oracle are the
+    plain join's."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.pmod("event_id", F.lit(8)).cast("int").alias("salt"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("w", F.length("event_type"))
+        .select("event_type", "w", F.explode(F.expr("sequence(0, 7)")).alias("salt"))
+    )
+    return (
+        ev.join(dim.hint("merge"), ["event_type", "salt"])
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("value") * F.col("w")).alias("weighted"),
+        )
+    )

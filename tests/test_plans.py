@@ -94,6 +94,16 @@ def test_ann_ivf_probe_join_is_hash(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 4
 
 
+def test_salted_join_partitions_on_both_keys(spark, sf_dir):
+    """The salt must reach the exchange: partitioning on (event_type,
+    salt) is what spreads each hot key over 8 reducers."""
+    plan = _plan(spark, sf_dir, "join_skew_salted")
+    import re
+
+    m = re.search(r"hashpartitioning\(event_type[^)]*", plan)
+    assert m and "salt" in m.group(0)
+
+
 def test_bucketed_join_has_no_shuffle_on_join_keys(spark, sf_dir):
     """Bucketed co-located join: the whole point is that neither side is
     re-shuffled — pay the partitioning once at write time, join free
