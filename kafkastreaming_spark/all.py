@@ -24,6 +24,7 @@ from kafkastreaming_spark.operators import (  # noqa: F401
     relational_ext,
     scans,
     timeseries,
+    tpch,
     udfs,
     windows,
     setops,

@@ -94,6 +94,28 @@ def test_ann_ivf_probe_join_is_hash(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 4
 
 
+def test_tpch_q3_broadcasts_and_takes_ordered(spark, sf_dir):
+    """Q3's plan must broadcast the customer dim and resolve the top-10
+    via TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, sf_dir, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan  # shipdate/orderdate reach the scans
+
+
+def test_tpch_q18_aggregates_before_joining(spark, sf_dir):
+    """The HAVING pre-aggregation must shrink lineitem BEFORE the orders
+    join — at 100 TB, join-then-aggregate shuffles the whole fact table
+    for rows the filter then discards."""
+    plan = _plan(spark, sf_dir, "tpch_q18")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+    assert join_pos == -1 or agg_pos < join_pos
+
+
 def test_salted_join_partitions_on_both_keys(spark, sf_dir):
     """The salt must reach the exchange: partitioning on (event_type,
     salt) is what spreads each hot key over 8 reducers."""
