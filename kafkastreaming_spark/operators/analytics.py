@@ -14,7 +14,7 @@ streaming twin is ``applyInPandasWithState`` with exactly that state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
@@ -119,4 +119,109 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("active_day"), F.col("cohort_day")).alias("day_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "events_pathing",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_pathing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: for each user's event sequence
+    (ordered by ts with event_id as the deterministic tie-break), count
+    every consecutive event_type -> event_type transition corpus-wide.
+
+    The Markov-chain view of a clickstream — what product analytics
+    calls "pathing".  One shuffle to co-locate each user's history for
+    the lag window, then a partial+final count on the tiny (|types|^2)
+    transition key.  At 100 TB the window state per user is one row;
+    the streaming twin is applyInPandasWithState keeping last_type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
+    "events_anomaly",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    cents AS (
+      SELECT event_id, event_type, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(vc) AS s1,
+             SUM(vc * vc) AS s2
+      FROM cents GROUP BY event_type
+    ),
+    scored AS (
+      SELECT c.event_id, c.event_type, c.value,
+             ROUND(
+               (CAST(c.vc AS DOUBLE)
+                - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+               / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                      - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                        * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))),
+               6) AS z_score
+      FROM cents c JOIN stats s USING (event_type)
+    )
+    SELECT event_id, event_type, value, z_score
+    FROM scored WHERE abs(z_score) > 2.5
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outliers: events whose value sits more than
+    2.5 sigma from their event_type's mean.
+
+    Cross-engine determinism: double summation is order-dependent, so
+    mean/variance are built from EXACT integer sums of cent-quantized
+    values (2dp inputs; sums are bigint), then the identical IEEE-754
+    expression tree ((vc - s1/n) / sqrt(s2/n - (s1/n)^2), all-double)
+    runs on identical inputs in both engines — bit-identical before the
+    6dp round.  One aggregation on the 5-row type key, broadcast back
+    onto the scan: a single fact-table pass at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("vc"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    ex2 = F.col("s2").cast("double") / F.col("n").cast("double")
+    z = F.round(
+        (F.col("vc").cast("double") - mean) / F.sqrt(ex2 - mean * mean), 6
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id", "event_type", "value", z.alias("z_score")
+        )
+        .filter(F.abs(F.col("z_score")) > 2.5)
     )

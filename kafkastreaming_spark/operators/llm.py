@@ -469,3 +469,57 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_dim"
         ),
     )
+
+
+@query(
+    "llm_embed_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             unnest(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS q
+      FROM embeddings
+    )
+    SELECT label, pos,
+           COUNT(*) AS n_vecs,
+           ROUND((CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 / 1000000.0, 6) AS centroid
+    FROM ex GROUP BY label, pos
+    """,
+)
+def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids), one row per
+    (label, dimension) — the building block of nearest-centroid
+    classification and the exact-SQL twin of the k-means assignment
+    step (`llm_ivf_train` is the iterative version).
+
+    Cross-engine determinism: per-dimension float sums are order-
+    dependent, so each component is quantized to an exact micro-unit
+    BIGINT first (1e-6 grid, well inside float32's ~1e-7 resolution at
+    |x|<1); the integer sums are associative, and the final divide
+    runs the identical IEEE double expression in both engines.
+
+    Scale: posexplode fans 64x but every row is 3 scalars; the shuffle
+    key (label, pos) has |labels|*64 values with uniform load — the
+    partial aggregate collapses each map partition to that many rows
+    before the exchange, so network volume is O(labels * dims *
+    partitions), independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("pos", "q"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            (F.sum("q").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(1000000.0),
+            6,
+        ).alias("centroid"),
+    )

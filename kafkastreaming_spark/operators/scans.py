@@ -200,3 +200,39 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # partition column comes back last and typed string; restore order
     return back.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "source_jsonl",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+             AS text_hash_xor
+    FROM documents GROUP BY lang, source
+    """,
+)
+def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: write the documents table as JSONL, read it
+    back with an EXPLICIT schema, and prove byte-exact text fidelity
+    with a per-group xor of the portable 60-bit md5 hash (xor, not sum —
+    order-independent AND overflow-free; the oracle computes the same
+    digest from the original parquet, so any JSON escaping loss breaks
+    the hash).
+
+    The reference's wire format is JSON-on-Kafka; this is the batch
+    twin of that deserializer.  Explicit schema matters at scale: schema
+    inference is a full extra pass over 100 TB, and a drifting inferred
+    type (long -> double) silently corrupts downstream arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _sink_path("ks_spark_source_jsonl", sf_dir)
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr(
+            "bit_xor(CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("text_hash_xor"),
+    )

@@ -96,3 +96,112 @@ def scan_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.expr(_SAMPLE_HASH_SPARK) < 10).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "ts_gapfill",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS vc
+      FROM events GROUP BY event_type, h
+    ),
+    bounds AS (
+      SELECT MIN(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS h0,
+             MAX(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds) g
+    ),
+    filled AS (
+      SELECT grid.event_type, grid.h,
+             COALESCE(hourly.n, 0) AS n_events,
+             CASE WHEN hourly.n > 0 THEN
+               ROUND((CAST(hourly.vc AS DOUBLE) / 100.0)
+                     / CAST(hourly.n AS DOUBLE), 6)
+             END AS avg_value
+      FROM grid LEFT JOIN hourly
+        ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+    ),
+    grouped AS (
+      SELECT *, COUNT(avg_value) OVER (
+               PARTITION BY event_type ORDER BY h) AS grp
+      FROM filled
+    )
+    SELECT event_type, h, n_events,
+           COALESCE(avg_value,
+                    MAX(avg_value) OVER (PARTITION BY event_type, grp))
+             AS avg_value_locf
+    FROM grouped
+    """,
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a dense hourly grid with zero-filled counts and
+    last-observation-carried-forward averages — the timescale-style
+    `time_bucket_gapfill(...) + locf(...)` query.
+
+    The grid is (distinct event_type) x sequence(min_hour, max_hour) —
+    both tiny — left-joined onto the hourly aggregate, so the fact table
+    is scanned once and the gap machinery never touches raw rows.  LOCF
+    uses the engine-portable two-window trick (cumulative COUNT of the
+    non-null column partitions each gap with its predecessor; MAX over
+    that partition carries the value) instead of IGNORE NULLS, which
+    DuckDB 1.0 windows lack.  Averages come from exact cent-integer
+    sums so the carried doubles are bit-identical across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = (
+        ev.groupBy(F.col("event_type"), hour.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("vc"),
+        )
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    filled = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.when(
+                F.col("n") > 0,
+                F.round(
+                    (F.col("vc").cast("double") / F.lit(100.0))
+                    / F.col("n").cast("double"),
+                    6,
+                ),
+            ).alias("avg_value"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = filled.withColumn("grp", F.count("avg_value").over(w_cum))
+    w_grp = Window.partitionBy("event_type", "grp")
+    return grouped.select(
+        "event_type",
+        "h",
+        "n_events",
+        F.coalesce(F.col("avg_value"), F.max("avg_value").over(w_grp)).alias(
+            "avg_value_locf"
+        ),
+    )

@@ -15,11 +15,102 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkastreaming_spark.functions.numeric import dsum, oracle_dsum
+from kafkastreaming_spark.functions.numeric import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
 from kafkastreaming_spark.io import load_table
 from kafkastreaming_spark.registry import query
 
 _REV = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity', 'sum_qty')},
+           {oracle_dsum('l_extendedprice', 'sum_base_price')},
+           {oracle_dsum(_REV, 'sum_disc_price')},
+           {oracle_dsum(_REV + ' * (1 + l_tax)', 'sum_charge')},
+           {oracle_davg('l_quantity', 'avg_qty')},
+           {oracle_davg('l_extendedprice', 'avg_price')},
+           {oracle_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary: per (returnflag, linestatus), the full battery
+    of quantity/price/discount/charge sums and averages at the shipdate
+    cutoff.  Single-table, one shuffle on a 6-value grouping key — the
+    canonical two-phase partial+final HashAggregate; the shipdate
+    predicate reaches the parquet scan.  All money math goes through the
+    §5.4 decimal discipline (3-way products are ≤6-decimal exact)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-02"
+    )
+    disc_price = F.expr(_REV)
+    charge = F.expr(f"{_REV} * (1 + l_tax)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, {oracle_dsum(_REV, 'revenue')},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: top-20 customers by lost revenue on
+    returned ('R') items in 1996Q4.  The returnflag and orderdate
+    predicates push into the two fact scans; customer and nation
+    broadcast; the limit resolves via TakeOrderedAndProject with
+    c_custkey as the deterministic tie-break."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.expr(_REV), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
 
 
 @query(

@@ -141,3 +141,36 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sink_partitioned")
     assert "PartitionFilters: [" in plan
     assert "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_tpch_q10_broadcasts_and_takes_ordered(spark, sf_dir):
+    """Q10: both dims broadcast, top-20 via TakeOrderedAndProject, and
+    the returnflag predicate pushed into the lineitem scan."""
+    plan = _plan(spark, sf_dir, "tpch_q10")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_events_anomaly_stats_join_broadcasts(spark, sf_dir):
+    """The 5-row per-type stats must broadcast back onto the fact scan —
+    a sort-merge join here would shuffle the whole events table twice."""
+    plan = _plan(spark, sf_dir, "events_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ts_gapfill_grid_joins_on_the_aggregate(spark, sf_dir):
+    """Gap-fill must left-join the tiny generated grid onto the HOURLY
+    AGGREGATE, never onto raw events: exactly one scan of the fact
+    table feeds the hourly HashAggregate, and the raw-row side of every
+    join is pre-aggregated."""
+    plan = _plan(spark, sf_dir, "ts_gapfill")
+    assert "HashAggregate" in plan
+    # the grid-to-hourly join is an equi-join (broadcast or SMJ), never
+    # an unpartitioned cartesian scan of raw rows; the only nested-loop
+    # join allowed is the 1-row bounds crossJoin building the grid
+    assert "CartesianProduct" not in plan
+    # formatted mode lists each operator in the tree AND the detail
+    # section, so the single bounds crossJoin shows up twice
+    assert plan.count("BroadcastNestedLoopJoin (") <= 1
