@@ -236,3 +236,88 @@ def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT))"
         ).alias("text_hash_xor"),
     )
+
+
+@query(
+    "scan_union_schema",
+    oracle="""
+    WITH merged AS (
+      SELECT l_orderkey, l_quantity, CAST(NULL AS DOUBLE) AS l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, CAST(NULL AS DOUBLE), l_extendedprice FROM lineitem
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_qty,
+           COUNT(l_extendedprice) AS n_price,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(24,8))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,8))), 2)
+                AS DOUBLE) AS sum_price,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM merged
+    """,
+)
+def scan_union_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet directories written with
+    DIFFERENT column subsets (the before/after of an added column) read
+    back in one scan with ``mergeSchema`` — missing columns surface as
+    NULLs, never as errors or silent drops.
+
+    This is the lakehouse reality at 100 TB: a table's schema drifts
+    over years of writers, and the reader must reconcile footers
+    per-file.  mergeSchema costs a footer pass over every file, so
+    production tables pin the merged schema in a catalog instead —
+    but the READ semantics verified here are identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = _sink_path("ks_spark_scan_union_schema", sf_dir)
+    a_path, b_path = f"{base}/v1", f"{base}/v2"
+    li.select("l_orderkey", "l_quantity").write.mode("overwrite").parquet(a_path)
+    li.select("l_orderkey", "l_extendedprice").write.mode("overwrite").parquet(
+        b_path
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(a_path, b_path)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.count("l_extendedprice").alias("n_price"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(24,8)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,8)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "source_csv",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+             AS text_hash_xor
+    FROM documents GROUP BY lang
+    """,
+)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source roundtrip with explicit schema + header: free text
+    survives quoting/escaping byte-exactly (xor-of-hash fidelity check
+    against the original parquet, same scheme as source_jsonl).
+
+    CSV is the interchange format every pipeline still ingests; the
+    scale rule is the same as JSONL — explicit schema (no inference
+    pass), and quote/escape options pinned in code, not guessed."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _sink_path("ks_spark_source_csv", sf_dir)
+    docs.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(docs.schema).option("header", "true").csv(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr(
+            "bit_xor(CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("text_hash_xor"),
+    )

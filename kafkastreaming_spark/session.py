@@ -28,12 +28,33 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Exact ASCII semantics for upper/lower etc. independent of JVM locale.
     "spark.sql.ansi.enabled": "false",
+    # Performance subset — every one of these is a runtime-settable SQL
+    # conf, so an externally-owned session (the driver's) gets the same
+    # physical plans as get_session().  A vanilla session's 200 shuffle
+    # partitions schedule 6x the tasks per tiny local shuffle; AQE
+    # coalescing hides most but not all of it (iterative operators pay
+    # the scheduling floor every round).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
+
+# Lazily-resolved runtime confs (env-dependent; same values get_session uses).
+def _runtime_confs() -> dict[str, str]:
+    confs = dict(_RUNTIME_CONFS)
+    confs["spark.sql.shuffle.partitions"] = os.environ.get(
+        "SPARK_GRAFT_CPUS", "32"
+    )
+    confs["spark.sql.files.maxPartitionBytes"] = os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"
+    )
+    return confs
 
 
 def prepare(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-owned session (idempotent)."""
-    for k, v in _RUNTIME_CONFS.items():
+    for k, v in _runtime_confs().items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)

@@ -184,3 +184,42 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
     )
+
+
+@query(
+    "stream_upsert_compact",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts, event_type, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert compaction: collapse an append-only change stream to
+    the LATEST row per key (ts desc, event_id desc as the total
+    tie-break) — the batch twin of a changelog-to-table materialization
+    (Kafka compacted topic / Delta MERGE / Paimon changelog).
+
+    One shuffle on the key, then a per-partition sort emitting row 1 —
+    Spark plans the rank-then-filter as WindowGroupLimit, so each
+    partition keeps a single row per key instead of materializing the
+    full rank.  In streaming the same semantics run as
+    ``applyInPandasWithState`` keeping max-(ts, event_id) per key
+    (stream_stateful); at rest, this query IS the compaction job."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
