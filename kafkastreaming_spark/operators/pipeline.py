@@ -73,6 +73,54 @@ _SIMHASH_ORACLE = f"""
 _SIMHASH_BANDS = [9, 9, 9, 9, 8, 8, 8]
 
 
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) for every document — one explode, one groupBy
+    with 60 conditional sums (per-occurrence ±1 sums equal per-term ±tf
+    sums, so no (doc_id, term) pre-aggregation shuffle is needed).
+    Cached: every banded consumer joins this subtree to itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).select(
+        "doc_id", F.expr(_H_SPARK.format(x="term")).alias("h")
+    )
+    bit_aggs = [
+        F.sum(F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)).alias(f"c{b}")
+        for b in range(60)
+    ]
+    assemble = " + ".join(
+        f"CASE WHEN c{b} > 0 THEN {1 << b}L ELSE 0L END" for b in range(60)
+    )
+    sig = (
+        occ.groupBy("doc_id")
+        .agg(*bit_aggs)
+        .select("doc_id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash"))
+        .cache()
+    )
+    sig.count()
+    return sig
+
+
+def _band_layout():
+    """(band-values array expr over `simhash`, first-matching-band CASE
+    SQL over (sig_a, sig_b)) for the 7-band Hamming-≤6 layout; the CASE
+    dedupes multi-band collisions without a shuffle."""
+    offsets, off = [], 0
+    for w in _SIMHASH_BANDS:
+        offsets.append(off)
+        off += w
+    band_vals = F.array(
+        *[
+            F.expr(f"shiftright(simhash, {o}) & {(1 << w) - 1}")
+            for o, w in zip(offsets, _SIMHASH_BANDS)
+        ]
+    )
+    first_match = "CASE " + " ".join(
+        f"WHEN (shiftright(sig_a, {o}) & {(1 << w) - 1}) = "
+        f"(shiftright(sig_b, {o}) & {(1 << w) - 1}) THEN {i}"
+        for i, (o, w) in enumerate(zip(offsets, _SIMHASH_BANDS))
+    ) + " END"
+    return band_vals, first_match
+
+
 @query("llm_simhash_dedup", oracle=_SIMHASH_ORACLE)
 def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit tf-weighted signatures, pairs at Hamming
@@ -88,39 +136,8 @@ def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the all-pairs oracle.  At 100 TB candidate volume
     scales with band collisions, not n²; skewed bands fall to AQE's
     skew-join split."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Per-OCCURRENCE ±1 sums equal per-term ±tf sums, so no (doc_id, term)
-    # tf pre-aggregation shuffle is needed — one explode, one groupBy.
-    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).select(
-        "doc_id", F.expr(_H_SPARK.format(x="term")).alias("h")
-    )
-    # 60 conditional sums in ONE aggregation pass — no 60× row fanout
-    # (the oracle keeps the tf-weighted fanout spelling; identical math).
-    bit_aggs = [
-        F.sum(F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)).alias(f"c{b}")
-        for b in range(60)
-    ]
-    assemble = " + ".join(
-        f"CASE WHEN c{b} > 0 THEN {1 << b}L ELSE 0L END" for b in range(60)
-    )
-    sig = (
-        occ.groupBy("doc_id")
-        .agg(*bit_aggs)
-        .select("doc_id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash"))
-        # both band-join sides share this subtree; materialize it once
-        .cache()
-    )
-    sig.count()
-    offsets, off = [], 0
-    for w in _SIMHASH_BANDS:
-        offsets.append(off)
-        off += w
-    band_vals = F.array(
-        *[
-            F.expr(f"shiftright(simhash, {o}) & {(1 << w) - 1}")
-            for o, w in zip(offsets, _SIMHASH_BANDS)
-        ]
-    )
+    sig = _simhash_signatures(spark, sf_dir)
+    band_vals, first_match = _band_layout()
     banded = sig.select(
         "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
     )
@@ -136,14 +153,6 @@ def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "bval",
     )
-    # Multi-band collisions are deduped WITHOUT a shuffle: a pair is kept
-    # only in its first matching band (computable from the two signatures
-    # with pure bit math), so every true pair survives exactly once.
-    first_match = "CASE " + " ".join(
-        f"WHEN (shiftright(sig_a, {o}) & {(1 << w) - 1}) = "
-        f"(shiftright(sig_b, {o}) & {(1 << w) - 1}) THEN {i}"
-        for i, (o, w) in enumerate(zip(offsets, _SIMHASH_BANDS))
-    ) + " END"
     return (
         a.join(b, ["band", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -151,6 +160,59 @@ def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
         .filter(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
+    SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+           CAST(bit_count(xor(n.simhash, o.simhash)) AS BIGINT) AS hamming
+    FROM sig n JOIN sig o
+      ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    WHERE bit_count(xor(n.simhash, o.simhash)) <= 6
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dedup: find each INCOMING
+    document's near-duplicates in the STANDING corpus only — the shape
+    every continuously-ingesting training pipeline actually runs.
+    Here the corpus splits by doc_id parity (even = standing corpus,
+    odd = incoming batch) as the deterministic stand-in for a snapshot
+    boundary.
+
+    The directional banded join is the whole point: cost scales with
+    |batch| x collision-rate, NOT with |corpus|² — old-vs-old pairs are
+    never recomputed.  At 100 TB the standing corpus's (band, value)
+    table is a MATERIALIZED index (written once, bucketed on band
+    value); each incoming batch explodes to 7 keys per doc and probes
+    it with a shuffle-free bucketed join.  Same recall guarantee as
+    llm_simhash_dedup (pigeonhole over 7 bands), same first-matching-
+    band dedup, exact popcount filter."""
+    sig = _simhash_signatures(spark, sf_dir)
+    band_vals, first_match = _band_layout()
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    new = banded.filter(F.expr("doc_id % 2 = 1")).select(
+        F.col("doc_id").alias("doc_new"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "bval",
+    )
+    old = banded.filter(F.expr("doc_id % 2 = 0")).select(
+        F.col("doc_id").alias("doc_old"),
+        F.col("simhash").alias("sig_b"),
+        "band",
+        "bval",
+    )
+    return (
+        new.join(old, ["band", "bval"])
+        .filter(F.expr(f"band = {first_match}"))
+        .withColumn("hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_new", "doc_old", "hamming")
     )
 
 
@@ -213,23 +275,35 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark has no recursive SQL, so the loop is the idiomatic spelling;
     this key is hash-checked (labels are exact, iteration-order-free)."""
     pairs = llm_simhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    # The dup graph is orders of magnitude smaller than the corpus it
+    # came from — coalesce to a handful of partitions so each round's
+    # jobs don't pay 32-task scheduling overhead on kilobyte splits (at
+    # real scale, size this as edges/targetPartitionBytes instead).
     und = (
         pairs.selectExpr("doc_a AS u", "doc_b AS v")
         .union(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+        .coalesce(8)
         .localCheckpoint()
     )
     labels = (
         und.groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("label"))
+        .coalesce(8)
         .localCheckpoint()
     )
     for _ in range(12):
+        # Label map ≤ |dup-graph nodes| — broadcast it to keep rounds
+        # shuffle-free on the edge side.  (AQE would reach the same plan
+        # from the checkpointed stats; the hint removes the per-round
+        # re-planning gamble.  In the regime where labels outgrow the
+        # broadcast limit, drop the hints and the same loop runs as
+        # bucketed shuffle joins.)
         neigh = (
-            und.join(labels.withColumnRenamed("u", "v"), "v")
+            und.join(F.broadcast(labels.withColumnRenamed("u", "v")), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        hooked = labels.join(neigh, "u", "left").select(
+        hooked = labels.join(F.broadcast(neigh), "u", "left").select(
             "u",
             F.col("label").alias("prev"),
             F.least(F.col("label"), F.coalesce("nmin", "label")).alias("old"),
@@ -241,12 +315,13 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         final = F.least(F.col("old"), F.coalesce("plabel", "old"))
         compressed = (
-            hooked.join(parent, F.col("old") == F.col("label"), "left")
+            hooked.join(F.broadcast(parent), F.col("old") == F.col("label"), "left")
             .select(
                 "u",
                 final.alias("label"),
                 (F.col("prev") - final).alias("delta"),
             )
+            .coalesce(8)
             .localCheckpoint()
         )
         changed = compressed.agg(F.sum("delta")).first()[0]

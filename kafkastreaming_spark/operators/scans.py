@@ -243,9 +243,10 @@ def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH merged AS (
       SELECT l_orderkey, l_quantity, CAST(NULL AS DOUBLE) AS l_extendedprice
-      FROM lineitem
+      FROM lineitem WHERE l_orderkey % 4 = 0
       UNION ALL
-      SELECT l_orderkey, CAST(NULL AS DOUBLE), l_extendedprice FROM lineitem
+      SELECT l_orderkey, CAST(NULL AS DOUBLE), l_extendedprice
+      FROM lineitem WHERE l_orderkey % 4 = 0
     )
     SELECT COUNT(*) AS n_rows,
            COUNT(l_quantity) AS n_qty,
@@ -269,7 +270,9 @@ def scan_union_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file.  mergeSchema costs a footer pass over every file, so
     production tables pin the merged schema in a catalog instead —
     but the READ semantics verified here are identical."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_orderkey % 4 = 0")
+    )
     base = _sink_path("ks_spark_scan_union_schema", sf_dir)
     a_path, b_path = f"{base}/v1", f"{base}/v2"
     li.select("l_orderkey", "l_quantity").write.mode("overwrite").parquet(a_path)
