@@ -161,3 +161,44 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_element"),
         F.size(m).alias("map_size"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             struct_pack(d := o_orderdate, p := o_totalprice) AS os
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey,
+           os.d AS order_date,
+           os.p AS order_price,
+           CASE WHEN os.p > 200000 THEN 'big' ELSE 'small' END AS bucket
+    FROM s
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT round trip: pack columns into a nested struct, project
+    fields back out, and branch on a field — the nested-type surface
+    (parquet groups, JSON objects) beyond arrays/maps.  Struct columns
+    themselves are not driver-hashable, so the registered output is the
+    unpacked scalar projection; the struct exists mid-plan, and Catalyst
+    collapses the pack/unpack round trip to a no-op projection (zero
+    serialization cost — nested types are columnar all the way down in
+    both parquet and Tungsten)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderkey % 100 = 0")
+    )
+    s = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderdate").alias("d"), F.col("o_totalprice").alias("p")
+        ).alias("os"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("os.d").alias("order_date"),
+        F.col("os.p").alias("order_price"),
+        F.when(F.col("os.p") > 200000, "big").otherwise("small").alias("bucket"),
+    )

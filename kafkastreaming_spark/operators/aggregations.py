@@ -330,3 +330,40 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.round(F.sum("ps"), 2).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    counted AS (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event_type, n
+    FROM counted WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent
+    event_type, ties broken lexicographically.  Spark's built-in
+    ``mode()`` breaks ties arbitrarily (expressly non-deterministic), so
+    the portable spelling is count + ROW_NUMBER over (count DESC, value)
+    — two hash-aggs and a per-user window, which Spark executes as
+    WindowGroupLimit (only the top row per user is kept per partition,
+    never the full rank materialization)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
+    )
