@@ -53,3 +53,45 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("seg_lev"),
         F.col("c_name").like("Customer#%9").alias("ends_in_9"),
     )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey AS probe_key, c_name AS probe_name
+      FROM customer WHERE c_custkey < 20
+    )
+    SELECT probe_key,
+           c.c_custkey AS match_key,
+           CAST(levenshtein(probe_name, c.c_name) AS BIGINT) AS edit_dist
+    FROM probe, customer c
+    WHERE c.c_custkey <> probe_key
+      AND levenshtein(probe_name, c.c_name) <= 2
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy match: for a 20-row probe set, every OTHER
+    customer whose name is within levenshtein ≤ 2 — entity-resolution's
+    workhorse primitive (typo-tolerant key matching).
+
+    The probe side is broadcast, bounding the scan at |probes| × n with
+    one corpus pass — the same query-vs-corpus shape as
+    llm_topk_similar/llm_ngram_jaccard.  An UNBOUNDED fuzzy self-join
+    would instead go through candidate generation first (length bands +
+    shared-gram candidates, as in the dedup family); edit distance is
+    only ever computed on candidate pairs at scale."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probe = cust.filter(F.col("c_custkey") < 20).select(
+        F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("probe_name")
+    )
+    return (
+        F.broadcast(probe)
+        .join(cust, F.col("c_custkey") != F.col("probe_key"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("probe_name"), F.col("c_name")).cast("bigint"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select("probe_key", F.col("c_custkey").alias("match_key"), "edit_dist")
+    )
