@@ -174,3 +174,31 @@ def test_ts_gapfill_grid_joins_on_the_aggregate(spark, sf_dir):
     # formatted mode lists each operator in the tree AND the detail
     # section, so the single bounds crossJoin shows up twice
     assert plan.count("BroadcastNestedLoopJoin (") <= 1
+
+
+def test_upsert_compact_uses_window_group_limit(spark, sf_dir):
+    """rn=1 over (key; ts desc) must plan as WindowGroupLimit — each
+    partition keeps one row per key instead of ranking everything."""
+    plan = _plan(spark, sf_dir, "stream_upsert_compact")
+    assert "WindowGroupLimit" in plan
+
+
+def test_agg_mode_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_mode")
+    assert "WindowGroupLimit" in plan
+
+
+def test_levenshtein_probe_is_broadcast(spark, sf_dir):
+    """The 20-row probe side must broadcast — the corpus is scanned
+    once; no shuffle of the big side for a bounded probe set."""
+    plan = _plan(spark, sf_dir, "fn_levenshtein")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_is_banded_equi_join(spark, sf_dir):
+    """New-vs-old candidates must come from the (band, bval) equi-join —
+    never a nested loop over the corpus product."""
+    plan = _plan(spark, sf_dir, "llm_incremental_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
