@@ -336,6 +336,98 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_ITER_ORACLE = """
+    s{i} AS (
+      SELECT u, CAST(ROUND(CAST(p AS DOUBLE) / CAST(deg AS DOUBLE)) AS BIGINT)
+               AS share
+      FROM p{i} JOIN deg USING (u)
+    ),
+    a{i} AS (
+      SELECT v AS u, CAST(SUM(share) AS BIGINT) AS s
+      FROM und JOIN s{i} USING (u) GROUP BY v
+    ),
+    p{j} AS (
+      SELECT d.u,
+             CAST(150000000
+                  + ROUND(CAST(COALESCE(a{i}.s, 0) * 85 AS DOUBLE) / 100.0)
+               AS BIGINT) AS p
+      FROM deg d LEFT JOIN a{i} ON a{i}.u = d.u
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),
+    p0 AS (SELECT u, CAST(1000000000 AS BIGINT) AS p FROM deg),
+    {_PAGERANK_ITER_ORACLE.format(i=0, j=1)},
+    {_PAGERANK_ITER_ORACLE.format(i=1, j=2)},
+    {_PAGERANK_ITER_ORACLE.format(i=2, j=3)}
+    SELECT u AS doc_id, p AS pagerank_scaled FROM p3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph (3 power
+    iterations, damping 0.85) — the centrality-based CANONICAL-DOC
+    selector: inside a duplicate cluster, the highest-rank member is the
+    one most corroborated by near-duplicates, a better keep-this-one
+    policy than min-doc_id when duplicates differ in quality.
+
+    The interesting part is that an ITERATIVE NUMERIC algorithm is
+    hash-checked exactly: all rank mass lives on a 1e-9 integer grid
+    (p0 = 1e9), every share is ROUND(p/deg) and every damped update is
+    150000000 + ROUND(s*85/100) — integer sums are order-independent,
+    the divisions run the identical IEEE tree on identical inputs, and
+    both engines round exact halves away from zero (probed), so three
+    unrolled iterations stay bit-identical with the oracle's chained
+    CTEs.  Per iteration: one broadcast join of the (node, share) map
+    onto the edge list + one shuffle agg on the target key — the
+    standard distributed PageRank round shape; unrolled (no driver
+    loop), so Catalyst sees one straight-line plan."""
+    pairs = llm_simhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    und = (
+        pairs.selectExpr("doc_a AS u", "doc_b AS v")
+        .union(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    p = deg.select("u", F.lit(1000000000).cast("bigint").alias("p"))
+    for _ in range(3):
+        share = p.join(deg, "u").select(
+            "u",
+            F.expr(
+                "CAST(ROUND(CAST(p AS DOUBLE) / CAST(deg AS DOUBLE)) AS BIGINT)"
+            ).alias("share"),
+        )
+        agg = (
+            und.join(F.broadcast(share), "u")
+            .groupBy("v")
+            .agg(F.sum("share").alias("s"))
+            .withColumnRenamed("v", "u")
+        )
+        p = deg.select("u").join(agg, "u", "left").select(
+            "u",
+            F.expr(
+                "CAST(150000000"
+                " + ROUND(CAST(COALESCE(s, 0) * 85 AS DOUBLE) / 100.0)"
+                " AS BIGINT)"
+            ).alias("p"),
+        )
+    return p.select(F.col("u").alias("doc_id"), F.col("p").alias("pagerank_scaled"))
+
+
 # --------------------------------------------------------------------------
 # Character n-gram Jaccard (query-docs vs corpus)
 # --------------------------------------------------------------------------
