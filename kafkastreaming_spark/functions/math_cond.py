@@ -166,3 +166,56 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(value <=> NULL AS INT)").alias("v_is_null"),
         F.expr("CAST(NOT (event_type <=> 'click') AS INT)").alias("not_click"),
     )
+
+
+@query(
+    "fn_null",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+             NULLIF(c_acctbal, 0.0) AS bal_or_null
+      FROM customer
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(seg_or_null) AS n_seg_not_null,
+           CAST(SUM(CASE WHEN seg_or_null IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seg_null,
+           CAST(SUM(CASE WHEN seg_or_null IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
+           COUNT(DISTINCT seg_or_null) AS n_distinct_seg,
+           CAST(ROUND(SUM(CAST(COALESCE(bal_or_null, 0.0) AS DECIMAL(24,8))),
+                      2) AS DOUBLE) AS total_bal
+    FROM base
+    """,
+)
+def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics bundle: NULLIF to synthesize NULLs from real data
+    (the fixture tables ship none), then the behaviors every engine must
+    pin — COUNT(*) vs COUNT(col), predicate-based null counting,
+    null-safe equality (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM),
+    COUNT(DISTINCT) ignoring NULLs, and COALESCE feeding an aggregate.
+    All integer counts plus one decimal-disciplined sum — exactly
+    hash-checkable."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.expr("NULLIF(c_mktsegment, 'BUILDING')").alias("seg_or_null"),
+        F.expr("NULLIF(c_acctbal, 0.0D)").alias("bal_or_null"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg_or_null").alias("n_seg_not_null"),
+        F.sum(F.when(F.col("seg_or_null").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_seg_null"),
+        F.sum(F.when(F.expr("seg_or_null <=> NULL"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_safe_eq"),
+        F.countDistinct("seg_or_null").alias("n_distinct_seg"),
+        F.round(
+            F.sum(F.coalesce("bal_or_null", F.lit(0.0)).cast("decimal(24,8)")), 2
+        )
+        .cast("double")
+        .alias("total_bal"),
+    )

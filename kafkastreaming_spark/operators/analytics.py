@@ -225,3 +225,35 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("z_score")) > 2.5)
     )
+
+
+@query(
+    "events_histogram",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(MIN(value) * 100) AS BIGINT) AS min_cents,
+           CAST(ROUND(MAX(value) * 100) AS BIGINT) AS max_cents
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event_type (width-10 buckets) with
+    exact per-bucket extrema — the distribution-profiling query behind
+    every monitoring dashboard.  floor(value/10) is the same IEEE
+    division+floor in both engines; extrema are reported as exact cent
+    integers (MIN/MAX are order-insensitive, no float-sum discipline
+    needed).  One partial+final aggregation on a bounded (type, bucket)
+    key — the shuffle carries only the histogram, never rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.expr("CAST(floor(value / 10.0) AS BIGINT)").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(ROUND(MIN(value) * 100) AS BIGINT)").alias("min_cents"),
+        F.expr("CAST(ROUND(MAX(value) * 100) AS BIGINT)").alias("max_cents"),
+    )
