@@ -257,3 +257,68 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(MIN(value) * 100) AS BIGINT)").alias("min_cents"),
         F.expr("CAST(ROUND(MAX(value) * 100) AS BIGINT)").alias("max_cents"),
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM activity),
+    dau AS (
+      SELECT d, COUNT(*) AS dau FROM activity GROUP BY d
+    ),
+    wau AS (
+      SELECT days.d, COUNT(DISTINCT a.user_id) AS wau
+      FROM days JOIN activity a
+        ON a.d <= days.d AND a.d > days.d - INTERVAL 7 DAY
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    headline metric.  Rolling COUNT(DISTINCT) cannot ride a window
+    frame (distinct state is not mergeable across frame slides), so the
+    scalable spelling is the day-grid range join: distinct (user, day)
+    activity — already aggregated, tiny — joined to the day grid on a
+    bounded 7-day interval, then one distinct count per day.  The fact
+    table is touched exactly once (the DISTINCT); everything after is
+    |users|·|days| at worst.  Stickiness divides two exact integers in
+    the identical IEEE tree on both engines, rounded 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+    )
+    days = activity.select("d").distinct()
+    dau = activity.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    a = activity.select(F.col("user_id"), F.col("d").alias("ad"))
+    wau = (
+        F.broadcast(days)
+        .join(
+            a,
+            (F.col("ad") <= F.col("d"))
+            & (F.col("ad") > F.col("d") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

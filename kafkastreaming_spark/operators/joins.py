@@ -355,3 +355,53 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") * F.col("w")).alias("weighted"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS next_click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: per purchase, the EARLIEST click at-or-after
+    it — the "next event after" lookup (post-purchase behavior, next
+    reading after a sensor fault).  Mirror of join_asof: same union-tag
+    + running-carry rewrite, but the window runs time-DESCENDING so the
+    carried click is the nearest following one; at identical timestamps
+    clicks order before purchases (kind asc within ts desc), matching
+    the oracle's inclusive ``p.ts <= c.ts``.  Same scale shape: one
+    shuffle on user_id, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).withColumn(
+        "next_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "ts", "value", "next_click_ts"
+    )
