@@ -367,3 +367,31 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
     )
+
+
+@query(
+    "agg_bool",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           bool_and(value > 1.0) AS all_above_1,
+           bool_or(value > 99.0) AS any_above_99,
+           CAST(count_if(value > 50.0) AS BIGINT) AS n_above_50,
+           CAST(count_if(user_id % 2 = 0) AS BIGINT) AS n_even_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: ``bool_and``/``bool_or`` (SQL EVERY /
+    ANY) and ``count_if`` — the predicates-as-aggregates family used by
+    data-quality assertions ("every row passed", "any row violated",
+    "how many matched").  All three exist natively in BOTH engines
+    (Spark and DuckDB), are order-insensitive, and reduce map-side to
+    three booleans/longs per group — the cheapest possible shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("bool_and(value > 1.0D)").alias("all_above_1"),
+        F.expr("bool_or(value > 99.0D)").alias("any_above_99"),
+        F.expr("CAST(count_if(value > 50.0D) AS BIGINT)").alias("n_above_50"),
+        F.expr("CAST(count_if(user_id % 2 = 0) AS BIGINT)").alias("n_even_users"),
+    )
