@@ -428,6 +428,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(F.col("u").alias("doc_id"), F.col("p").alias("pagerank_scaled"))
 
 
+@query(
+    "llm_corpus_clean",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ),
+    exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(text)
+    ),
+    near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    survivors AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d
+      JOIN exact_keep k ON d.doc_id = k.doc_id
+      LEFT JOIN near_drop nd ON d.doc_id = nd.doc_id
+      WHERE nd.doc_id IS NULL
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM survivors GROUP BY lang, source
+    """,
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composite job the dedup
+    operators exist to serve: (1) exact dedup keeps the earliest doc per
+    md5(text); (2) near-dup filtering drops the later member of every
+    SimHash Hamming-≤6 pair (the deterministic keep-earliest policy;
+    the cluster-canonical upgrade is llm_dedup_clusters /
+    graph_pagerank); (3) the surviving corpus is profiled per
+    (lang, source).
+
+    Plan shape: one md5 groupBy (uniform key), the banded pair scan
+    (shared, cached signatures), two semi/anti joins on doc_id, one
+    final bounded aggregation — every step is the scale-safe spelling
+    already verified in isolation; this key pins that they COMPOSE,
+    which is what an actual pipeline run is."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact_keep = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pairs = llm_simhash_dedup(spark, sf_dir)
+    near_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = (
+        docs.join(exact_keep, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+    )
+    return survivors.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Character n-gram Jaccard (query-docs vs corpus)
 # --------------------------------------------------------------------------
