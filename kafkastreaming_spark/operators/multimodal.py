@@ -204,3 +204,63 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver can hash it AND DuckDB can reproduce it (16 regexp
     char-class counts) — a full value oracle, not just rows-only."""
     return _with_payload(spark, sf_dir).mapInPandas(_decode_batches, _FEAT_SCHEMA)
+
+
+@query(
+    "mm_dedup_binary",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id, lang,
+             sha256(text) AS payload_sha,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    per_sha AS (
+      SELECT lang, payload_sha,
+             COUNT(*) AS cnt,
+             MIN(n_bytes) AS n_bytes,
+             MIN(doc_id) AS keep_doc
+      FROM payloads GROUP BY lang, payload_sha
+    )
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_payloads,
+           COUNT(*) AS n_unique,
+           CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_rows,
+           CAST(SUM(cnt * n_bytes) AS BIGINT) AS bytes_total,
+           CAST(SUM((cnt - 1) * n_bytes) AS BIGINT) AS bytes_saved
+    FROM per_sha GROUP BY lang
+    """,
+)
+def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup for the media lake: group opaque payloads by
+    content hash (sha-256) within each language shard, keep the earliest
+    doc per hash, and report the storage ledger — payload count, unique
+    count, duplicate rows, and bytes reclaimed.
+
+    This is llm_exact_dedup lifted to BINARY columns: the content hash
+    is computed map-side on the opaque payload (never decoded), the
+    shuffle key is the uniform 256-bit digest (no skew by construction),
+    and the second aggregation is over the already-tiny per-hash table.
+    At 100 TB of media this ledger IS the dedup business case; the
+    keep_doc column generalizes to the same cluster-canonical policies
+    as the text path (llm_dedup_clusters / graph_pagerank)."""
+    payloads = _with_payload(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.sha2("payload", 256).alias("payload_sha"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    per_sha = payloads.groupBy("lang", "payload_sha").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("n_bytes").alias("n_bytes"),
+        F.min("doc_id").alias("keep_doc"),
+    )
+    return per_sha.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_payloads"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("cnt") - 1).cast("bigint").alias("n_dup_rows"),
+        F.sum(F.col("cnt") * F.col("n_bytes")).cast("bigint").alias("bytes_total"),
+        F.sum((F.col("cnt") - 1) * F.col("n_bytes"))
+        .cast("bigint")
+        .alias("bytes_saved"),
+    )
