@@ -6,9 +6,10 @@ line ``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
 {key: sec, ...}, "sf": ...}``.
 
 Protocol (BASELINE.md): one warm session, one warm-up run of the flagship
-(discarded), then each query timed over full materialization.  Set
-``SPARK_GRAFT_BENCH_REPEATS=3`` for median-of-3 (default 1 for the
-driver's per-round run budget).
+(discarded), then each query timed over full materialization,
+median-of-3 per key (the default; the cold first sample is discarded by
+the median).  Set ``SPARK_GRAFT_BENCH_REPEATS=1`` for a quick
+single-shot pass while iterating.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
     from kafkastreaming_spark.all import ORACLES, QUERIES
     from kafkastreaming_spark.session import get_session

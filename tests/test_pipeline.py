@@ -101,7 +101,7 @@ def test_cosine_nn_blocked_matches_broadcast(spark, sf_dir):
     }
     want = {
         r["vec_id"]: (r["nn_id"], r["cos_sim"])
-        for r in _cosine_nn_broadcast(spark, emb).collect()
+        for r in _cosine_nn_broadcast(spark, emb, sf_dir).collect()
     }
     assert got == want
 
