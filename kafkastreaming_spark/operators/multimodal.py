@@ -145,6 +145,14 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in: 'dimensions' from byte length, 'features'
     = 16-bin high-nibble byte histogram (raw integer counts)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
+    # The DuckDB oracle counts CHARS (length(text), codepoint classes);
+    # this kernel counts BYTES.  They agree only on ASCII — fail loudly
+    # on a non-ASCII fixture instead of silently diverging (ADVICE r2).
+    if (arr >= 128).any():
+        raise ValueError(
+            "mm_decode_features stand-in assumes ASCII payloads; found a "
+            "non-ASCII byte — align the oracle to byte semantics first"
+        )
     hist = np.bincount(arr >> 4, minlength=16)
     return len(arr) % 64 + 1, len(arr) // 64 + 1, hist
 

@@ -929,6 +929,14 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("ve").alias("cv")
     )
+    return _ivf_probe_topk(emb, cent)
+
+
+def _ivf_probe_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared IVF topology: assign every vector to its nearest centroid's
+    inverted list, probe each query's top-2 centroids, rescore exactly
+    inside those lists.  Used by the stand-in-centroid ``llm_ann_ivf``
+    (hash-checked) and the k-means-trained ``llm_ann_ivf_trained``."""
     sim = F.round(
         F.expr(_DOT.format(a="ve", b="cv"))
         / (
@@ -968,6 +976,43 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+@query("llm_ann_ivf_trained")
+def llm_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 cosine probing a REAL k-means coarse quantizer — the
+    production form of ``llm_ann_ivf`` (round-2 verdict item 6: the
+    trained centroids wired into the driver-visible query).
+
+    Rows-only: the Lloyd training loop is iterative, not SQL-expressible
+    — but every stage is deterministic (``kmeans_fit`` pins init, argmin
+    tiebreak, and fold order; centroid components are 6dp-rounded before
+    scoring; all rankings order by rounded score with id tiebreaks), so
+    the output is stable run to run and pytest pins it against the exact
+    top-5 for recall.  Centroids are memoized per (session, sf_dir):
+    train once, probe many — exactly the index-build/query split of a
+    production vector lake."""
+    import numpy as np
+
+    from kafkastreaming_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("ve")
+    )
+
+    def build() -> DataFrame:
+        cent, _, _ = kmeans_fit(
+            spark, load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
+        rounded = np.round(cent, 6)
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in rounded[i]]) for i in range(len(rounded))],
+            "cid int, cv array<double>",
+        )
+        return df.cache()
+
+    cent_df = memo(spark, sf_dir, "ivf_trained_centroids", build)
+    return _ivf_probe_topk(emb, cent_df)
 
 
 @query(
@@ -1279,6 +1324,15 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_doc, out_hash, out_pos = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # The oracle hashes codepoints (ascii(ch)); byte==codepoint
+                # only holds for ASCII.  Fail loudly on a non-ASCII fixture
+                # instead of silently diverging from the oracle (ADVICE r2).
+                if not text.isascii():
+                    raise ValueError(
+                        f"llm_winnow kernel assumes ASCII text; doc {doc_id} "
+                        "is not — switch the kernel to codepoints (ord) to "
+                        "support non-ASCII corpora"
+                    )
                 c = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
                     np.int64
                 )

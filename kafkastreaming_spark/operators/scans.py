@@ -116,6 +116,53 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _bucketed_join(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str, str]:
+    """Write orders/customer bucketed 8 ways on the join key and build the
+    co-located merge join; returns (lazy joined DF, the two table names).
+    Split out so the plan-assertion test can inspect the join plan before
+    ``sink_bucketed`` materializes it and drops the tables."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_ord, t_cust = f"bkt_orders_{sf_tag}_{os.getpid()}", f"bkt_cust_{sf_tag}_{os.getpid()}"
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(t_ord)
+    )
+    (
+        customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(t_cust)
+    )
+    bo, bc = spark.table(t_ord), spark.table(t_cust)
+    joined = (
+        bo.hint("merge")
+        .join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(24,8)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    return joined, t_ord, t_cust
+
+
+def drop_bucketed_tables(spark: SparkSession, *tables: str) -> None:
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 @query(
     "sink_bucketed",
     oracle="""
@@ -139,38 +186,13 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     write time, then every subsequent join/aggregation on the bucket key
     is shuffle-free.  The same layout serves `repartition`-style
     co-location for any downstream consumer of the table."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    customer = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    t_ord, t_cust = f"bkt_orders_{sf_tag}_{os.getpid()}", f"bkt_cust_{sf_tag}_{os.getpid()}"
-    (
-        orders.write.mode("overwrite")
-        .bucketBy(8, "o_custkey")
-        .sortBy("o_custkey")
-        .saveAsTable(t_ord)
-    )
-    (
-        customer.write.mode("overwrite")
-        .bucketBy(8, "c_custkey")
-        .sortBy("c_custkey")
-        .saveAsTable(t_cust)
-    )
-    bo, bc = spark.table(t_ord), spark.table(t_cust)
-    return (
-        bo.hint("merge")
-        .join(bc, bo["o_custkey"] == bc["c_custkey"])
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(24,8)")), 2)
-            .cast("double")
-            .alias("total_price"),
-        )
-    )
+    joined, t_ord, t_cust = _bucketed_join(spark, sf_dir)
+    # Materialize before dropping the pid-suffixed tables: without the
+    # drop, every process left two more tables in spark-warehouse (ADVICE
+    # r2) — the warehouse grew without bound across runs.
+    result = joined.localCheckpoint(eager=True)
+    drop_bucketed_tables(spark, t_ord, t_cust)
+    return result
 
 
 @query(

@@ -125,6 +125,7 @@ def sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = back.localCheckpoint(eager=True)  # materialize before cleanup
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)  # no orphaned batch dirs per run
     return result
 
 

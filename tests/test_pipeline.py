@@ -85,6 +85,24 @@ def test_ivf_train_deterministic_and_converging(spark, sf_dir):
     assert sum(r["n_members"] for r in rows) == emb.count()
 
 
+def test_ann_ivf_trained_recall_and_shape(spark, sf_dir):
+    """The trained-quantizer IVF probe must return 5 ranked hits per
+    query and recall most of the exact top-5 (measured 0.84 at sf0.001;
+    pinned with slack for future fixture regeneration)."""
+    from collections import defaultdict
+
+    trained = QUERIES["llm_ann_ivf_trained"](spark, sf_dir).collect()
+    exact = QUERIES["llm_topk_similar"](spark, sf_dir).collect()
+    assert len(trained) == 25  # 5 queries x top-5
+    tq, eq = defaultdict(set), defaultdict(set)
+    for r in trained:
+        tq[r["query_id"]].add(r["vec_id"])
+    for r in exact:
+        eq[r["query_id"]].add(r["vec_id"])
+    recall = sum(len(tq[q] & eq[q]) for q in eq) / sum(len(eq[q]) for q in eq)
+    assert recall >= 0.6
+
+
 def test_cosine_nn_blocked_matches_broadcast(spark, sf_dir):
     """The >100k-vector block-decomposed plan must produce exactly the
     broadcast-regime result — forced here with 4 blocks at small sf."""

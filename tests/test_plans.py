@@ -129,12 +129,23 @@ def test_salted_join_partitions_on_both_keys(spark, sf_dir):
 def test_bucketed_join_has_no_shuffle_on_join_keys(spark, sf_dir):
     """Bucketed co-located join: the whole point is that neither side is
     re-shuffled — pay the partitioning once at write time, join free
-    forever after."""
-    plan = _plan(spark, sf_dir, "sink_bucketed")
-    assert "SortMergeJoin" in plan
-    assert "hashpartitioning(o_custkey" not in plan
-    assert "hashpartitioning(c_custkey" not in plan
-    assert "Bucketed: true" in plan
+    forever after.  Inspects the lazy join via the helper: the operator
+    itself returns a checkpointed result (it drops its tables after
+    materializing, so its own plan is an RDD scan)."""
+    from kafkastreaming_spark.operators.scans import (
+        _bucketed_join,
+        drop_bucketed_tables,
+    )
+
+    joined, t_ord, t_cust = _bucketed_join(spark, sf_dir)
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning(o_custkey" not in plan
+        assert "hashpartitioning(c_custkey" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        drop_bucketed_tables(spark, t_ord, t_cust)
 
 
 def test_partitioned_sink_prunes_partitions(spark, sf_dir):
