@@ -15,6 +15,7 @@ from kafkastreaming_spark.functions import (  # noqa: F401
 from kafkastreaming_spark.operators import (  # noqa: F401
     aggregations,
     analytics,
+    corpus,
     joins,
     kmeans,
     llm,

@@ -650,6 +650,24 @@ def llm_cosine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_nn_blocked(spark, emb, n_blocks=max(1, -(-n // 100_000)))
 
 
+def _corpus_matrix_bc(spark: SparkSession, emb: DataFrame, sf_dir: str):
+    """Memoized (ids, matrix, norms) broadcast of the bounded corpus —
+    one collect + broadcast per (session, sf_dir), shared by the
+    broadcast-regime NN and pair kernels.  Rebuilding it per run was
+    most of llm_cosine_nn's 5.58 s driver-visible cost in r2."""
+    import numpy as np
+
+    def build():
+        # id-ascending ⇒ argmax/first-emit tiebreak is lowest id
+        corpus = emb.orderBy("vec_id").toPandas()
+        ids = corpus["vec_id"].to_numpy()
+        m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+        m_norm = np.sqrt((m * m).sum(axis=1))
+        return spark.sparkContext.broadcast((ids, m, m_norm))
+
+    return memo(spark, sf_dir, "cosine_nn_bc", build)
+
+
 def _cosine_nn_broadcast(
     spark: SparkSession, emb: DataFrame, sf_dir: str
 ) -> DataFrame:
@@ -658,17 +676,7 @@ def _cosine_nn_broadcast(
     import numpy as np
     import pandas as pd
 
-    def build():
-        # nn_id-ascending ⇒ argmax tiebreak
-        corpus = emb.orderBy("vec_id").toPandas()
-        ids = corpus["vec_id"].to_numpy()
-        m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-        m_norm = np.sqrt((m * m).sum(axis=1))
-        return spark.sparkContext.broadcast((ids, m, m_norm))
-
-    # One corpus collect + broadcast per (session, sf_dir) — rebuilding it
-    # per run was most of the 5.58 s driver-visible cost in r2.
-    bc = memo(spark, sf_dir, "cosine_nn_bc", build)
+    bc = _corpus_matrix_bc(spark, emb, sf_dir)
 
     def nn_batches(batches):
         c_ids, cm, cn = bc.value
@@ -760,6 +768,130 @@ def _cosine_nn_blocked(
             "vec_id",
             (-F.col("m.neg_nn")).alias("nn_id"),
             F.col("m.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+# Near-dup threshold for the embedding-cosine pair scan.  This synthetic
+# corpus has no true near-dup vectors (max pairwise cosine ≈ 0.48–0.6),
+# so the fixture pins τ=0.4 to exercise the operator on a non-trivial
+# pair set; a production dedup run sets τ≈0.95.
+_COSINE_DEDUP_T = 0.4
+
+_COSINE_DEDUP_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(embedding, x -> CAST(x AS DOUBLE))))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 6)
+          >= {_COSINE_DEDUP_T}
+"""
+
+
+@query("llm_cosine_dedup", oracle=_COSINE_DEDUP_ORACLE)
+def llm_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS: every (vec_a < vec_b) with
+    6dp-rounded cosine ≥ τ — the semantic-dedup companion to the
+    token-level operators (exact Jaccard / SimHash / MinHash), fed by
+    whatever embedding model produced the vectors.
+
+    Same statistics-driven regime split as ``llm_cosine_nn``: below
+    ``_NN_BROADCAST_MAX_N`` vectors the memoized corpus broadcast is
+    scanned once per Arrow batch (each batch emits its qualifying pairs
+    with query_id < corpus_id, so every pair is produced exactly once);
+    above it, the cogrouped block-matmul variant emits pairs per block
+    pair with no driver collect.  Both paths are exact, not ANN — the
+    honest O(n²/B) all-pairs scan; at true 100 TB scale the production
+    path prescreens with ``llm_ann_lsh``/``llm_ann_ivf`` buckets and
+    only rescoring survivors, which composes from these same pieces.
+    Filtering on the ROUNDED score mirrors the oracle exactly, so the
+    threshold boundary is cross-engine stable."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    if n <= _NN_BROADCAST_MAX_N:
+        return _cosine_pairs_broadcast(spark, emb, sf_dir)
+    return _cosine_pairs_blocked(spark, emb, n_blocks=max(1, -(-n // 100_000)))
+
+
+def _cosine_pairs_broadcast(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Broadcast-regime pair kernel: one matmul per Arrow batch, emit
+    (query < corpus) pairs at cos ≥ τ."""
+    import numpy as np
+    import pandas as pd
+
+    bc = _corpus_matrix_bc(spark, emb, sf_dir)
+    t = _COSINE_DEDUP_T
+
+    def pair_batches(batches):
+        c_ids, cm, cn = bc.value
+        for pdf in batches:
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            an = np.sqrt((a * a).sum(axis=1))
+            cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+            row_ids = pdf["vec_id"].to_numpy()
+            # query_id < corpus_id: each unordered pair emitted exactly once
+            qi, ci = np.nonzero((cos >= t) & (row_ids[:, None] < c_ids[None, :]))
+            if len(qi):
+                yield pd.DataFrame(
+                    {
+                        "vec_a": row_ids[qi],
+                        "vec_b": c_ids[ci],
+                        "cos_sim": cos[qi, ci],
+                    }
+                )
+
+    return emb.mapInPandas(pair_batches, "vec_a long, vec_b long, cos_sim double")
+
+
+def _cosine_pairs_blocked(
+    spark: SparkSession, emb: DataFrame, n_blocks: int
+) -> DataFrame:
+    """Block-decomposed pair scan: B×B cogrouped block pairs, each block
+    pair emits its qualifying (query < corpus) pairs — no driver collect,
+    per-task memory one block pair."""
+    import numpy as np
+    import pandas as pd
+
+    t = _COSINE_DEDUP_T
+    blk = emb.withColumn("blk", F.crc32(F.col("vec_id").cast("string")) % n_blocks)
+    rep = F.broadcast(spark.range(n_blocks).select(F.col("id").alias("other")))
+    queries = blk.crossJoin(rep).select(
+        F.col("blk").alias("qblk"), F.col("other").alias("cblk"), "vec_id", "embedding"
+    )
+    corpus = blk.crossJoin(rep).select(
+        F.col("other").alias("qblk"), F.col("blk").alias("cblk"),
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+    )
+
+    def block_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        cm = np.stack(right["c_emb"].to_numpy()).astype(np.float64)
+        cn = np.sqrt((cm * cm).sum(axis=1))
+        c_ids = right["c_id"].to_numpy()
+        a = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        an = np.sqrt((a * a).sum(axis=1))
+        cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+        row_ids = left["vec_id"].to_numpy()
+        qi, ci = np.nonzero((cos >= t) & (row_ids[:, None] < c_ids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": row_ids[qi], "vec_b": c_ids[ci], "cos_sim": cos[qi, ci]}
+        )
+
+    return (
+        queries.groupby("qblk", "cblk")
+        .cogroup(corpus.groupby("qblk", "cblk"))
+        .applyInPandas(
+            lambda l, r: block_pairs(l, r), "vec_a long, vec_b long, cos_sim double"
         )
     )
 

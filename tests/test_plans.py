@@ -70,7 +70,7 @@ def test_hot_relational_paths_are_codegen(spark, sf_dir, key):
 
 @pytest.mark.parametrize(
     "key",
-    ["llm_simhash_dedup", "llm_jaccard_dedup", "llm_ann_lsh"],
+    ["llm_simhash_dedup", "llm_jaccard_dedup", "llm_ann_lsh", "llm_cosine_dedup"],
 )
 def test_dedup_and_ann_have_no_nested_loop(spark, sf_dir, key):
     """The dedup band/prefix joins and ANN probe joins must stay equi-join
@@ -92,6 +92,15 @@ def test_ann_ivf_probe_join_is_hash(spark, sf_dir):
     # only the two ×K assignment scans may loop-join; never more
     # (formatted mode prints each operator twice: tree + detail section)
     assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+@pytest.mark.parametrize("key", ["llm_train_test_split", "llm_stratified_sample"])
+def test_corpus_assignment_ops_are_map_only(spark, sf_dir, key):
+    """Split/sample assignment is a pure function of the row key — the
+    plan must be scan → project/filter with NO exchange: at 100 TB a
+    shuffle here would move the corpus to compute a per-row label."""
+    plan = _plan(spark, sf_dir, key)
+    assert "Exchange" not in plan
 
 
 def test_tpch_q3_broadcasts_and_takes_ordered(spark, sf_dir):
