@@ -202,6 +202,80 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting revenue change: potential revenue from dropping
+    small-quantity 1996 discounts in the [0.05, 0.07] band.
+
+    The pure scan-predicate aggregate: ALL THREE predicates (date range,
+    discount band, quantity cap) push into the parquet reader as row-
+    group min/max filters — at 100 TB this query's cost is file skipping,
+    not compute.  One global aggregate, no shuffle beyond the single-row
+    final combine.  (The discount band compares the same float64 parquet
+    values in both engines, so BETWEEN is cross-engine exact.)"""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        dsum(F.expr("l_extendedprice * l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT
+      ROUND(100.0 * CAST(ROUND(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN {_REV} ELSE 0 END AS DECIMAL(24,8))), 2) AS DOUBLE)
+            / CAST(ROUND(SUM(CAST({_REV} AS DECIMAL(24,8))), 2) AS DOUBLE),
+            6) AS promo_revenue_pct,
+      {oracle_dsum(_REV, 'total_revenue')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: share of September-1996 revenue from PROMO
+    parts (adapted: this corpus's p_type is a single word, so the match
+    is equality, not LIKE 'PROMO%').
+
+    The part dimension broadcasts onto the date-pruned lineitem scan; the
+    promo share is a conditional sum inside the SAME single aggregate —
+    one pass, one broadcast join, no second scan.  Both sums go through
+    the exact-decimal discipline, then the final ratio runs the identical
+    IEEE division in both engines, rounded 6dp."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    rev = F.expr(_REV)
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    promo_sum = F.round(F.sum(promo_rev.cast("decimal(24,8)")), 2).cast("double")
+    total_sum = F.round(F.sum(rev.cast("decimal(24,8)")), 2).cast("double")
+    return joined.agg(
+        F.round(F.lit(100.0) * promo_sum / total_sum, 6).alias("promo_revenue_pct"),
+        dsum(rev, "total_revenue"),
+    )
+
+
+@query(
     "tpch_q18",
     oracle="""
     WITH big AS (
