@@ -122,15 +122,25 @@ def llm_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     index), then ONE hash-agg on (lang, bigram) — partial aggregation
     collapses each map partition before the shuffle, so network volume
     is bounded by distinct bigrams per partition, not corpus tokens —
-    and one tiny per-lang window for the top-3."""
+    and one tiny per-lang window for the top-3.
+
+    The token array is bound ONCE per row (``tk``) before the lambda —
+    inlining ``split`` inside the transform re-tokenizes the document
+    per bigram, turning an O(tokens) row into O(tokens²).  Documents
+    with fewer than two tokens produce an empty array (``sequence(1,0)``
+    is DESCENDING in Spark, and ``element_at(tk, 0)`` would throw), and
+    ``explode`` drops them — exactly the oracle's ``generate_series(1,0)``
+    emitting no rows."""
     docs = load_table(spark, sf_dir, "documents")
-    big = docs.select(
+    toks = docs.select("lang", F.split("text", " ").alias("tk"))
+    big = toks.select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat(element_at(split(text, ' '), i), ' ',"
-                "             element_at(split(text, ' '), i + 1)))"
+                "CASE WHEN size(tk) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(tk) - 1),"
+                "   i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                " END"
             )
         ).alias("bigram"),
     )

@@ -650,16 +650,26 @@ def llm_cosine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_nn_blocked(spark, emb, n_blocks=max(1, -(-n // 100_000)))
 
 
-def _corpus_matrix_bc(spark: SparkSession, emb: DataFrame, sf_dir: str):
+def _corpus_matrix_bc(spark: SparkSession, sf_dir: str):
     """Memoized (ids, matrix, norms) broadcast of the bounded corpus —
     one collect + broadcast per (session, sf_dir), shared by the
     broadcast-regime NN and pair kernels.  Rebuilding it per run was
-    most of llm_cosine_nn's 5.58 s driver-visible cost in r2."""
+    most of llm_cosine_nn's 5.58 s driver-visible cost in r2.
+
+    Loads the FULL embeddings table itself (rather than taking a
+    DataFrame argument) because the memo key is (session, sf_dir) only —
+    a caller-supplied filtered/projected frame would silently alias the
+    full-corpus matrix under the same key."""
     import numpy as np
 
     def build():
         # id-ascending ⇒ argmax/first-emit tiebreak is lowest id
-        corpus = emb.orderBy("vec_id").toPandas()
+        corpus = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .toPandas()
+        )
         ids = corpus["vec_id"].to_numpy()
         m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
         m_norm = np.sqrt((m * m).sum(axis=1))
@@ -676,7 +686,7 @@ def _cosine_nn_broadcast(
     import numpy as np
     import pandas as pd
 
-    bc = _corpus_matrix_bc(spark, emb, sf_dir)
+    bc = _corpus_matrix_bc(spark, sf_dir)
 
     def nn_batches(batches):
         c_ids, cm, cn = bc.value
@@ -828,7 +838,7 @@ def _cosine_pairs_broadcast(
     import numpy as np
     import pandas as pd
 
-    bc = _corpus_matrix_bc(spark, emb, sf_dir)
+    bc = _corpus_matrix_bc(spark, sf_dir)
     t = _COSINE_DEDUP_T
 
     def pair_batches(batches):

@@ -124,6 +124,29 @@ def test_cosine_nn_blocked_matches_broadcast(spark, sf_dir):
     assert got == want
 
 
+def test_cosine_pairs_blocked_matches_broadcast(spark, sf_dir):
+    """The >100k-vector block-pair scan must emit exactly the broadcast
+    kernel's pair set — forced with 4 blocks at small sf.  Guards the
+    a<b dedup across the (i,j)/(j,i) cogroups: a double- or zero-emitted
+    pair shows up as a dict-size or value mismatch here."""
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.operators.pipeline import (
+        _cosine_pairs_blocked,
+        _cosine_pairs_broadcast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    got_rows = _cosine_pairs_blocked(spark, emb, n_blocks=4).collect()
+    got = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in got_rows}
+    assert len(got) == len(got_rows)  # no pair emitted twice
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in _cosine_pairs_broadcast(spark, emb, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # fixture must exercise the threshold
+
+
 def test_mm_ingest_sha_matches_exact_dedup_grouping(spark, sf_dir):
     """Same content ⇒ same payload hash: sha-group count == md5-group count."""
     ingest = QUERIES["mm_ingest"](spark, sf_dir)
