@@ -2,10 +2,10 @@
 
 All queries load inputs through :func:`load_table` so that:
 
-* the events nanosecond-timestamp shim is applied exactly once, at load
-  (SURVEY.md §7.5): read ``ts`` as int64 nanos, convert with integer
-  division ``timestamp_micros(ts div 1000)`` (double division would lose
-  microsecond precision at ~1.7e18 nanos).
+* the events timestamp shim is applied exactly once, at load
+  (SURVEY.md §7.5): whatever physical encoding the fixture uses (int64
+  nanos, TIMESTAMP_NTZ micros, or plain TIMESTAMP), downstream operators
+  always see a session-UTC TIMESTAMP ``ts`` column.
 * column pruning / predicate pushdown stay available — we return the raw
   ``spark.read.parquet`` DataFrame untouched for every other table, so
   Catalyst pushes filters and projections into the scan.
@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafkastreaming_spark.session import prepare
 
@@ -47,14 +48,27 @@ EVENTS_ORACLE_CTE = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; events gets the ns→µs timestamp shim."""
+    """Load one fixture table; events gets a schema-adaptive ts shim.
+
+    The fixture generator has shipped ``events.ts`` as both TIMESTAMP(NANOS)
+    (read as int64 via nanosAsLong) and plain TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ) across rounds, so we
+    dispatch on the actual scan schema instead of assuming one encoding.
+    Either way downstream operators see a session-UTC TIMESTAMP column.
+    """
     prepare(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     df = spark.read.parquet(path)
     if name == "events":
-        # ts arrives as int64 nanoseconds (nanosAsLong=true). Integer
-        # `div` keeps exact microseconds; timestamp_micros is UTC-pinned.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # int64 nanoseconds: integer `div` keeps exact microseconds;
+            # timestamp_micros is UTC-pinned.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # tz-naive micros: session tz is pinned UTC, so this cast is a
+            # pure type relabel (no wall-clock shift).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
