@@ -395,3 +395,34 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(count_if(value > 50.0D) AS BIGINT)").alias("n_above_50"),
         F.expr("CAST(count_if(user_id % 2 = 0) AS BIGINT)").alias("n_even_users"),
     )
+
+
+@query("agg_sketch_partial", oracle=None)
+def agg_sketch_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches: per-(event_type, day)
+    HLL sketches unioned up to per-type totals — the materialized-rollup
+    pattern that makes 100 TB dashboards cheap.  An exact COUNT(DISTINCT)
+    cannot roll up (distinct users per day don't sum to distinct users
+    per month); a stored Datasketches HLL CAN — the daily cube is built
+    once, and every coarser granularity is a tiny merge of byte-blob
+    partials instead of a re-scan of the raw corpus.
+
+    Two-level plan: hll_sketch_agg shuffles only fixed-size binary
+    sketches (map-side partials collapse each partition first), then
+    hll_union_agg merges |days| blobs per type.  Estimates are
+    deterministic for fixed input (the sketch hash is seeded), but NOT
+    portable to DuckDB's different HLL implementation — declared
+    rows-only (SURVEY §2); tests/test_aggregations pins the ±5% accuracy
+    envelope against the exact count instead."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.operators.pipeline import _H_SPARK
 from kafkastreaming_spark.registry import query
 
 # Portable 60-bit hash of a salted doc key, Spark / DuckDB spellings.
@@ -150,4 +151,236 @@ def llm_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("lang", "bigram", "n", "rnk")
+    )
+
+
+# 5-word shingles as a 1-based array expression, Spark / DuckDB spellings
+# (same bind-the-token-array-once discipline as llm_bigram_stats).
+_GRAM5_SPARK = (
+    "CASE WHEN size(tk) < 5 THEN array()"
+    " ELSE transform(sequence(1, size(tk) - 4),"
+    "   i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),"
+    "        element_at(tk, i + 2), element_at(tk, i + 3), element_at(tk, i + 4)))"
+    " END"
+)
+
+
+@query(
+    "llm_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_SPLIT_H_DUCK.format(salt='split')} AS bucket,
+             string_split(text, ' ') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, bucket,
+             CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                  || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 15) AS BIGINT) AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 4)) AS t(i)
+    ),
+    test_grams AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE bucket >= 90
+    ),
+    train_grams AS (
+      SELECT DISTINCT g FROM grams WHERE bucket < 80
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(tr.g) AS n_hit,
+           ROUND(100.0 * COUNT(tr.g) / COUNT(*), 6) AS contamination_pct
+    FROM test_grams t LEFT JOIN train_grams tr ON t.g = tr.g
+    GROUP BY t.doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination check: for every TEST-split document,
+    the fraction of its distinct 5-gram shingles that also occur anywhere
+    in the TRAIN split — the overlap audit run before any benchmark
+    number is trusted.
+
+    Splits come from the SAME salted hash as ``llm_train_test_split``
+    (salt='split'), so membership is consistent across every operator.
+    Grams are hashed to a portable 60-bit int BEFORE the shuffle — at
+    100 TB the equi-join keys are 8 bytes, not 50-char strings, and the
+    train side is pre-shrunk to DISTINCT grams (set semantics) so the
+    join input is bounded by vocabulary, not corpus size.  Both sides
+    shuffle-partition on the gram hash (uniform by construction — md5
+    output), the per-doc counts then aggregate on doc_id.  No broadcast:
+    a 100 TB train gram set never fits one executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_H_SPARK.format(salt="split"))
+    toks = docs.select(
+        "doc_id", bucket.alias("bucket"), F.split("text", " ").alias("tk")
+    )
+    grams = toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(F.expr(_GRAM5_SPARK)).alias("gram"),
+    ).select(
+        "doc_id",
+        "bucket",
+        F.expr(_H_SPARK.format(x="gram")).alias("g"),
+    )
+    test_grams = grams.filter(F.col("bucket") >= 90).select("doc_id", "g").distinct()
+    train_grams = (
+        grams.filter(F.col("bucket") < 80).select("g").distinct()
+        .withColumnRenamed("g", "tg")
+    )
+    return (
+        test_grams.join(train_grams, test_grams["g"] == train_grams["tg"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("tg").alias("n_hit"),
+            F.round(
+                F.lit(100.0) * F.count("tg") / F.count(F.lit(1)), 6
+            ).alias("contamination_pct"),
+        )
+    )
+
+
+@query(
+    "llm_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    words AS (
+      SELECT doc_id, tk[i] AS w
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+    ),
+    word_counts AS (
+      SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY doc_id, w
+    ),
+    word_stats AS (
+      SELECT doc_id, SUM(n) AS n_words, COUNT(*) AS n_distinct_words,
+             MAX(n) AS top_word_n
+      FROM word_counts GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS b
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+    ),
+    bigram_stats AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             COUNT(DISTINCT b) AS n_distinct_bigrams
+      FROM bigrams GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           ROUND(1.0 * w.top_word_n / w.n_words, 6) AS top_word_frac,
+           ROUND(1.0 - 1.0 * b.n_distinct_bigrams / b.n_bigrams, 6)
+             AS dup_bigram_frac,
+           (1.0 * w.top_word_n / w.n_words > 0.1
+            OR 1.0 - 1.0 * b.n_distinct_bigrams / b.n_bigrams > 0.5)
+             AS flagged
+    FROM word_stats w JOIN bigram_stats b ON w.doc_id = b.doc_id
+    """,
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText repetition
+    filters, adapted to word tokens): dominant-word fraction and
+    duplicate-bigram fraction, plus the flag a quality gate would cut on.
+
+    Everything reduces per document: word counts aggregate on
+    (doc_id, word) — partial map-side combine collapses each partition's
+    repeats before the shuffle, so network volume is per-partition
+    distinct words — then one more agg on doc_id; bigram de-dup runs the
+    same two-level shape.  The ratios divide exact integers in one IEEE
+    step rounded 6dp, identical in both engines.  Docs shorter than two
+    tokens keep n_words ≥ 1 but drop from bigrams and are excluded by
+    the final inner join — mirrored exactly in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    words = toks.select("doc_id", F.explode("tk").alias("w"))
+    word_counts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    word_stats = word_counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("n").alias("top_word_n"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(tk) - 1),"
+                "   i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                " END"
+            )
+        ).alias("b"),
+    )
+    bigram_stats = bigrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("b").alias("n_distinct_bigrams"),
+    )
+    top_frac = F.lit(1.0) * F.col("top_word_n") / F.col("n_words")
+    dup_frac = F.lit(1.0) - F.lit(1.0) * F.col("n_distinct_bigrams") / F.col("n_bigrams")
+    return (
+        word_stats.join(bigram_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(top_frac, 6).alias("top_word_frac"),
+            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            ((top_frac > 0.1) | (dup_frac > 0.5)).alias("flagged"),
+        )
+    )
+
+
+@query(
+    "llm_domain_mix",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY n_tokens DESC, source)
+                  AS INTEGER) AS rnk,
+             SUM(n_tokens) OVER () AS total_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM per_source
+    )
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, rnk,
+           ROUND(100.0 * n_tokens / total_tokens, 6) AS token_share_pct,
+           ROUND(100.0 * cum_tokens / total_tokens, 6) AS cum_share_pct
+    FROM ranked
+    """,
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus domain-mix report: per-source token counts, share of the
+    corpus, and the cumulative coverage curve ("the top k sources are
+    x% of training tokens") that drives sampling-weight decisions.
+
+    The heavy part — token counting — is a map-side array length plus
+    ONE hash-agg on the source key; the window functions then run over
+    the AGGREGATED table (rows = distinct sources, tiny by definition),
+    so the empty-partition-key global window is post-reduction
+    bookkeeping, never a corpus-wide single-task funnel."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w_order = Window.orderBy(F.col("n_tokens").desc(), "source")
+    w_all = Window.partitionBy()
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    return per_source.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.row_number().over(w_order).alias("rnk"),
+        F.round(
+            F.lit(100.0) * F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6
+        ).alias("token_share_pct"),
+        F.round(
+            F.lit(100.0) * F.sum("n_tokens").over(w_cum) / F.sum("n_tokens").over(w_all),
+            6,
+        ).alias("cum_share_pct"),
     )

@@ -222,3 +222,56 @@ def test_incremental_dedup_is_banded_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_incremental_dedup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4")
+    assert "LeftSemi" in plan
+    # the orderdate predicate must prune the orders scan, not the join output
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q16")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # count-distinct runs as the two-shuffle expand, both aggs two-phase
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q19_disjunction_derives_single_side_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q19")
+    # Catalyst must derive each side's implication of the OR-of-ANDs and
+    # push it into that side's scan: a brand/size disjunction on part...
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    # ...and the quantity-band disjunction on lineitem.
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_gram_join_scales(spark, sf_dir):
+    # The gram join must stay an equi-join (hash-partitionable at any
+    # scale) — the strategy itself is stats-driven: broadcast at this toy
+    # scale, SMJ once the train gram set exceeds the threshold.  Both
+    # DISTINCT shrinks must be two-phase (partial before the shuffle) so
+    # the shuffle ships per-partition-distinct grams, not every shingle.
+    plan = _plan(spark, sf_dir, "llm_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") >= 3  # test-side distinct, train-side distinct, final per-doc agg
+    assert plan.count("HashAggregate") >= 6  # three partial+final pairs
+
+
+def test_domain_mix_windows_after_aggregation(spark, sf_dir):
+    # token counting reduces first; windows run over the aggregated table.
+    # Formatted plans number operators bottom-up, so "runs first" means a
+    # SMALLER operator id (the tree prints final-operator-first, so raw
+    # string order is the reverse of execution order).
+    import re
+
+    plan = _plan(spark, sf_dir, "llm_domain_mix")
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    win_ids = [int(m) for m in re.findall(r"Window \((\d+)\)", plan)]
+    assert agg_ids and win_ids
+    assert max(agg_ids) < min(win_ids)
