@@ -2,12 +2,14 @@
 (extends SURVEY.md §2.11: the bookkeeping every training-data pipeline
 runs between dedup and tokenization).
 
-All three are built on the portable 60-bit md5 hash (see
-operators/pipeline.py header): assignment decisions are pure functions
-of the row key, so they are reproducible across runs, engines, AND
-repartitionings — ``df.sample``/``randomSplit`` are none of those.
-Everything here is map-side (zero shuffle) except the bigram ranking,
-which is one hash-agg + one per-lang window.
+Split/sample/chunk assignment decisions are built on the portable 60-bit
+md5 hash (see operators/pipeline.py header): pure functions of the row
+key, so they are reproducible across runs, engines, AND repartitionings —
+``df.sample``/``randomSplit`` are none of those.  The splits, the
+stratified sample, and chunking are map-side (zero shuffle); the n-gram
+statistics (bigrams, contamination, repetition, domain mix) each reduce
+through one or two hash-aggs with map-side partial combine before any
+shuffle.
 """
 
 from __future__ import annotations
@@ -383,4 +385,63 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.sum("n_tokens").over(w_cum) / F.sum("n_tokens").over(w_all),
             6,
         ).alias("cum_share_pct"),
+    )
+
+
+@query(
+    "llm_chunk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(c AS INTEGER) AS chunk_idx,
+             list_aggregate(tk[(1 + c * 48):(c * 48 + 64)], 'string_agg', ' ')
+               AS chunk_text,
+             LEAST(64, len(tk) - c * 48) AS n_tokens
+      FROM toks,
+           unnest(generate_series(0, GREATEST(0, CAST(CEIL((len(tk) - 64) / 48.0) AS BIGINT))))
+             AS t(c)
+      WHERE len(tk) >= 1
+    )
+    SELECT doc_id, chunk_idx, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT) AS chunk_hash
+    FROM chunks
+    """,
+)
+def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 64-token
+    windows with stride 48 (16-token overlap) — the tokenize-and-pack
+    precursor that turns a document lake into fixed-length training
+    sequences.  Emits (doc_id, chunk_idx, n_tokens, chunk_hash); the
+    final partial window is kept (truncation would silently drop tails).
+
+    Pure map-side fanout: the chunk index range is a per-row
+    ``sequence`` over the bound token array, each chunk a ``slice`` —
+    no shuffle, no UDF, output rows ≈ corpus_tokens / stride.  At
+    100 TB this runs at scan speed and writes straight to a
+    split-partitioned training layout; the 60-bit chunk hash is the
+    dedup/repack key downstream (chunk-level exact dedup composes with
+    llm_exact_dedup's keep-earliest shape).  Chunk grid: ceil((n-64)/48)
+    + 1 windows, clamped to ≥ 1 so short docs emit their whole text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(0, CAST(ceil((size(tk) - 64) / 48.0D)"
+                " AS INT))), c -> named_struct("
+                "  'chunk_idx', c,"
+                "  'chunk_text', concat_ws(' ', slice(tk, 1 + c * 48, 64)),"
+                "  'n_tokens', least(64, size(tk) - c * 48)))"
+            )
+        ).alias("ch"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.n_tokens").cast("int").alias("n_tokens"),
+        F.expr(_H_SPARK.format(x="ch.chunk_text")).alias("chunk_hash"),
     )
