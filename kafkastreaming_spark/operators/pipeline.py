@@ -291,13 +291,17 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("doc_a AS u", "doc_b AS v")
         .union(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
         .coalesce(8)
-        .localCheckpoint()
+        # eager=False: the checkpoint materializes with the round's
+        # convergence aggregate — one job per round instead of two.
+        .localCheckpoint(eager=False)
     )
     labels = (
         und.groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("label"))
         .coalesce(8)
-        .localCheckpoint()
+        # eager=False: the checkpoint materializes with the round's
+        # convergence aggregate — one job per round instead of two.
+        .localCheckpoint(eager=False)
     )
     for _ in range(12):
         # Label map ≤ |dup-graph nodes| — broadcast it to keep rounds
@@ -330,7 +334,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("prev") - final).alias("delta"),
             )
             .coalesce(8)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = compressed.agg(F.sum("delta")).first()[0]
         labels = compressed.select("u", "label")

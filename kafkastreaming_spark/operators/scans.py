@@ -346,3 +346,37 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT))"
         ).alias("text_hash_xor"),
     )
+
+
+@query(
+    "source_orc",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+             AS text_hash_xor
+    FROM documents GROUP BY source
+    """,
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source roundtrip: write the documents table as ORC, read it
+    back, prove byte-exact text fidelity per source with the same
+    xor-of-60-bit-hash scheme as source_csv/source_jsonl.
+
+    ORC is the other columnar lake format a Spark engine must ingest
+    (Hive-era lakes are full of it); Spark's reader is native and
+    vectorized, with the same predicate-pushdown / column-pruning
+    surface as parquet — at 100 TB an ORC scan prunes row groups by
+    min/max exactly like parquet, so queries are layout-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _sink_path("ks_spark_source_orc", sf_dir)
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(docs.schema).orc(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr(
+            "bit_xor(CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("text_hash_xor"),
+    )

@@ -223,3 +223,62 @@ def stream_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+@query(
+    "stream_topk",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    winned AS (
+      SELECT {_BUCKET.format(w=3600)} AS window_start,
+             user_id, COUNT(*) AS n_events,
+             {oracle_dsum('value', 'sum_value')}
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                     ORDER BY sum_value DESC, user_id) AS INTEGER) AS rnk
+      FROM winned
+    )
+    SELECT window_start, user_id, n_events, sum_value, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly top-3 purchasers by spend — the windowed-leaderboard query
+    every event pipeline serves.
+
+    Batch twin of the two-stage streaming topology: stage 1 is the
+    same windowed aggregate a streaming job keeps as state (one row per
+    (window, user)); stage 2 ranks WITHIN each closed window.  In
+    production the rank runs in foreachBatch on windows the watermark
+    has closed (complete-mode ranking over open state would re-emit
+    every window on every trigger); the plan here is the identical
+    agg → per-window WindowGroupLimit top-k, so the hash check pins the
+    exact leaderboard a replayed stream must produce.  Scale shape: the
+    heavy shuffle keys on (window, user) — high cardinality, uniform —
+    and the rank's per-window partitions are already tiny post-agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    winned = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("sum_value").desc(), "user_id"
+    )
+    return (
+        winned.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "user_id", "n_events", "sum_value", "rnk")
+    )
