@@ -146,3 +146,39 @@ def sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    WHERE l2.l_discount > 0.09)
         """
     )
+
+
+@query(
+    "sub_lateral_topn",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice, o_orderdate
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice, o_orderdate
+             FROM orders WHERE o_custkey = c_custkey
+             ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) recent
+    """,
+)
+def sub_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-N: each customer's two most recent orders —
+    the per-entity-limit idiom ("latest N per key") spelled as the SQL
+    standard's lateral subquery rather than a window function.
+
+    Catalyst DE-CORRELATES this (`DecorrelateInnerQuery`): the per-row
+    subquery becomes one WindowGroupLimit over orders partitioned by
+    o_custkey, then a plain equi-join with customer — i.e. the engine
+    rewrites the O(customers × orders) nested loop a naive executor
+    would run into the same two-shuffle plan `win_topk_group` uses
+    (plan-asserted in tests/test_plans.py).  At 100 TB that rewrite is
+    the difference between infeasible and routine; the query text stays
+    declarative either way."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("ks_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ks_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice, o_orderdate
+        FROM ks_customer,
+        LATERAL (SELECT o_orderkey, o_totalprice, o_orderdate
+                 FROM ks_orders WHERE o_custkey = c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) recent
+        """
+    )

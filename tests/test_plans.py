@@ -275,3 +275,12 @@ def test_domain_mix_windows_after_aggregation(spark, sf_dir):
     win_ids = [int(m) for m in re.findall(r"Window \((\d+)\)", plan)]
     assert agg_ids and win_ids
     assert max(agg_ids) < min(win_ids)
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
+    # the correlated LIMIT subquery must NOT execute per outer row: Catalyst
+    # rewrites it to a WindowGroupLimit + equi-join
+    plan = _plan(spark, sf_dir, "sub_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
