@@ -426,3 +426,85 @@ def agg_sketch_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_linreg",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    pts AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 3600000000
+               AS xh,
+             CAST(ROUND(value * 100) AS BIGINT) AS yc
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(xh) AS sx, SUM(yc) AS sy,
+             SUM(xh * yc) AS sxy, SUM(xh * xh) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * 24.0 / 100.0, 6) AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / 100.0, 6) AS intercept
+    FROM sums
+    """,
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type linear trend of value over time (least-squares
+    slope + intercept) — the "is this metric drifting" aggregate behind
+    alerting and capacity dashboards.
+
+    Why not ``regr_slope``: both engines have it, but both compute it in
+    streaming double arithmetic whose accumulation order differs —
+    cross-engine ULP roulette.  Instead the moments are EXACT integer
+    sums (x = whole hours since 2024-01-01, y = value cents, both small
+    enough that every sum stays below 2^53, so the decimal→double casts
+    are exact), and slope/intercept are the identical IEEE expression
+    tree in both engines rounded 6dp — the events_anomaly z-score
+    discipline applied to regression.  One map-side-combined shuffle on
+    a 5-value key; nothing else moves."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01'))"
+            " div 3600000000"
+        ).alias("xh"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("yc"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xh").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.expr("xh * yc")).alias("sxy"),
+        F.sum(F.expr("xh * xh")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n_d
+    my = F.col("sy").cast("double") / n_d
+    mxy = F.col("sxy").cast("double") / n_d
+    mxx = F.col("sxx").cast("double") / n_d
+    slope = (mxy - mx * my) / (mxx - mx * mx)
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope * F.lit(24.0) / F.lit(100.0), 6).alias("slope_per_day"),
+        F.round((my - slope * mx) / F.lit(100.0), 6).alias("intercept"),
+    )

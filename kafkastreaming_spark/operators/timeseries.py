@@ -205,3 +205,66 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value_locf"
         ),
     )
+
+
+@query(
+    "ts_ohlc",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    ordered AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                            * 1000000) AS hour,
+             value, ts, event_id,
+             row_number() OVER (PARTITION BY event_type,
+                 floor(epoch(ts) / 3600) ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type,
+                 floor(epoch(ts) / 3600) ORDER BY ts DESC, event_id DESC)
+               AS rn_d
+      FROM events
+    )
+    SELECT event_type, hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks
+    FROM ordered GROUP BY event_type, hour
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) candles per event_type — the
+    financial-resample shape every tick store serves, spelled portably.
+
+    open/close are "value at the (ts, event_id)-extreme row", which
+    neither engine's min/max can express directly without arg_min
+    semantics divergence — so both engines run the SAME two
+    row_number windows (ascending and descending, unique tie-break) and
+    pick rn=1 inside the aggregate.  One shuffle on (type, hour) does
+    windows AND the final agg (same partitioning, Catalyst reuses the
+    exchange).  high/low/count are plain order-free aggregates.  No
+    sums — every output is a single row's value or an extreme, so no
+    decimal discipline is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hour = F.date_trunc("hour", "ts").alias("hour")
+    base = ev.select("event_type", hour, "value", "ts", "event_id")
+    w_a = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ordered = base.select(
+        "event_type",
+        "hour",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return ordered.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
