@@ -21,6 +21,7 @@ from kafkastreaming_spark.operators import (  # noqa: F401
     llm,
     multimodal,
     pipeline,
+    pq,
     projections,
     relational_ext,
     scans,
