@@ -40,13 +40,22 @@ def main() -> None:
     # rows-only streaming-harness keys time replay-harness I/O, not engine
     # throughput, and are excluded from the suite metric.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for key in sorted(ORACLES):
         samples = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            # noop sink: full materialization, no driver-side collection
-            QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                # noop sink: full materialization, no driver-side collection
+                QUERIES[key](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — one broken key must not
+            # take down the whole suite report (round 4: a fixture schema
+            # change crashed the run and the driver recorded nothing).
+            errors[key] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         per_query[key] = round(statistics.median(samples), 3)
 
     total = round(sum(per_query.values()), 3)
@@ -67,6 +76,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf_val,
                 "repeats": repeats,
+                "errors": errors,
             },
             f,
             indent=1,
@@ -82,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(per_query),
+                "n_errors": len(errors),
                 "queries": {k: per_query[k] for k in slowest},
             }
         )

@@ -1,0 +1,50 @@
+"""load_table's events-timestamp shim must accept every encoding the
+fixture generator has shipped (int64 nanos in rounds 1–3, plain
+TIMESTAMP_NTZ micros from round 4) and normalize both to a session-UTC
+TIMESTAMP — a silent encoding flip broke 19 driver keys in round 4."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from kafkastreaming_spark.io import load_table
+
+_MICROS = 1_705_312_800_000_000  # 2024-01-15 10:00:00 UTC
+
+
+def _write_events(spark, tmpdir: str, ts_value, ts_type) -> str:
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, ts_value, 7, "click", 1.5, "{}")], schema)
+    df.write.mode("overwrite").parquet(os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+def _loaded_ts(spark, sf_dir: str):
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    return df.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")).first()["s"]
+
+
+def test_load_table_accepts_int64_nanos(spark, tmp_path):
+    d = _write_events(spark, str(tmp_path / "ns"), _MICROS * 1000, T.LongType())
+    assert _loaded_ts(spark, d) == "2024-01-15 10:00:00"
+
+
+def test_load_table_accepts_ntz_micros(spark, tmp_path):
+    import datetime
+
+    naive = datetime.datetime(2024, 1, 15, 10, 0, 0)
+    d = _write_events(spark, str(tmp_path / "ntz"), naive, T.TimestampNTZType())
+    assert _loaded_ts(spark, d) == "2024-01-15 10:00:00"
