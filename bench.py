@@ -14,13 +14,35 @@ single-shot pass while iterating.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def current_round() -> int:
+    """Infer the in-progress round from the driver's BENCH_r{N}.json trail.
+
+    The driver writes BENCH_r{N}.json at the END of round N, so while round
+    N is being built the newest artifact on disk is r{N-1}.  Overridable via
+    SPARK_GRAFT_ROUND for ad-hoc runs.
+    """
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
 
 
 def main() -> None:
@@ -62,25 +84,28 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # A partial run (any key errored) must never be comparable against a
+    # full-run baseline row: a crashing expensive key would make the suite
+    # look faster.  Flag it and null the headline total.
+    partial = bool(errors)
+
     # Per-query detail goes to a file: the driver captures only a tail of
     # stdout, and a 90-entry JSON line overflows it (BENCH_r01 "parsed": null).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_val,
-                "repeats": repeats,
-                "errors": errors,
-            },
-            f,
-            indent=1,
-        )
+    # Also persist a round-stamped copy so per-key regressions across rounds
+    # are mechanically diffable (BENCH_DETAIL.json alone is overwritten).
+    detail = {
+        "metric": "suite_wall_sec",
+        "value": None if partial else total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_val,
+        "repeats": repeats,
+        "partial": partial,
+        "errors": errors,
+    }
+    for name in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{current_round():02d}.json"):
+        with open(os.path.join(REPO, name), "w") as f:
+            json.dump(detail, f, indent=1)
 
     # The machine-readable contract line: SHORT, and the LAST stdout line.
     slowest = sorted(per_query, key=per_query.get, reverse=True)[:5]
@@ -88,16 +113,19 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "suite_wall_sec",
-                "value": total,
+                "value": None if partial else total,
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(per_query),
                 "n_errors": len(errors),
+                "partial": partial,
                 "queries": {k: per_query[k] for k in slowest},
             }
         )
     )
     spark.stop()
+    if partial:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

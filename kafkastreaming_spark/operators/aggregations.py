@@ -445,25 +445,26 @@ def agg_sketch_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(xh) AS sx, SUM(yc) AS sy,
              SUM(xh * yc) AS sxy, SUM(xh * xh) AS sxx
       FROM pts GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS mxy,
+             CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS mxx
+      FROM sums
+    ),
+    fit AS (
+      -- NULLIF guards the degenerate single-hour-bucket group: both
+      -- engines then yield NULL instead of engine-specific Inf/NaN text.
+      SELECT event_type, n, mx, my,
+             (mxy - mx * my) / NULLIF(mxx - mx * mx, 0.0) AS slope
+      FROM m
     )
     SELECT event_type, n,
-           ROUND((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
-                  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
-                 / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
-                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-                 * 24.0 / 100.0, 6) AS slope_per_day,
-           ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-                  - (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
-                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
-                    / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
-                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-                 / 100.0, 6) AS intercept
-    FROM sums
+           ROUND(slope * 24.0 / 100.0, 6) AS slope_per_day,
+           ROUND((my - slope * mx) / 100.0, 6) AS intercept
+    FROM fit
     """,
 )
 def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,7 +502,9 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     my = F.col("sy").cast("double") / n_d
     mxy = F.col("sxy").cast("double") / n_d
     mxx = F.col("sxx").cast("double") / n_d
-    slope = (mxy - mx * my) / (mxx - mx * mx)
+    # nullif: a group whose events all land in one hour bucket has zero
+    # x-variance — both engines must agree on NULL, not Inf/NaN spellings.
+    slope = (mxy - mx * my) / F.nullif(mxx - mx * mx, F.lit(0.0))
     return sums.select(
         "event_type",
         "n",

@@ -28,3 +28,50 @@ def test_sketch_partial_within_5pct_of_exact(spark, sf_dir):
     for etype, (e, n_days) in est.items():
         assert n_days > 1
         assert abs(e - exact[etype]) <= 0.05 * exact[etype], (etype, e, exact[etype])
+
+
+def test_linreg_degenerate_group_yields_null_both_engines(spark, tmp_path):
+    """A group whose events all land in ONE hour bucket has zero x-variance:
+    the nullif-guarded slope must be NULL (not Inf/NaN) in Spark AND in the
+    DuckDB oracle, so the driver's stringified hash stays aligned
+    (ADVICE r5: unguarded denominator)."""
+    import datetime
+    import os
+
+    import duckdb
+    import pyspark.sql.types as T
+
+    from kafkastreaming_spark.all import ORACLES
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 5)
+    rows = [(i, t0, 1, "degen", float(i), "{}") for i in range(4)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+
+    out = QUERIES["agg_linreg"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["slope_per_day"] is None
+    assert out[0]["intercept"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    odf = con.execute(ORACLES["agg_linreg"]).df()
+    assert len(odf) == 1
+    import pandas as pd
+
+    assert pd.isna(odf["slope_per_day"].iloc[0])
+    assert pd.isna(odf["intercept"].iloc[0])

@@ -48,3 +48,52 @@ def test_load_table_accepts_ntz_micros(spark, tmp_path):
     naive = datetime.datetime(2024, 1, 15, 10, 0, 0)
     d = _write_events(spark, str(tmp_path / "ntz"), naive, T.TimestampNTZType())
     assert _loaded_ts(spark, d) == "2024-01-15 10:00:00"
+
+
+def _write_events_arrow(tmpdir: str, ts_arrow_type, int96: bool = False) -> str:
+    """Write the fixture with pyarrow so the parquet logical type is exact
+    (Spark's writer can't emit tz-aware TIMESTAMP(MICROS) or INT96 from a
+    TimestampNTZ column without session-level config flips)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # int64 → timestamp cast reinterprets the integer in the target unit
+    scale = 1000 if ts_arrow_type.unit == "ns" else 1
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([_MICROS * scale], pa.int64()).cast(ts_arrow_type),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    os.makedirs(os.path.join(tmpdir, "events.parquet"), exist_ok=True)
+    pq.write_table(
+        table,
+        os.path.join(tmpdir, "events.parquet", "part-0.parquet"),
+        use_deprecated_int96_timestamps=int96,
+    )
+    return tmpdir
+
+
+def test_load_table_accepts_tz_aware_micros(spark, tmp_path):
+    """Third plausible fixture encoding: TIMESTAMP(MICROS) with
+    isAdjustedToUTC=true — Spark reads it as TimestampType directly and the
+    shim must pass it through unshifted."""
+    import pyarrow as pa
+
+    d = _write_events_arrow(str(tmp_path / "tz"), pa.timestamp("us", tz="UTC"))
+    assert _loaded_ts(spark, d) == "2024-01-15 10:00:00"
+
+
+def test_load_table_accepts_int96(spark, tmp_path):
+    """Legacy INT96 encoding (older Hive/Spark writers) — also lands as
+    TimestampType under a UTC session."""
+    import pyarrow as pa
+
+    d = _write_events_arrow(
+        str(tmp_path / "i96"), pa.timestamp("ns", tz="UTC"), int96=True
+    )
+    assert _loaded_ts(spark, d) == "2024-01-15 10:00:00"

@@ -12,11 +12,18 @@ oracle over the same parquet files (views pre-registered exactly like
 Usage::
 
     python tools/verify_local.py [--sf /root/testdata/sf0.01] [keys...]
+    python tools/verify_local.py --report    # full inventory, writes
+                                             # VERIFY_LOCAL_r{N}.json
+
+``--report`` persists a machine-checkable per-key artifact (judge round-5
+"next round" item 1: every never-driver-sampled key carries local evidence
+the judge and driver can diff).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -26,7 +33,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -60,6 +68,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--report",
+        action="store_true",
+        help="write VERIFY_LOCAL_r{N}.json with per-key results",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -77,10 +90,12 @@ def main() -> int:
     keys = args.keys or sorted(QUERIES)
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+    report: dict[str, dict] = {}
     for key in keys:
         if key not in QUERIES:
             print(f"{key}: NO SUCH KEY")
             n_fail += 1
+            report[key] = {"status": "no_such_key"}
             continue
         t0 = time.time()
         try:
@@ -90,10 +105,12 @@ def main() -> int:
             print(f"{key}: SPARK ERROR\n{traceback.format_exc()}")
             n_fail += 1
             failures.append(key)
+            report[key] = {"status": "spark_error"}
             continue
         if key not in ORACLES:
             print(f"{key}: rows-only ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
+            report[key] = {"status": "rows_only", "rows": len(spdf)}
             continue
         try:
             odf = con.execute(ORACLES[key]).df()
@@ -101,21 +118,42 @@ def main() -> int:
             print(f"{key}: ORACLE ERROR\n{traceback.format_exc()}")
             n_fail += 1
             failures.append(key)
+            report[key] = {"status": "oracle_error"}
             continue
         ok, msg = compare(spdf, odf)
         if ok:
             print(f"{key}: PASS ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
+            report[key] = {"status": "pass", "rows": len(spdf)}
         else:
             print(f"{key}: FAIL — {msg}")
             n_fail += 1
             failures.append(key)
+            report[key] = {"status": "fail", "detail": msg[:300]}
     print(
         f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
         f"of {len(keys)} keys =="
     )
     if failures:
         print("failures:", " ".join(failures))
+    if args.report:
+        from bench import current_round
+
+        path = os.path.join(REPO, f"VERIFY_LOCAL_r{current_round():02d}.json")
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "n_keys": len(keys),
+                    "keys": report,
+                },
+                f,
+                indent=1,
+            )
+        print(f"report written: {path}")
     spark.stop()
     return 1 if n_fail else 0
 
