@@ -17,20 +17,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkastreaming_spark.hashing import H_DUCK as _H_DUCK
+from kafkastreaming_spark.hashing import H_SPARK as _H_SPARK
 from kafkastreaming_spark.io import load_table
-from kafkastreaming_spark.operators.pipeline import _H_SPARK
 from kafkastreaming_spark.registry import query
 
-# Portable 60-bit hash of a salted doc key, Spark / DuckDB spellings.
-# The salt prefix decorrelates this assignment from every other
-# hash-derived decision (dedup buckets, scan_sample) on the same key.
+# Portable 60-bit hash of a salted doc key (hashing.H_SPARK/H_DUCK),
+# reduced mod 100.  The salt prefix decorrelates this assignment from
+# every other hash-derived decision (dedup buckets, scan_sample) on the
+# same key.
 _SPLIT_H_SPARK = (
-    "pmod(CAST(conv(substr(md5(concat('{salt}:', CAST(doc_id AS STRING))), 1, 15),"
-    " 16, 10) AS BIGINT), 100)"
+    "pmod("
+    + _H_SPARK.format(x="concat('{salt}:', CAST(doc_id AS STRING))")
+    + ", 100)"
 )
 _SPLIT_H_DUCK = (
-    "CAST('0x' || substr(md5(concat('{salt}:', CAST(doc_id AS VARCHAR))), 1, 15)"
-    " AS BIGINT) % 100"
+    _H_DUCK.format(x="concat('{salt}:', CAST(doc_id AS VARCHAR))") + " % 100"
 )
 
 
@@ -178,8 +180,8 @@ _GRAM5_SPARK = (
     ),
     grams AS (
       SELECT doc_id, bucket,
-             CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-                  || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 15) AS BIGINT) AS g
+             {_H_DUCK.format(x="tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
+                               "|| ' ' || tk[i+3] || ' ' || tk[i+4]")} AS g
       FROM toks, unnest(generate_series(1, len(tk) - 4)) AS t(i)
     ),
     test_grams AS (
@@ -390,7 +392,7 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_chunk",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
     ),
@@ -406,7 +408,7 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(tk) >= 1
     )
     SELECT doc_id, chunk_idx, CAST(n_tokens AS INTEGER) AS n_tokens,
-           CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT) AS chunk_hash
+           {_H_DUCK.format(x='chunk_text')} AS chunk_hash
     FROM chunks
     """,
 )

@@ -22,14 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkastreaming_spark import hashing as hashing_mod
+from kafkastreaming_spark.hashing import H_DUCK as _H_DUCK
+from kafkastreaming_spark.hashing import H_SPARK as _H_SPARK
 from kafkastreaming_spark.io import load_table
 from kafkastreaming_spark.memo import memo
 from kafkastreaming_spark.operators.llm import _DOT, _SQ_NORM
 from kafkastreaming_spark.registry import query
-
-# Portable 60-bit hash of an expression, Spark / DuckDB spellings.
-_H_SPARK = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
-_H_DUCK = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 
 # --------------------------------------------------------------------------
@@ -1361,21 +1360,19 @@ _FP_SALTS = [
     0x27D4EB2F165667C5,
     0x165667B19E3779F9,
 ]
-# Polynomial 5-gram hash over char codes, mod the Mersenne prime 2^31-1:
-# acc stays < 2^31 and acc*131 + 127 < 2^39, so the integer math never
-# overflows BIGINT in either engine (DuckDB errors on overflow).
-_FP_BASE = 131
-_FP_MOD = (1 << 31) - 1
+# Polynomial 5-gram hash over char codes (hashing.poly_gram): 31-bit is
+# the right size for PER-DOC gram sets (~300 grams ⇒ collision P ≈ 2e-5,
+# see hashing.py's birthday-bound note); corpus-wide gram identities at
+# 100 TB should use hashing.poly_gram_wide's 62-bit pack instead.
+_FP_BASE = hashing_mod.POLY_BASE
+_FP_MOD = hashing_mod.POLY_MOD
 _FP_MASK = (1 << 31) - 1
 
 
 def _fp_poly(idx: str) -> str:
     """Gram hash at 0-based position {idx} of code array c (both engines
     evaluate this identically — pure BIGINT ops)."""
-    expr = f"CAST(c[{idx}] AS BIGINT)"
-    for k in range(1, 5):
-        expr = f"(({expr}) * {_FP_BASE} + c[{idx}+{k}]) % {_FP_MOD}"
-    return expr
+    return hashing_mod.poly_gram(idx, 5)
 
 
 def _fp_oracle() -> str:
