@@ -10,11 +10,12 @@ oracle exploits that: ``sha2(payload, 256)`` ≡ ``sha256(text)``.
 
 The decode stage (`mm_decode_features`) is the real Spark plumbing a
 media pipeline needs — Arrow-batched ``mapInPandas`` over binary
-payloads, explicit output schema, per-batch vectorized feature math.
-The actual codec call is stubbed (no image/audio libs in this sandbox):
-``_real_decode`` raises ``NotImplementedError``, and a deterministic
-byte-histogram fake stands in, so the distributed plumbing is fully
-exercised and tested while the codec remains a drop-in.
+payloads, explicit output schema, per-batch feature math — AND a real
+container codec: payloads are valid PCM WAV files (synthesized
+deterministically from the fixture text, since no binary media fixture
+exists), parsed back with the stdlib ``wave`` reader.  Heavier codecs
+(PIL / torchaudio / pyav) drop into the same seam with no plumbing
+change.
 
 Scale: payloads at 100 TB live in parquet binary columns (or pointers
 into object storage); ``mapInPandas`` streams Arrow batches so executor
@@ -120,98 +121,148 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FEAT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        # canonical CSV of the 16 integer histogram bins: arrays are not
-        # hashable by the driver's canonicalizer (CORRECTNESS_r01), and the
-        # integer form sidesteps cross-engine float formatting entirely
-        T.StructField("features_csv", T.StringType()),
+        # per-channel amplitude stats as exact integers: int16 samples sum
+        # below 2^53 at any plausible clip length, so no float discipline
+        # is needed for the driver's stringified hash
+        T.StructField("amp_min", T.IntegerType()),
+        T.StructField("amp_max", T.IntegerType()),
+        T.StructField("amp_sum", T.LongType()),
     ]
 )
 
-
-def _real_decode(payload: bytes):  # pragma: no cover - sandbox has no codecs
-    """Production decode hook (PIL / torchaudio / pyav).  Not available
-    in this sandbox — a deployment swaps this in; the Spark plumbing
-    around it is identical."""
-    raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "_fake_decode provides the deterministic stand-in"
-    )
+_WAV_RATE = 8000
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Deterministic stand-in: 'dimensions' from byte length, 'features'
-    = 16-bin high-nibble byte histogram (raw integer counts)."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    # The DuckDB oracle counts CHARS (length(text), codepoint classes);
-    # this kernel counts BYTES.  They agree only on ASCII — fail loudly
-    # on a non-ASCII fixture instead of silently diverging (ADVICE r2).
-    if (arr >= 128).any():
-        raise ValueError(
-            "mm_decode_features stand-in assumes ASCII payloads; found a "
-            "non-ASCII byte — align the oracle to byte semantics first"
-        )
-    hist = np.bincount(arr >> 4, minlength=16)
-    return len(arr) % 64 + 1, len(arr) // 64 + 1, hist
+def _make_wav(codes: "np.ndarray") -> bytes:
+    """Deterministic producer: a VALID mono 16-bit PCM WAV container whose
+    samples are ``(char_code - 64) * 256`` — spread across the signed
+    int16 range yet exactly reproducible by integer SQL in the oracle.
+    stdlib ``wave`` writes the canonical 44-byte RIFF/fmt/data layout."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(((codes - 64) * 256).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, "np.ndarray"]:
+    """Real container decode: parse the RIFF/WAVE header and PCM frames
+    with the stdlib ``wave`` codec (no stub, no fallback).  A deployment
+    swaps in PIL / torchaudio / pyav here for richer media; the Spark
+    plumbing around it is identical."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        bits = w.getsampwidth() * 8
+        rate = w.getframerate()
+        n = w.getnframes()
+        data = np.frombuffer(w.readframes(n), dtype="<i2")
+    return nch, bits, rate, n, data
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one Arrow batch in, one feature batch out."""
+    """mapInPandas kernel: synthesize the WAV payload (producer) then
+    round-trip it through the real decoder — one Arrow batch in, one
+    feature batch out.  The per-row loop is the codec call itself (same
+    shape as a PIL/pyav loop); all surrounding math is numpy."""
     for pdf in batches:
         rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            try:
-                w, h, feats = _real_decode(bytes(payload))
-            except NotImplementedError:
-                w, h, feats = _fake_decode(bytes(payload))
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            if (codes >= 128).any():
+                # The oracle derives expected samples from CODEPOINTS
+                # (ascii(ch)); byte==codepoint only holds for ASCII.
+                raise ValueError(
+                    "mm_decode_features assumes ASCII text; switch sample "
+                    "synthesis to codepoints for non-ASCII corpora"
+                )
+            payload = _make_wav(codes.astype(np.int64))
+            nch, bits, rate, n, data = _decode_wav(payload)
             rows.append(
                 (
                     int(doc_id),
-                    w,
-                    h,
+                    "audio/wav",
+                    nch,
+                    rate,
+                    bits,
+                    n,
                     len(payload),
-                    ",".join(str(int(c)) for c in feats),
+                    int(data.min()),
+                    int(data.max()),
+                    int(data.astype(np.int64).sum()),
                 )
             )
         yield pd.DataFrame(
-            rows, columns=["doc_id", "width", "height", "n_bytes", "features_csv"]
+            rows,
+            columns=[
+                "doc_id",
+                "media_type",
+                "n_channels",
+                "sample_rate",
+                "bits",
+                "n_frames",
+                "n_bytes",
+                "amp_min",
+                "amp_max",
+                "amp_sum",
+            ],
         )
-
-
-def _nibble_count_sql(b: int) -> str:
-    """DuckDB expression counting chars whose codepoint >> 4 == b (RE2 hex
-    class; ASCII corpus so char count == byte count)."""
-    lo, hi = b * 16, b * 16 + 15
-    return (
-        f"length(text) - length(regexp_replace(text, "
-        f"'[\\x{lo:02x}-\\x{hi:02x}]', '', 'g'))"
-    )
 
 
 @query(
     "mm_decode_features",
     oracle=f"""
+    WITH amp AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''),
+                            ch -> (ascii(ch) - 64) * 256) AS a
+      FROM documents WHERE length(text) >= 1
+    )
     SELECT doc_id,
-           CAST(length(text) % 64 + 1 AS INTEGER) AS width,
-           CAST(length(text) // 64 + 1 AS INTEGER) AS height,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           concat_ws(',', {", ".join(_nibble_count_sql(b) for b in range(16))})
-             AS features_csv
-    FROM documents
+           'audio/wav' AS media_type,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST({_WAV_RATE} AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits,
+           CAST(len(a) AS BIGINT) AS n_frames,
+           CAST(44 + 2 * len(a) AS BIGINT) AS n_bytes,
+           CAST(list_aggregate(a, 'min') AS INTEGER) AS amp_min,
+           CAST(list_aggregate(a, 'max') AS INTEGER) AS amp_max,
+           CAST(list_aggregate(a, 'sum') AS BIGINT) AS amp_sum
+    FROM amp
     """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract via Arrow-batched ``mapInPandas``.
+    """Decode + feature-extract via Arrow-batched ``mapInPandas``, with a
+    REAL container codec end to end: each document becomes a valid mono
+    16-bit PCM WAV payload (deterministic producer), and the kernel
+    parses the RIFF header + frames back with the stdlib ``wave`` reader
+    and emits typed audio metadata plus exact integer amplitude stats.
 
-    This is the canonical media-decode topology: binary column in, typed
-    struct out, Python touched once per Arrow batch — swap
-    ``_real_decode`` for a codec and nothing else changes.  The fake
-    decoder's nibble histogram is emitted as a canonical integer CSV so
-    the driver can hash it AND DuckDB can reproduce it (16 regexp
-    char-class counts) — a full value oracle, not just rows-only."""
-    return _with_payload(spark, sf_dir).mapInPandas(_decode_batches, _FEAT_SCHEMA)
+    The DuckDB oracle reproduces every value arithmetically from the
+    text (header constants + ``(ascii(ch)-64)*256`` sample math), so the
+    whole decode path — container write, header parse, PCM frame read,
+    channel stats — is value-checked, not just rows-only.  At 100 TB the
+    payload column arrives from the lake instead of the synthesizer and
+    the kernel drops ``_make_wav``; nothing else changes."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(_decode_batches, _FEAT_SCHEMA)
 
 
 @query(

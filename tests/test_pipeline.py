@@ -9,18 +9,56 @@ from kafkastreaming_spark.all import QUERIES
 from kafkastreaming_spark.io import load_table
 
 
-def test_mm_decode_features_deterministic_and_shaped(spark, sf_dir):
+def test_mm_decode_features_real_wav_roundtrip(spark, sf_dir):
+    """The decode path must be a REAL container parse: every payload is a
+    valid PCM WAV (44-byte canonical header + int16 frames) and the
+    emitted metadata/stats must agree with an independent re-decode of
+    one payload here in the test."""
     out1 = QUERIES["mm_decode_features"](spark, sf_dir)
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = (
+        load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1).count()
+    )
     rows = out1.collect()
     assert len(rows) == n_docs
-    assert out1.columns == ["doc_id", "width", "height", "n_bytes", "features_csv"]
+    assert out1.columns == [
+        "doc_id",
+        "media_type",
+        "n_channels",
+        "sample_rate",
+        "bits",
+        "n_frames",
+        "n_bytes",
+        "amp_min",
+        "amp_max",
+        "amp_sum",
+    ]
     for r in rows[:20]:
-        bins = [int(c) for c in r["features_csv"].split(",")]
-        assert len(bins) == 16
-        assert sum(bins) == r["n_bytes"]  # histogram covers every byte
-        assert r["n_bytes"] >= 44
-    # deterministic across executions (fake decode is pure)
+        assert r["media_type"] == "audio/wav"
+        assert (r["n_channels"], r["sample_rate"], r["bits"]) == (1, 8000, 16)
+        assert r["n_bytes"] == 44 + 2 * r["n_frames"]  # canonical header
+        assert -16384 <= r["amp_min"] <= r["amp_max"] <= 16128
+        assert r["n_frames"] * -16384 <= r["amp_sum"] <= r["n_frames"] * 16128
+    # independent round-trip of one document through the same codec
+    import io
+    import wave
+
+    import numpy as np
+
+    from kafkastreaming_spark.operators.multimodal import _make_wav
+
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .orderBy("doc_id")
+        .first()
+    )
+    codes = np.frombuffer(doc["text"].encode(), dtype=np.uint8).astype(np.int64)
+    with wave.open(io.BytesIO(_make_wav(codes)), "rb") as w:
+        samples = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    got = {r["doc_id"]: r for r in rows}[doc["doc_id"]]
+    assert got["n_frames"] == len(samples)
+    assert got["amp_sum"] == int(samples.astype(np.int64).sum())
+    # deterministic across executions
     rows2 = QUERIES["mm_decode_features"](spark, sf_dir).collect()
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
 
