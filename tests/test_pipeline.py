@@ -271,3 +271,15 @@ def test_agg_approx_distinct_within_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(2, 0.15 * n), (et, approx[et], n)
+
+
+def test_dedup_clusters_local_gate_matches_distributed_loop(spark, sf_dir, monkeypatch):
+    """The r6 statistics-gated union-find (driver path) must produce
+    byte-identical labels to the distributed propagation loop it
+    short-circuits — forced here by dropping the gate to 0 edges."""
+    from kafkastreaming_spark.operators import pipeline
+
+    local = sorted(map(str, QUERIES["llm_dedup_clusters"](spark, sf_dir).collect()))
+    monkeypatch.setattr(pipeline, "_CC_LOCAL_MAX_EDGES", 0)
+    dist = sorted(map(str, QUERIES["llm_dedup_clusters"](spark, sf_dir).collect()))
+    assert local == dist
