@@ -447,3 +447,69 @@ def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ch.n_tokens").cast("int").alias("n_tokens"),
         F.expr(_H_SPARK.format(x="ch.chunk_text")).alias("chunk_hash"),
     )
+
+
+@query(
+    "llm_zipf",
+    oracle="""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT term,
+             CAST(freq AS BIGINT) AS freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, term) AS INTEGER)
+               AS rnk,
+             SUM(freq) OVER () AS total
+      FROM tf
+    )
+    SELECT term, rnk, freq,
+           CAST(rnk * freq AS BIGINT) AS zipf_c,
+           ROUND(100.0 * freq / total, 6) AS share_pct
+    FROM ranked
+    WHERE rnk <= 50
+    """,
+)
+def llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token rank-frequency census (Zipf curve head): the top-50 corpus
+    tokens with rank, frequency, the rank x freq product (constant under
+    an ideal Zipf law — the sanity number corpus reports quote), and the
+    corpus share.  Drives stopword lists, tokenizer-vocabulary sizing,
+    and the boilerplate-vs-content diagnostics a training-data census
+    starts with.
+
+    The heavy pass is explode + ONE map-side-combined hash-agg on the
+    term key; the global ordering windows then run over the AGGREGATED
+    term table (distinct terms only, Heaps-law sublinear in corpus
+    size), the same post-reduction discipline as llm_domain_mix.  At
+    100 TB you'd pre-filter `HAVING freq > corpus_n / 1e9` before the
+    window to bound the ranked table; at any scale the top-50 head is
+    by definition tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w_order = Window.orderBy(F.col("freq").desc(), "term")
+    w_all = Window.partitionBy()
+    return (
+        tf.select(
+            "term",
+            F.row_number().over(w_order).alias("rnk"),
+            F.col("freq").cast("long").alias("freq"),
+            F.round(
+                F.lit(100.0) * F.col("freq") / F.sum("freq").over(w_all), 6
+            ).alias("share_pct"),
+        )
+        .filter(F.col("rnk") <= 50)
+        .select(
+            "term",
+            "rnk",
+            "freq",
+            (F.col("rnk") * F.col("freq")).cast("long").alias("zipf_c"),
+            "share_pct",
+        )
+    )

@@ -265,6 +265,97 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_decode_batches, _FEAT_SCHEMA)
 
 
+_ENERGY_FRAME = 64  # samples per analysis frame (8 ms at 8 kHz)
+
+
+@query(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH amp AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''),
+                            ch -> (ascii(ch) - 64) * 256) AS a
+      FROM documents WHERE length(text) >= {_ENERGY_FRAME}
+    ),
+    frames AS (
+      SELECT doc_id, a,
+             unnest(generate_series(0, len(a) // {_ENERGY_FRAME} - 1))
+               AS frame_idx
+      FROM amp
+    ),
+    sliced AS (
+      SELECT doc_id, frame_idx,
+             a[(frame_idx * {_ENERGY_FRAME} + 1):((frame_idx + 1) * {_ENERGY_FRAME})]
+               AS fr
+      FROM frames
+    )
+    SELECT doc_id, frame_idx,
+           CAST(list_aggregate(list_transform(fr, x -> x * x), 'sum')
+                AS BIGINT) AS energy,
+           CAST(GREATEST(list_aggregate(fr, 'max'),
+                         -list_aggregate(fr, 'min')) AS INTEGER) AS peak
+    FROM sliced
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio energy over the REAL WAV payloads: decode the
+    PCM container (same stdlib ``wave`` codec as ``mm_decode_features``),
+    chop the sample stream into 64-sample frames (8 ms at 8 kHz), and
+    emit each frame's energy (Σ s²) and peak amplitude — the
+    voice-activity / silence-trim primitive of an audio training
+    pipeline (incomplete tail frames are dropped, the standard DSP
+    convention).
+
+    All stats are exact int64 (|s| ≤ 16384 ⇒ frame energy ≤ 2^34·2^6 ≪
+    2^53), so the DuckDB oracle reproduces them arithmetically from the
+    text and the whole decode→frame→energy path is hash-checked.  The
+    kernel is numpy throughout: frames via reshape, energy/peak as C
+    reductions; per-doc output fans out map-side only (no shuffle) —
+    the same scale shape as ``mm_frame_sample``."""
+    frame = _ENERGY_FRAME
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_en, out_pk = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if (codes >= 128).any():
+                    raise ValueError(
+                        "mm_audio_energy assumes ASCII text; switch sample "
+                        "synthesis to codepoints for non-ASCII corpora"
+                    )
+                payload = _make_wav(codes.astype(np.int64))
+                _, _, _, n, data = _decode_wav(payload)
+                n_frames = n // frame
+                if n_frames == 0:
+                    continue
+                fr = (
+                    data[: n_frames * frame].astype(np.int64).reshape(n_frames, frame)
+                )
+                out_doc.append(np.full(n_frames, doc_id, dtype=np.int64))
+                out_idx.append(np.arange(n_frames, dtype=np.int64))
+                out_en.append((fr * fr).sum(axis=1))
+                out_pk.append(np.abs(fr).max(axis=1))
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "frame_idx": np.concatenate(out_idx),
+                        "energy": np.concatenate(out_en),
+                        "peak": np.concatenate(out_pk).astype(np.int32),
+                    }
+                )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= frame)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        energy_batches, "doc_id long, frame_idx long, energy long, peak int"
+    )
+
+
 @query(
     "mm_dedup_binary",
     oracle="""
@@ -322,4 +413,140 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("cnt") - 1) * F.col("n_bytes"))
         .cast("bigint")
         .alias("bytes_saved"),
+    )
+
+
+_BMP_W = 16  # pixels per row; 24-bit rows = 48 bytes, already 4-aligned
+
+
+def _make_bmp(codes: "np.ndarray") -> bytes:
+    """Deterministic producer: a VALID 24-bit BITMAPINFOHEADER BMP whose
+    grayscale pixels are the document's char codes (B=G=R=code), rows
+    stored bottom-up per the spec.  Width is fixed at 16 so each row is
+    48 bytes — a multiple of 4, so the format's row padding is exercised
+    as a no-op rather than skipped."""
+    import struct
+
+    h = len(codes) // _BMP_W
+    px = codes[: h * _BMP_W].astype(np.uint8).reshape(h, _BMP_W)
+    rows = np.repeat(px[::-1], 3, axis=1)  # bottom-up; B=G=R
+    body = rows.tobytes()
+    file_size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, _BMP_W, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Real container decode: parse the BITMAPFILEHEADER +
+    BITMAPINFOHEADER with struct, then read the bottom-up pixel array
+    back into top-down (height, width, 3) uint8."""
+    import struct
+
+    magic, file_size, _, _, offset = struct.unpack("<2sIHHI", payload[:14])
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (hdr_size, width, height, planes, bpp) = struct.unpack(
+        "<IiiHH", payload[14:30]
+    )
+    if (hdr_size, planes, bpp) != (40, 1, 24):
+        raise ValueError("unsupported BMP variant")
+    row_bytes = (width * 3 + 3) // 4 * 4
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=height * row_bytes, offset=offset)
+        .reshape(height, row_bytes)[:, : width * 3]
+        .reshape(height, width, 3)[::-1]
+    )
+    return width, height, bpp, px
+
+
+@query(
+    "mm_image_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), ch -> ascii(ch))
+               [1:(length(text) // {_BMP_W}) * {_BMP_W}] AS p,
+             length(text) // {_BMP_W} AS h
+      FROM documents WHERE length(text) >= {_BMP_W}
+    )
+    SELECT doc_id,
+           'image/bmp' AS media_type,
+           CAST({_BMP_W} AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(24 AS INTEGER) AS bpp,
+           CAST(54 + h * {_BMP_W} * 3 AS BIGINT) AS n_bytes,
+           CAST(list_aggregate(p, 'min') AS INTEGER) AS px_min,
+           CAST(list_aggregate(p, 'max') AS INTEGER) AS px_max,
+           CAST(3 * list_aggregate(p, 'sum') AS BIGINT) AS px_sum
+    FROM px
+    """,
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image counterpart of ``mm_decode_features``: every document
+    becomes a VALID 24-bit BMP (fixed 16-pixel rows, grayscale pixels =
+    char codes, bottom-up row order per the spec), and the kernel parses
+    the two binary headers with ``struct``, reconstructs the pixel
+    array, and emits typed image metadata plus exact integer pixel
+    stats — the decode/validate/profile pass of an image-lake ingest.
+
+    Same contract as the WAV path: the DuckDB oracle reproduces every
+    value arithmetically from the text (header constants + codepoint
+    pixel math), so the container write → header parse → pixel read
+    round-trip is hash-checked end to end.  Arrow-batched mapInPandas,
+    map-side only; swap the synthesizer for a payload column and the
+    kernel for PIL at deployment — the plumbing is identical."""
+
+    def image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if (codes >= 128).any():
+                    raise ValueError(
+                        "mm_image_decode assumes ASCII text; switch pixel "
+                        "synthesis to codepoints for non-ASCII corpora"
+                    )
+                payload = _make_bmp(codes)
+                width, height, bpp, px = _decode_bmp(payload)
+                flat = px.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        "image/bmp",
+                        width,
+                        height,
+                        bpp,
+                        len(payload),
+                        int(flat.min()),
+                        int(flat.max()),
+                        int(flat.sum()),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id",
+                        "media_type",
+                        "width",
+                        "height",
+                        "bpp",
+                        "n_bytes",
+                        "px_min",
+                        "px_max",
+                        "px_sum",
+                    ],
+                )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _BMP_W)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        image_batches,
+        "doc_id long, media_type string, width int, height int, bpp int, "
+        "n_bytes long, px_min int, px_max int, px_sum long",
     )
