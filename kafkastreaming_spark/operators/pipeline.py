@@ -425,6 +425,37 @@ _PAGERANK_ITER_ORACLE = """
     )"""
 
 
+def _pagerank_local(spark: SparkSession, pairs_pdf) -> DataFrame:
+    """Driver-side replay of the exact-integer-grid PageRank: identical
+    IEEE divisions, identical round-half-away, order-free int64 share
+    sums — bit-identical to the distributed unrolled plan."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_id long, pagerank_scaled long"
+    if len(pairs_pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    a = pairs_pdf["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs_pdf["doc_b"].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u = np.concatenate([inv[: len(a)], inv[len(a) :]])
+    v = np.concatenate([inv[len(a) :], inv[: len(a)]])
+    deg = np.bincount(u, minlength=len(ids)).astype(np.int64)
+
+    def round_half_away_pos(x: "np.ndarray") -> "np.ndarray":
+        f = np.floor(x)
+        return (f + (x - f >= 0.5)).astype(np.int64)
+
+    p = np.full(len(ids), 1_000_000_000, dtype=np.int64)
+    for _ in range(3):
+        share = round_half_away_pos(p.astype(np.float64) / deg.astype(np.float64))
+        s = np.bincount(v, weights=share[u], minlength=len(ids)).astype(np.int64)
+        p = 150_000_000 + round_half_away_pos((s * 85).astype(np.float64) / 100.0)
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "pagerank_scaled": p}), out_schema
+    )
+
+
 @query(
     "graph_pagerank",
     oracle=f"""
@@ -464,8 +495,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs.  Per iteration: one broadcast join of the (node, share) map
     onto the edge list + one shuffle agg on the target key — the
     standard distributed PageRank round shape; unrolled (no driver
-    loop), so Catalyst sees one straight-line plan."""
+    loop), so Catalyst sees one straight-line plan.
+
+    REGIME SPLIT (r6, the llm_dedup_clusters gate): below
+    ``_CC_LOCAL_MAX_EDGES`` the three iterations run vectorized on the
+    driver — numpy float64 division IS the same IEEE op as both SQL
+    engines', the round-half-away spelling is replicated exactly
+    (``frac >= 0.5`` on the quotient double, exact because x−floor(x)
+    is exact below 2^53), and share sums are order-free int64 — so the
+    labels stay bit-identical to the distributed plan (pytest-pinned).
+    Above the gate the unrolled Spark plan below is the path."""
     pairs = llm_simhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    head = pairs.limit(_CC_LOCAL_MAX_EDGES + 1).toPandas()
+    if len(head) <= _CC_LOCAL_MAX_EDGES:
+        return _pagerank_local(spark, head)
     und = (
         pairs.selectExpr("doc_a AS u", "doc_b AS v")
         .union(pairs.selectExpr("doc_b AS u", "doc_a AS v"))

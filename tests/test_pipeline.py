@@ -302,3 +302,14 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     }
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"MinHash-LSH recall degraded: {recall:.3f}"
+
+
+def test_pagerank_local_gate_matches_distributed_plan(spark, sf_dir, monkeypatch):
+    """The r6 driver-side PageRank replay must be bit-identical to the
+    distributed unrolled plan — forced by dropping the gate to 0."""
+    from kafkastreaming_spark.operators import pipeline
+
+    local = sorted(map(str, QUERIES["graph_pagerank"](spark, sf_dir).collect()))
+    monkeypatch.setattr(pipeline, "_CC_LOCAL_MAX_EDGES", 0)
+    dist = sorted(map(str, QUERIES["graph_pagerank"](spark, sf_dir).collect()))
+    assert local == dist
