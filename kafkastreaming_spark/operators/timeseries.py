@@ -268,3 +268,76 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+_EWMA_TAPS = 8  # halving weights 2^0 .. 2^-7 — exact binary fractions
+
+
+def _ewma_terms(lag_fmt: str) -> str:
+    """Fixed-order 8-tap weighted sum: cents are integers, the weights
+    are exact powers of two, and every partial term keeps the mantissa
+    under 2^53, so the fold is EXACT in IEEE double and order-free —
+    but spelled left-to-right identically in both engines anyway."""
+    return " + ".join(
+        f"COALESCE({lag_fmt.format(i=i)}, 0) * {0.5 ** i!r}"
+        for i in range(_EWMA_TAPS)
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    hourly AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                            * 1000000) AS hour_start,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour_start,
+           ROUND(CAST(cents AS DOUBLE) / 100.0, 6) AS hourly_value,
+           ROUND(({_ewma_terms('lag(cents, {i}) OVER w')})
+                 / ({' + '.join(repr(0.5 ** i) for i in range(_EWMA_TAPS))})
+                 / 100.0, 6) AS ewma_value
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the hourly value series
+    per event type (8 halving taps, normalized) — the trend smoother
+    behind "is this metric drifting" dashboards, next to ``ts_ohlc``
+    and ``agg_linreg``.
+
+    A recursive EWMA is order-sequential and float-fragile; the 8-tap
+    FIR spelling is the scale-correct rewrite: hourly cents are exact
+    integers (the events money discipline), the taps are exact powers
+    of two, so the weighted sum is EXACT in double and identical in
+    both engines; one division + round at the end.  Plan: one
+    map-side-combined hash-agg to hourly, then lag windows over the
+    AGGREGATED series (rows = types × hours, tiny) — the same
+    post-reduction window discipline as llm_domain_mix; missing
+    leading taps coalesce to 0 (warm-up ramp, standard FIR edge)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "hour_start")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    taps = _ewma_terms(
+        "lag(cents, {i}) OVER (PARTITION BY event_type ORDER BY hour_start)"
+    )
+    norm = " + ".join(repr(0.5 ** i) for i in range(_EWMA_TAPS))
+    return hourly.select(
+        "event_type",
+        "hour_start",
+        F.round(F.col("cents").cast("double") / 100.0, 6).alias("hourly_value"),
+        F.round(
+            F.expr(f"({taps}) / ({norm})") / 100.0, 6
+        ).alias("ewma_value"),
+    )
