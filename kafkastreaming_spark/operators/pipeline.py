@@ -233,7 +233,12 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_LOCAL_MAX_EDGES = 10_000_000
 
 
-def _cc_local(spark: SparkSession, pairs_pdf) -> DataFrame:
+def _cc_local(
+    spark: SparkSession,
+    pairs_pdf,
+    cols: tuple[str, str] = ("doc_a", "doc_b"),
+    out_id: str = "doc_id",
+) -> DataFrame:
     """Vectorized hash-to-min union-find over a collected edge list:
     every round takes the min label across each edge in C (np.minimum.at)
     then pointer-halves to a fixpoint — O(E) per round, O(log diameter)
@@ -241,11 +246,11 @@ def _cc_local(spark: SparkSession, pairs_pdf) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    out_schema = "doc_id long, cluster_id long, cluster_size long"
+    out_schema = f"{out_id} long, cluster_id long, cluster_size long"
     if len(pairs_pdf) == 0:
         return spark.createDataFrame([], out_schema)
-    a = pairs_pdf["doc_a"].to_numpy(dtype=np.int64)
-    b = pairs_pdf["doc_b"].to_numpy(dtype=np.int64)
+    a = pairs_pdf[cols[0]].to_numpy(dtype=np.int64)
+    b = pairs_pdf[cols[1]].to_numpy(dtype=np.int64)
     ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     u, v = inv[: len(a)], inv[len(a) :]
     lab = np.arange(len(ids), dtype=np.int64)
@@ -264,7 +269,7 @@ def _cc_local(spark: SparkSession, pairs_pdf) -> DataFrame:
     return spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": ids,
+                out_id: ids,
                 "cluster_id": ids[lab],
                 "cluster_size": sizes[lab],
             }
@@ -341,13 +346,25 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = pairs.limit(_CC_LOCAL_MAX_EDGES + 1).toPandas()
     if len(head) <= _CC_LOCAL_MAX_EDGES:
         return _cc_local(spark, head)
+    return _cc_distributed(spark, pairs)
+
+
+def _cc_distributed(
+    spark: SparkSession,
+    pairs: DataFrame,
+    cols: tuple[str, str] = ("doc_a", "doc_b"),
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """The above-gate connected-components path: iterative min-label
+    propagation + pointer halving, one lazy localCheckpoint per round
+    (see llm_dedup_clusters docstring for the full scale discussion)."""
     # The dup graph is orders of magnitude smaller than the corpus it
     # came from — coalesce to a handful of partitions so each round's
     # jobs don't pay 32-task scheduling overhead on kilobyte splits (at
     # real scale, size this as edges/targetPartitionBytes instead).
     und = (
-        pairs.selectExpr("doc_a AS u", "doc_b AS v")
-        .union(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+        pairs.selectExpr(f"{cols[0]} AS u", f"{cols[1]} AS v")
+        .union(pairs.selectExpr(f"{cols[1]} AS u", f"{cols[0]} AS v"))
         .coalesce(8)
         # eager=False: the checkpoint materializes with the round's
         # convergence aggregate — one job per round instead of two.
@@ -400,7 +417,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(F.broadcast(sizes), "label").select(
-        F.col("u").alias("doc_id"),
+        F.col("u").alias(out_id),
         F.col("label").alias("cluster_id"),
         "cluster_size",
     )
@@ -1009,6 +1026,51 @@ def _cosine_pairs_blocked(
             lambda l, r: block_pairs(l, r), "vec_a long, vec_b long, cos_sim double"
         )
     )
+
+
+@query(
+    "llm_cosine_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_COSINE_DEDUP_ORACLE}
+    ),
+    und AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+      WHERE e.v <> r.u
+    )
+    SELECT u AS vec_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           COUNT(*) + 1 AS cluster_size
+    FROM reach GROUP BY u
+    """,
+)
+def llm_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clusters: connected components over the
+    embedding-cosine near-dup pairs (``llm_cosine_dedup``) — the same
+    pairs→clusters→keep-one decision layer as ``llm_dedup_clusters``,
+    applied to the semantic-similarity graph instead of the SimHash
+    token graph.  A production dedup stack runs BOTH: token-level CC
+    catches verbatim/near-verbatim copies, embedding CC catches
+    paraphrases the token operators can't see.
+
+    Same statistics-gated machinery (shared `_cc_local` /
+    `_cc_distributed`): below 10M edges the labelling is a vectorized
+    driver union-find after one distributed materialization of the pair
+    scan; above it, the pointer-halving propagation loop.  Labels are
+    exact min-ids, so the key is hash-checked against the recursive-CTE
+    closure."""
+    pairs = llm_cosine_dedup(spark, sf_dir).select("vec_a", "vec_b")
+    head = pairs.limit(_CC_LOCAL_MAX_EDGES + 1).toPandas()
+    if len(head) <= _CC_LOCAL_MAX_EDGES:
+        return _cc_local(spark, head, cols=("vec_a", "vec_b"), out_id="vec_id")
+    return _cc_distributed(spark, pairs, cols=("vec_a", "vec_b"), out_id="vec_id")
 
 
 def _hyperplanes(n: int = 8, dim: int = 64) -> list[list[float]]:
