@@ -284,3 +284,40 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mm_kernels_prune_to_two_columns(spark, sf_dir):
+    """The media kernels must not drag unused document columns through
+    Arrow: ReadSchema prunes to (doc_id, text)."""
+    for key in ("mm_decode_features", "mm_audio_energy", "mm_image_decode"):
+        plan = _plan(spark, sf_dir, key)
+        assert "lang" not in plan and "source" not in plan, key
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, key
+
+
+def test_zipf_aggregates_before_global_window(spark, sf_dir):
+    """llm_zipf's global ordering window must run AFTER the term
+    reduction (two-phase agg), never over raw exploded tokens."""
+    plan = _plan(spark, sf_dir, "llm_zipf")
+    assert plan.count("HashAggregate") >= 2  # partial + final term counts
+    assert "Window" in plan
+    # the window's child is the aggregated side: generator runs below agg
+    assert plan.index("Generate") > plan.index("Window") or plan.count(
+        "Exchange"
+    ) >= 1
+
+
+def test_ewma_windows_run_post_reduction(spark, sf_dir):
+    """ts_ewma: one map-side-combined hash-agg to hourly, lag windows
+    over the aggregated series only."""
+    plan = _plan(spark, sf_dir, "ts_ewma")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_pq_adc_broadcasts_lut(spark, sf_dir):
+    """llm_pq_adc_topk: the per-query LUT side must broadcast (no pair
+    shuffle), and the rank filter must push into WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "llm_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
