@@ -456,3 +456,209 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(
         dsum(F.expr(_REV), "revenue"), F.count(F.lit(1)).alias("n_lines")
     )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-priority census (adapted: the trimmed schema has no
+    l_shipmode/commitdate, so the mode axis becomes l_linestatus and the
+    late-delivery predicate becomes the shipdate year window): per
+    status, how many lines belong to high- vs low-priority orders.
+
+    The interesting plan property: a FACT×FACT equi-join (orders ×
+    lineitem on orderkey — neither side broadcastable at scale) feeding
+    a two-phase conditional-count aggregate; the year predicate pushes
+    to the lineitem scan, shrinking the join's build side before the
+    shuffle.  At 100 TB both sides bucket on orderkey and the join is
+    shuffle-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution (adapted: the comment
+    NOT-LIKE filter becomes an order-priority exclusion): how many
+    customers placed 0, 1, 2, ... qualifying orders — zero-order
+    customers included via the LEFT join.
+
+    Two cascaded aggregations: per-customer count (shuffle on custkey —
+    the join key, so AQE reuses the exchange), then the tiny histogram
+    agg.  The filter rides the join condition, not a WHERE, which is
+    exactly what preserves the zero-order customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    WITH target_parts AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#5' AND p_type = 'ECONOMY'
+    ),
+    li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN target_parts ON l_partkey = p_partkey
+    ),
+    thresh AS (
+      SELECT l_partkey,
+             ROUND(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(24,8))), 6)
+                        AS DOUBLE) / COUNT(*), 6) AS avg_qty
+      FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,8))), 2)
+                      AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM li JOIN thresh USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue (adapted: brand/type filter in
+    place of the absent container column): yearly revenue lost if
+    below-20%-of-average-quantity orders for the target parts stopped.
+
+    The correlated scalar subquery (per-part avg quantity) decorrelates
+    into one aggregate over the SAME pre-joined lineitem slice + a
+    re-join on partkey — Catalyst's own decorrelation shape, spelled
+    explicitly so both engines compute the identical davg discipline
+    (exact decimal sum → double → round 6dp; the threshold comparison
+    then runs on bit-identical doubles).  The part filter broadcasts;
+    the per-part agg table is tiny; at scale the lineitem slice is the
+    only fact-sized thing touched, twice, with the pushed-down partkey
+    semi-join shrinking both passes."""
+    part_f = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    thresh = li.groupBy("l_partkey").agg(davg("l_quantity", "avg_qty"))
+    joined = li.join(F.broadcast(thresh), "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return joined.agg(
+        F.round(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,8)")), 2).cast(
+                "double"
+            )
+            / 7.0,
+            2,
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT ROUND(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(24,8))), 6)
+                   AS DOUBLE) / COUNT(*), 6) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    rich_idle AS (
+      SELECT c.c_nationkey, c.c_acctbal
+      FROM customer c CROSS JOIN avg_bal
+      WHERE c.c_acctbal > avg_bal.a
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(24,8))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM rich_idle
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity (adapted: the phone-prefix country
+    code becomes c_nationkey — the column the trimmed schema actually
+    has): customers with above-average positive balances who never
+    placed an order, grouped by nation.
+
+    Three classic shapes in one query: a scalar aggregate broadcast as
+    a cross join (the sub_scalar pattern, davg discipline so the
+    threshold double is bit-identical), a LEFT ANTI join against orders
+    (never a NOT IN — null-safe and shuffle-partitioned on the key),
+    and a final two-phase agg.  At scale the anti join is the only
+    shuffle on a fact table; the scalar side is one row."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", "a")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
