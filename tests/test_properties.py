@@ -89,3 +89,109 @@ def test_round6_never_hits_exact_midpoint(x):
         # x has a finite 7-decimal expansion ⇒ its 7th digit can't be a
         # bare 5 (that would need 5⁶ in a power-of-two denominator)
         assert int(scaled) % 10 != 5
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_wav_roundtrip_preserves_samples(text):
+    """_make_wav → _decode_wav must be the identity on samples for ANY
+    printable-ASCII text (the mm_decode_features/mm_audio_energy codec
+    seam), with the canonical 44-byte header."""
+    import numpy as np
+
+    from kafkastreaming_spark.operators.multimodal import _decode_wav, _make_wav
+
+    codes = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+    payload = _make_wav(codes)
+    nch, bits, rate, n, data = _decode_wav(payload)
+    assert (nch, bits, rate) == (1, 16, 8000)
+    assert len(payload) == 44 + 2 * len(codes)
+    assert n == len(codes)
+    assert np.array_equal(data.astype(np.int64), (codes - 64) * 256)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=16,
+        max_size=400,
+    )
+)
+def test_bmp_roundtrip_preserves_pixels(text):
+    """_make_bmp → _decode_bmp must reconstruct the top-down grayscale
+    pixel grid exactly (bottom-up storage, 16-px rows)."""
+    import numpy as np
+
+    from kafkastreaming_spark.operators.multimodal import (
+        _BMP_W,
+        _decode_bmp,
+        _make_bmp,
+    )
+
+    codes = np.frombuffer(text.encode(), dtype=np.uint8)
+    payload = _make_bmp(codes)
+    width, height, bpp, px = _decode_bmp(payload)
+    assert (width, bpp) == (_BMP_W, 24)
+    assert height == len(codes) // _BMP_W
+    want = codes[: height * _BMP_W].reshape(height, _BMP_W)
+    assert np.array_equal(px[:, :, 0], want)  # B channel
+    assert np.array_equal(px[:, :, 1], want)  # G == B == R (grayscale)
+    assert np.array_equal(px[:, :, 2], want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2000),
+            st.integers(min_value=0, max_value=2000),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_local_union_find_labels_are_component_minima(edges):
+    """_cc_local's labels must equal a reference DFS's component minima
+    for arbitrary edge lists — the invariant the oracle's recursive CTE
+    checks, pinned independent of any fixture."""
+    import pandas as pd
+
+    from kafkastreaming_spark.operators.pipeline import _cc_local
+
+    pdf = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    # reference: adjacency DFS
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            comp.append(x)
+            stack.extend(adj[x] - seen)
+        mn = min(comp)
+        for x in comp:
+            want[x] = mn
+
+    class _FakeSpark:
+        def createDataFrame(self, df, schema):
+            return df  # capture the pandas frame pre-Spark
+
+    out = _cc_local(_FakeSpark(), pdf)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == want
