@@ -1674,30 +1674,53 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: 4 salted min-hashes over rolling character
     5-grams — a winnowing-style signature; equal fingerprints ⇒ heavy
-    overlap.  Map-side per-doc min-agg, no pair scan; signatures then
-    group-join in O(n) for candidate generation (the MinHash principle
-    spelled by hand).  The gram hash is a polynomial over char codes mod
-    2^31-1: the code array is built once per doc, then each gram is five
-    codegen'd integer ops — measured 3.6× faster than the previous
-    md5+hex-parse per gram (1.6 s vs 5.6 s at sf0.1), identical integer
-    math in both engines.  The 4 hash families are xor perturbations of
-    one hash, not 4 hash passes.  (Rejected, measured slower: distinct-
-    gram dictionary + broadcast join; per-doc array_distinct pre-explode.)
-    """
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
-    # Spark [] indexing is 0-based; sequence guarded non-negative (Spark's
-    # sequence DESCENDS when end < start, unlike DuckDB's empty list)
-    codes = docs.select(
-        "doc_id", F.expr("transform(split(text, ''), ch -> ascii(ch))").alias("c")
+    overlap.  Signatures group-join in O(n) for candidate generation
+    (the MinHash principle spelled by hand).  The 4 hash families are
+    xor perturbations of one polynomial hash, not 4 hash passes.
+
+    Like ``llm_winnow``, the hashing is per-doc sequential numpy over
+    ``mapInPandas``: the rolling poly-hash, xor salts, and 4 mins all
+    run in C with ZERO shuffles (each doc's fingerprint is complete
+    within its row) — measured 2.7× faster at sf0.1 than the previous
+    explode + map-side-combined groupBy-min spelling (0.37 s vs 1.0 s),
+    which itself beat md5-per-gram 3.6× (the per-round history lives in
+    BASELINE.md).  int64 xor/min replicate the engines' integer math
+    exactly, so the DuckDB oracle (pure SQL, independent spelling)
+    still value-checks the kernel end to end."""
+    import numpy as np
+    import pandas as pd
+
+    salts = [s & _FP_MASK for s in _FP_SALTS]
+    base, mod = _FP_BASE, _FP_MOD
+
+    def fp_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text.isascii():
+                    # oracle hashes codepoints; byte==codepoint needs ASCII
+                    raise ValueError(
+                        f"llm_fingerprint kernel assumes ASCII text; doc "
+                        f"{doc_id} is not — switch to codepoints (ord)"
+                    )
+                c = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+                n = len(c) - 4
+                if n < 1:
+                    continue
+                h = c[0:n].copy()
+                for k in range(1, 5):
+                    h = (h * base + c[k : n + k]) % mod
+                rows.append((int(doc_id), *[int(np.min(h ^ s)) for s in salts]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "fp0", "fp1", "fp2", "fp3"]
+                )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 5)
+        .select("doc_id", "text")
     )
-    grams = codes.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"transform(sequence(0, size(c) - 5), i -> {_fp_poly('i')})")
-        ).alias("h"),
+    return docs.mapInPandas(
+        fp_batches, "doc_id long, fp0 long, fp1 long, fp2 long, fp3 long"
     )
-    aggs = [
-        F.min(F.expr(f"h ^ {s & _FP_MASK}L")).alias(f"fp{i}")
-        for i, s in enumerate(_FP_SALTS)
-    ]
-    return grams.groupBy("doc_id").agg(*aggs)
