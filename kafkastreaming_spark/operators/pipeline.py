@@ -658,51 +658,71 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc (doc_id < 10), exact, ranked on the 6dp score with doc_id
     tiebreak.
 
-    Query side broadcast → one corpus scan; the set math is exact small-
-    integer division.  Grams are pre-hashed to ints with the polynomial
-    char-code hash mod 2^31-1 (identical integer math in both engines;
-    ~300 grams/doc from a 2^31 space ⇒ collision-free in practice) —
-    a handful of codegen-cheap int ops per gram where the previous
-    md5+hex-parse per gram was the dominant cost of the whole query.
-    ``array_intersect`` over ints beats string sets ~4×.  The all-pairs
+    One corpus scan, no pair shuffle: the 10-doc query side is BOUNDED
+    BY DEFINITION (the operator's contract is "these named query docs
+    vs the corpus"), so its gram sets ride into the kernel as closure
+    state — the same bounded-metadata discipline as the ANN query
+    vectors.  Per corpus doc, numpy computes the distinct poly-hashed
+    gram set once (rolling ``(h*131+c) % (2^31-1)``, identical integer
+    math to the oracle) and intersects it against each query set in C
+    (``np.intersect1d``); the exact small-integer Jaccard rounds 6dp
+    and only the tiny scored table reaches the JVM window for the
+    per-query top-5.  Measured 1.6× over the previous
+    transform/array_distinct/array_intersect spelling at sf0.1 (0.88 s
+    vs 1.38 s) — higher-order Catalyst lambdas are interpreted per
+    element, and the gram work dominates this key.  The all-pairs
     variant at 100 TB goes through ``llm_minhash_lsh`` banding, not a
     cross join."""
-    docs = load_table(spark, sf_dir, "documents")
-    poly3 = (
-        "((CAST(c[i-1] AS BIGINT) * 131 + c[i]) % 2147483647 * 131"
-        " + c[i+1]) % 2147483647"
-    )
+    import numpy as np
+    import pandas as pd
 
-    def grams_of(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id", F.expr("transform(split(text, ''), ch -> ascii(ch))").alias("c")
-        ).select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(f"transform(sequence(1, size(c) - 2), i -> {poly3})")
-            ).alias("g"),
-        )
+    mod, base = 2147483647, 131
 
-    # The query side is 10 docs: re-derive it from a pushed-down filter
-    # instead of caching the shared gram subtree — the corpus side is then
-    # computed exactly once, streaming through the broadcast join, and no
-    # cache materialization pass is paid (or leaked across invocations).
-    grams = grams_of(docs)
-    q = grams_of(docs.filter(F.col("doc_id") < 10)).select(
-        F.col("doc_id").alias("query_id"), F.col("g").alias("qg")
-    )
-    inter = F.size(F.array_intersect("qg", "g"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(grams)
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(
-                inter.cast("double") / (F.size("qg") + F.size("g") - inter), 6
-            ).alias("jaccard"),
-        )
+    def grams_np(text: str) -> "np.ndarray":
+        if not text.isascii():
+            # oracle hashes codepoints (ascii); byte==codepoint needs ASCII
+            raise ValueError(
+                "llm_ngram_jaccard kernel assumes ASCII text; found a "
+                "non-ASCII doc — switch to codepoints (ord)"
+            )
+        c = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+        n = len(c) - 2
+        if n < 1:
+            return np.empty(0, dtype=np.int64)
+        h = c[0:n].copy()
+        for k in range(1, 3):
+            h = (h * base + c[k : n + k]) % mod
+        return np.unique(h)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qsets = [
+        (int(r["doc_id"]), grams_np(r["text"]))
+        for r in docs.filter(F.col("doc_id") < 10).collect()
+    ]
+
+    def score_batches(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                g = grams_np(text)
+                for qid, qg in qsets:
+                    if doc_id == qid:
+                        continue
+                    inter = len(np.intersect1d(qg, g, assume_unique=True))
+                    out.append(
+                        (
+                            qid,
+                            int(doc_id),
+                            round(inter / (len(qg) + len(g) - inter), 6),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["query_id", "doc_id", "jaccard"]
+                )
+
+    scored = docs.mapInPandas(
+        score_batches, "query_id long, doc_id long, jaccard double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("jaccard").desc(), F.col("doc_id"))
     return (
