@@ -322,3 +322,82 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_rfm",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(ts), (SELECT now_ts FROM anchor))
+                  AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE)
+               AS monetary
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT *,
+             CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS INTEGER)
+               AS r_quartile,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER)
+               AS f_quartile,
+             CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
+               AS m_quartile
+      FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_quartile, f_quartile, m_quartile,
+           concat(r_quartile, f_quartile, m_quartile) AS rfm_segment
+    FROM scored
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation — the classic marketing-analytics cut:
+    per user, days since last event (vs the corpus max timestamp, so
+    the key is reproducible), event count, and exact-decimal spend;
+    each dimension quartiled (1 = best) and concatenated into the
+    '111'…'444' segment label.
+
+    One shuffle on user_id does all three aggregates; the global max
+    timestamp is a 1-row aggregate broadcast back (sub_scalar
+    pattern); the ntile windows run over the AGGREGATED user table
+    (post-reduction discipline) with user_id tiebreaks so the quartile
+    boundaries are total-ordered and engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col("value").cast("decimal(24,8)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("now_ts", "last_ts").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w_r = Window.orderBy("recency_days", "user_id")
+    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary").desc(), "user_id")
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r_quartile"),
+        F.ntile(4).over(w_f).alias("f_quartile"),
+        F.ntile(4).over(w_m).alias("m_quartile"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat("r_quartile", "f_quartile", "m_quartile"),
+    )

@@ -513,3 +513,89 @@ def llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_pct",
         )
     )
+
+
+@query(
+    "llm_vocab_growth",
+    oracle="""
+    WITH bounds AS (
+      SELECT MAX(doc_id) + 1 AS n_docs FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    first_seen AS (
+      SELECT gram, MIN(doc_id) AS fs
+      FROM (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+            FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i))
+      GROUP BY gram
+    ),
+    bucketed AS (
+      SELECT CAST(LEAST(9, fs * 10 // (SELECT n_docs FROM bounds))
+                  AS INTEGER) AS decile,
+             COUNT(*) AS new_terms
+      FROM first_seen GROUP BY 1
+    )
+    SELECT decile,
+           CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM bucketed
+    ORDER BY decile
+    """,
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law census) over word
+    BIGRAMS: how many NEW distinct bigrams each decile of the corpus
+    introduces, plus the cumulative vocabulary — the "is more data
+    still adding anything" diagnostic behind tokenizer sizing and
+    dedup-payoff estimates.  (Unigrams saturate in decile 0 on this
+    fixture's deliberately bounded 64-token vocabulary — the bigram
+    space is where growth is observable; at real scale the same query
+    runs on unigrams, bigrams, or BPE pieces alike.)
+
+    The naive spelling (distinct-count per growing prefix) rescans the
+    corpus once per point; this one is a single pass — a term's decile
+    is determined by its FIRST APPEARANCE (min doc_id per term, one
+    map-side-combined hash-agg), so the curve falls out of one tiny
+    10-row aggregate + a post-reduction cumulative window.  The doc_id
+    upper bound is a 1-row aggregate broadcast back (sub_scalar
+    pattern).  At 100 TB substitute ingest order / partition id for
+    doc_id and the same single-pass shape holds."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    first_seen = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(tk) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(tk) - 1),"
+                    "   i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                    " END"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("fs"))
+    )
+    bucketed = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(F.lit(9), F.expr("fs * 10 div n_docs"))
+            .cast("int")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bucketed.select(
+            "decile",
+            F.col("new_terms").cast("long").alias("new_terms"),
+            F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
