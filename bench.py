@@ -28,21 +28,33 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def current_round() -> int:
-    """Infer the in-progress round from the driver's BENCH_r{N}.json trail.
+    """Resolve the in-progress round number for artifact stamping.
 
-    The driver writes BENCH_r{N}.json at the END of round N, so while round
-    N is being built the newest artifact on disk is r{N-1}.  Overridable via
-    SPARK_GRAFT_ROUND for ad-hoc runs.
+    SPARK_GRAFT_ROUND wins (the round recipe exports it — the only
+    unambiguous source at a round boundary).  The fallback infers from
+    the newest BENCH_DETAIL_r{N}.json THIS repo writes (last full bench
+    was round N → now building N+1), not the driver's BENCH_r trail:
+    the driver can drop BENCH_r{N}.json while round-N artifacts are
+    still being produced, which would misfile a re-run as N+1.
     """
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env and env.isdigit():
         return int(env)
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    return (max(rounds) + 1) if rounds else 1
+
+    def trail(pattern: str) -> int:
+        return max(
+            (
+                int(m.group(1))
+                for p in glob.glob(os.path.join(REPO, pattern))
+                if (m := re.search(r"_r(\d+)\.json$", p))
+            ),
+            default=0,
+        )
+
+    own = trail("BENCH_DETAIL_r*.json")
+    if own:
+        return own + 1
+    return trail("BENCH_r*.json") + 1
 
 
 def main() -> None:

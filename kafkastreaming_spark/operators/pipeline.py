@@ -466,7 +466,13 @@ def _pagerank_local(spark: SparkSession, pairs_pdf) -> DataFrame:
     p = np.full(len(ids), 1_000_000_000, dtype=np.int64)
     for _ in range(3):
         share = round_half_away_pos(p.astype(np.float64) / deg.astype(np.float64))
-        s = np.bincount(v, weights=share[u], minlength=len(ids)).astype(np.int64)
+        # exact int64 accumulation — bincount(weights=) sums in float64,
+        # which loses integer exactness once a node's incoming share
+        # total crosses 2^53 (reachable under the 10M-edge gate) and
+        # would silently break the bit-identical contract with the
+        # distributed plan's exact int64 SUM
+        s = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(s, v, share[u])
         p = 150_000_000 + round_half_away_pos((s * 85).astype(np.float64) / 100.0)
     return spark.createDataFrame(
         pd.DataFrame({"doc_id": ids, "pagerank_scaled": p}), out_schema
@@ -709,17 +715,23 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if doc_id == qid:
                         continue
                     inter = len(np.intersect1d(qg, g, assume_unique=True))
+                    union = len(qg) + len(g) - inter
+                    # union==0 (both docs <3 chars): both engines' x/0
+                    # is NULL, so emit NULL, not ZeroDivisionError
                     out.append(
                         (
                             qid,
                             int(doc_id),
-                            round(inter / (len(qg) + len(g) - inter), 6),
+                            round(inter / union, 6) if union else None,
                         )
                     )
             if out:
-                yield pd.DataFrame(
+                pdf_out = pd.DataFrame(
                     out, columns=["query_id", "doc_id", "jaccard"]
                 )
+                # nullable Float64 keeps None as a true NULL through Arrow
+                pdf_out["jaccard"] = pdf_out["jaccard"].astype("Float64")
+                yield pdf_out
 
     scored = docs.mapInPandas(
         score_batches, "query_id long, doc_id long, jaccard double"

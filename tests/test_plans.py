@@ -301,10 +301,11 @@ def test_zipf_aggregates_before_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_zipf")
     assert plan.count("HashAggregate") >= 2  # partial + final term counts
     assert "Window" in plan
-    # the window's child is the aggregated side: generator runs below agg
-    assert plan.index("Generate") > plan.index("Window") or plan.count(
-        "Exchange"
-    ) >= 1
+    # structural, no fallback: the tree prints top-down, so Generate
+    # appearing AFTER Window means the explode feeds the aggregation
+    # below the window — the window never sees raw exploded tokens
+    assert "Generate" in plan
+    assert plan.index("Generate") > plan.index("Window")
 
 
 def test_ewma_windows_run_post_reduction(spark, sf_dir):
