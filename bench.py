@@ -74,6 +74,8 @@ def main() -> None:
     # rows-only streaming-harness keys time replay-harness I/O, not engine
     # throughput, and are excluded from the suite metric.
     per_query: dict[str, float] = {}
+    per_repeat: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     for key in sorted(ORACLES):
         samples = []
@@ -91,6 +93,13 @@ def main() -> None:
             errors[key] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         per_query[key] = round(statistics.median(samples), 3)
+        per_repeat[key] = [round(s, 3) for s in samples]
+        # max/min within one key's repeats: background-load outliers on the
+        # same box show up as spread here, so a cross-round per-key diff can
+        # mechanically separate "noisy environment" from "real regression"
+        # (round 6: driver saw set_except at 4.03 s vs 0.29 s committed with
+        # no plan change — nothing in the artifact proved it was noise).
+        spread[key] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -114,6 +123,9 @@ def main() -> None:
         "repeats": repeats,
         "partial": partial,
         "errors": errors,
+        "repeat_times": per_repeat,
+        "spread": spread,
+        "noisy": sorted(k for k, s in spread.items() if s > 2.0),
     }
     for name in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{current_round():02d}.json"):
         with open(os.path.join(REPO, name), "w") as f:
