@@ -313,3 +313,21 @@ def test_pagerank_local_gate_matches_distributed_plan(spark, sf_dir, monkeypatch
     monkeypatch.setattr(pipeline, "_CC_LOCAL_MAX_EDGES", 0)
     dist = sorted(map(str, QUERIES["graph_pagerank"](spark, sf_dir).collect()))
     assert local == dist
+
+
+def test_minhash_det_star_recall_and_precision(spark, sf_dir):
+    """llm_minhash_det compares each doc only to its band-bucket
+    representatives (the O(n) star shape).  Precision is exact by
+    construction (rescored Jaccard filter); pin recall: docs that have
+    SOME exact J>=0.8 partner with a smaller doc_id (llm_jaccard_dedup
+    ground truth) must mostly be flagged as duplicates."""
+    truth = {
+        r["doc_b"] for r in QUERIES["llm_jaccard_dedup"](spark, sf_dir).collect()
+    }
+    assert len(truth) > 0
+    out = QUERIES["llm_minhash_det"](spark, sf_dir).collect()
+    flagged = {r["doc_id"] for r in out}
+    assert all(r["jaccard"] >= 0.8 for r in out)
+    assert all(r["keep_doc_id"] < r["doc_id"] for r in out)
+    recall = len(flagged & truth) / len(truth)
+    assert recall >= 0.9, f"minhash star-dedup recall degraded: {recall:.3f}"
