@@ -122,3 +122,118 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cid int, n_members long, c_norm double, centroid_csv string"
     )
+
+
+def pq_kmeans_fit(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    k: int = _K,
+    iters: int = _ITERS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-subspace Lloyd k-means for PQ codebooks: returns
+    (centroids n_sub x k x sub_dim, counts n_sub x k).
+
+    All 8 subspaces train SIMULTANEOUSLY — each iteration is ONE
+    ``mapInPandas`` pass emitting (sub, cid, dim) partial sums, not 8
+    independent k-means jobs, so the corpus is scanned ``iters`` times
+    total (the treeAggregate shape of :func:`kmeans_fit`, widened by a
+    subspace axis; shuffle volume stays n_sub*k*(sub_dim+1) rows per
+    batch — bounded metadata, independent of corpus size).
+    Deterministic: init = first k vectors' subvectors by vec_id, argmin
+    ties -> lowest cid, partials folded in sorted (sub, cid, dim, part)
+    order."""
+    init = (
+        emb.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    a0 = np.array([r["embedding"] for r in init], dtype=np.float64)
+    cent = np.stack(
+        [a0[:, s * sub_dim : (s + 1) * sub_dim].copy() for s in range(n_sub)]
+    )  # (n_sub, k, sub_dim)
+    counts = np.zeros((n_sub, k), dtype=np.int64)
+
+    schema = "sub int, cid int, dim int, s double, cnt long, part long"
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches, _b=bc):
+            from pyspark import TaskContext
+
+            c = _b.value  # (n_sub, k, sub_dim)
+            pi = TaskContext.get().partitionId()
+            for pdf in batches:
+                a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                rows = []
+                for s in range(c.shape[0]):
+                    asub = a[:, s * sub_dim : (s + 1) * sub_dim]
+                    cs = c[s]
+                    d2 = (cs * cs).sum(axis=1)[None, :] - 2.0 * (asub @ cs.T)
+                    cid = d2.argmin(axis=1)  # first min = lowest cid
+                    for ci in np.unique(cid):
+                        sel = asub[cid == ci]
+                        for di in range(sel.shape[1]):
+                            rows.append(
+                                (s, int(ci), di, float(sel[:, di].sum()), len(sel), pi)
+                            )
+                yield pd.DataFrame(
+                    rows, columns=["sub", "cid", "dim", "s", "cnt", "part"]
+                )
+
+        got = emb.select("embedding").mapInPandas(partials, schema).collect()
+        got.sort(key=lambda r: (r["sub"], r["cid"], r["dim"], r["part"]))
+        sums = np.zeros((n_sub, k, sub_dim))
+        counts = np.zeros((n_sub, k), dtype=np.int64)
+        for r in got:
+            sums[r["sub"], r["cid"], r["dim"]] += r["s"]
+            if r["dim"] == 0:
+                counts[r["sub"], r["cid"]] += r["cnt"]
+        nonempty = counts > 0
+        cent = np.where(
+            nonempty[:, :, None],
+            sums / np.maximum(counts, 1)[:, :, None],
+            cent,
+        )
+        bc.destroy()
+    return cent, counts
+
+
+@query("llm_pq_train")
+def llm_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train per-subspace PQ codebooks: 8 subspaces x K=16 Lloyd
+    iterations over the embeddings' 8-d subvectors (rows-only:
+    iterative, not SQL-expressible) — the production replacement for
+    ``llm_pq_encode``'s deterministic-literal codebook, completing the
+    IVF-PQ build story next to ``llm_ivf_train``.
+
+    Output: (sub, cid, n_members, c_norm, centroid_csv) — driver-
+    hashable scalars, memoized per (session, sf_dir) so the bench's
+    repeats and the recall pin (tests/test_pipeline.py) pay the 5
+    corpus scans once."""
+    from kafkastreaming_spark.memo import memo
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cent, counts = pq_kmeans_fit(spark, emb)
+        rows = [
+            (
+                s,
+                ci,
+                int(counts[s, ci]),
+                float(np.round(np.sqrt((cent[s, ci] * cent[s, ci]).sum()), 6)),
+                ",".join(f"{v:.6f}" for v in cent[s, ci]),
+            )
+            for s in range(cent.shape[0])
+            for ci in range(cent.shape[1])
+        ]
+        df = spark.createDataFrame(
+            rows, "sub int, cid int, n_members long, c_norm double, centroid_csv string"
+        ).cache()
+        df.count()
+        return df
+
+    return memo(spark, sf_dir, "pq_train", build)
