@@ -34,6 +34,17 @@ from __future__ import annotations
 H_SPARK = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 H_DUCK = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
+# Second independent 60 bits from the SAME md5 call (hex chars 16-30):
+# pairing (H, H2) gives a 120-bit identity — P(any collision) ~ m^2/2^121,
+# ~4e-13 even at m = 10^12 corpus-wide distinct grams — for the price of
+# one md5 and a two-column join key.  Use the pair whenever a gram/chunk
+# hash is a CORPUS-WIDE identity (round-7 audit: llm_contamination's
+# train-test gram join, llm_chunk's dedup key); single H stays fine for
+# bucketing (splits, sampling) and per-doc sets, per the birthday math
+# above.
+H2_SPARK = "CAST(conv(substr(md5({x}), 16, 15), 16, 10) AS BIGINT)"
+H2_DUCK = "CAST('0x' || substr(md5({x}), 16, 15) AS BIGINT)"
+
 # Polynomial gram-hash parameters.  acc < mod and acc*base + 127 < 2^39
 # (narrow) / 2^62 (wide pack), so the math never overflows BIGINT in
 # either engine (DuckDB errors on overflow rather than wrapping).

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkastreaming_spark.hashing import H2_DUCK as _H2_DUCK
+from kafkastreaming_spark.hashing import H2_SPARK as _H2_SPARK
 from kafkastreaming_spark.hashing import H_DUCK as _H_DUCK
 from kafkastreaming_spark.hashing import H_SPARK as _H_SPARK
 from kafkastreaming_spark.io import load_table
@@ -181,20 +183,23 @@ _GRAM5_SPARK = (
     grams AS (
       SELECT doc_id, bucket,
              {_H_DUCK.format(x="tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
-                               "|| ' ' || tk[i+3] || ' ' || tk[i+4]")} AS g
+                               "|| ' ' || tk[i+3] || ' ' || tk[i+4]")} AS g,
+             {_H2_DUCK.format(x="tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
+                                "|| ' ' || tk[i+3] || ' ' || tk[i+4]")} AS g2
       FROM toks, unnest(generate_series(1, len(tk) - 4)) AS t(i)
     ),
     test_grams AS (
-      SELECT DISTINCT doc_id, g FROM grams WHERE bucket >= 90
+      SELECT DISTINCT doc_id, g, g2 FROM grams WHERE bucket >= 90
     ),
     train_grams AS (
-      SELECT DISTINCT g FROM grams WHERE bucket < 80
+      SELECT DISTINCT g, g2 FROM grams WHERE bucket < 80
     )
     SELECT t.doc_id,
            COUNT(*) AS n_grams,
            COUNT(tr.g) AS n_hit,
            ROUND(100.0 * COUNT(tr.g) / COUNT(*), 6) AS contamination_pct
-    FROM test_grams t LEFT JOIN train_grams tr ON t.g = tr.g
+    FROM test_grams t
+    LEFT JOIN train_grams tr ON t.g = tr.g AND t.g2 = tr.g2
     GROUP BY t.doc_id
     """,
 )
@@ -206,8 +211,10 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Splits come from the SAME salted hash as ``llm_train_test_split``
     (salt='split'), so membership is consistent across every operator.
-    Grams are hashed to a portable 60-bit int BEFORE the shuffle — at
-    100 TB the equi-join keys are 8 bytes, not 50-char strings, and the
+    Grams are hashed to a portable 120-bit identity (two independent
+    60-bit halves of one md5) BEFORE the shuffle — at 100 TB the
+    equi-join keys are 16 bytes, not 50-char strings, collision-safe
+    past 10^12 distinct grams (hashing.py birthday math), and the
     train side is pre-shrunk to DISTINCT grams (set semantics) so the
     join input is bounded by vocabulary, not corpus size.  Both sides
     shuffle-partition on the gram hash (uniform by construction — md5
@@ -225,15 +232,26 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "bucket",
+        # 120-bit identity = two independent 60-bit halves of ONE md5:
+        # corpus-wide join keys must survive 10^12 distinct grams
+        # (hashing.py round-7 audit)
         F.expr(_H_SPARK.format(x="gram")).alias("g"),
+        F.expr(_H2_SPARK.format(x="gram")).alias("g2"),
     )
-    test_grams = grams.filter(F.col("bucket") >= 90).select("doc_id", "g").distinct()
+    test_grams = (
+        grams.filter(F.col("bucket") >= 90).select("doc_id", "g", "g2").distinct()
+    )
     train_grams = (
-        grams.filter(F.col("bucket") < 80).select("g").distinct()
-        .withColumnRenamed("g", "tg")
+        grams.filter(F.col("bucket") < 80).select("g", "g2").distinct()
+        .withColumnRenamed("g", "tg").withColumnRenamed("g2", "tg2")
     )
     return (
-        test_grams.join(train_grams, test_grams["g"] == train_grams["tg"], "left")
+        test_grams.join(
+            train_grams,
+            (test_grams["g"] == train_grams["tg"])
+            & (test_grams["g2"] == train_grams["tg2"]),
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -408,7 +426,8 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(tk) >= 1
     )
     SELECT doc_id, chunk_idx, CAST(n_tokens AS INTEGER) AS n_tokens,
-           {_H_DUCK.format(x='chunk_text')} AS chunk_hash
+           {_H_DUCK.format(x='chunk_text')} AS chunk_hash,
+           {_H2_DUCK.format(x='chunk_text')} AS chunk_hash2
     FROM chunks
     """,
 )
@@ -423,8 +442,8 @@ def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sequence`` over the bound token array, each chunk a ``slice`` —
     no shuffle, no UDF, output rows ≈ corpus_tokens / stride.  At
     100 TB this runs at scan speed and writes straight to a
-    split-partitioned training layout; the 60-bit chunk hash is the
-    dedup/repack key downstream (chunk-level exact dedup composes with
+    split-partitioned training layout; the (chunk_hash, chunk_hash2)
+    120-bit pair is the dedup/repack key downstream (chunk-level exact dedup composes with
     llm_exact_dedup's keep-earliest shape).  Chunk grid: ceil((n-64)/48)
     + 1 windows, clamped to ≥ 1 so short docs emit their whole text."""
     docs = load_table(spark, sf_dir, "documents")
@@ -446,6 +465,10 @@ def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ch.chunk_idx").alias("chunk_idx"),
         F.col("ch.n_tokens").cast("int").alias("n_tokens"),
         F.expr(_H_SPARK.format(x="ch.chunk_text")).alias("chunk_hash"),
+        # second 60-bit half of the same md5: the (hash, hash2) pair is
+        # the corpus-wide dedup identity — 60 bits alone expects ~43
+        # false merges at 10^10 chunks (hashing.py round-7 audit)
+        F.expr(_H2_SPARK.format(x="ch.chunk_text")).alias("chunk_hash2"),
     )
 
 
