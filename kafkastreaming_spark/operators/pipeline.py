@@ -755,6 +755,30 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # block-decomposed plan with bounded per-task memory.
 _NN_BROADCAST_MAX_N = 100_000
 
+# Target rows per corpus block in the blocked regime.  The old
+# ceil(n/100k) split let a block reach 100k rows, so one cogroup task
+# could materialize a 100k×100k float64 score matrix (80 GB) right at
+# the gate boundary — found by the r7 scale probe.  16k-row blocks keep
+# the per-task block stack ~8 MB and B² block pairs still collapse to
+# one shuffle round.
+_NN_BLOCK_ROWS = 16_384
+
+# Cap on score-matrix cells per matmul (~160 MB of float64).  Every
+# cosine kernel — broadcast and blocked — scores the query side in
+# chunks of max(64, _NN_SCORE_CELLS // corpus_rows) rows so per-task
+# peak memory is bounded no matter how large the corpus/block side is.
+_NN_SCORE_CELLS = 20_000_000
+
+
+def _score_chunk_rows(n_corpus: int, cells: int) -> int:
+    """Query rows per matmul that keep the float64 score matrix under
+    ``cells`` score cells against an ``n_corpus``-row right side.
+    ``cells`` is captured driver-side (``cells = _NN_SCORE_CELLS`` in
+    each kernel factory) so it rides into the executor closure —
+    reading the module global inside the UDF would see the executor
+    worker's fresh import, not the driver's value."""
+    return max(64, cells // max(1, n_corpus))
+
 
 @query(
     "llm_cosine_nn",
@@ -801,7 +825,7 @@ def llm_cosine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()  # parquet footer metadata — no scan
     if n <= _NN_BROADCAST_MAX_N:
         return _cosine_nn_broadcast(spark, emb, sf_dir)
-    return _cosine_nn_blocked(spark, emb, n_blocks=max(1, -(-n // 100_000)))
+    return _cosine_nn_blocked(spark, emb, n_blocks=max(1, -(-n // _NN_BLOCK_ROWS)))
 
 
 def _corpus_matrix_bc(spark: SparkSession, sf_dir: str):
@@ -842,25 +866,31 @@ def _cosine_nn_broadcast(
 
     bc = _corpus_matrix_bc(spark, sf_dir)
 
+    cells = _NN_SCORE_CELLS
+
     def nn_batches(batches):
         c_ids, cm, cn = bc.value
         pos = {int(v): i for i, v in enumerate(c_ids)}
+        step = _score_chunk_rows(len(c_ids), cells)
         for pdf in batches:
-            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            an = np.sqrt((a * a).sum(axis=1))
-            # oracle formula verbatim: dot / (|a|·|b|), THEN round
-            cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
-            row_ids = pdf["vec_id"].to_numpy()
-            for i, vid in enumerate(row_ids):
-                cos[i, pos[int(vid)]] = -2.0  # exclude self
-            best = cos.argmax(axis=1)  # first max = lowest nn_id on ties
-            yield pd.DataFrame(
-                {
-                    "vec_id": row_ids,
-                    "nn_id": c_ids[best],
-                    "cos_sim": cos[np.arange(len(best)), best],
-                }
-            )
+            a_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids_all = pdf["vec_id"].to_numpy()
+            for s in range(0, len(ids_all), step):
+                a = a_all[s : s + step]
+                an = np.sqrt((a * a).sum(axis=1))
+                # oracle formula verbatim: dot / (|a|·|b|), THEN round
+                cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+                row_ids = ids_all[s : s + step]
+                for i, vid in enumerate(row_ids):
+                    cos[i, pos[int(vid)]] = -2.0  # exclude self
+                best = cos.argmax(axis=1)  # first max = lowest nn_id on ties
+                yield pd.DataFrame(
+                    {
+                        "vec_id": row_ids,
+                        "nn_id": c_ids[best],
+                        "cos_sim": cos[np.arange(len(best)), best],
+                    }
+                )
 
     return emb.mapInPandas(nn_batches, "vec_id long, nn_id long, cos_sim double")
 
@@ -872,6 +902,8 @@ def _cosine_nn_blocked(
     matmul each, then a per-query max-merge of block-local winners."""
     import numpy as np
     import pandas as pd
+
+    cells = _NN_SCORE_CELLS
 
     blk = emb.withColumn("blk", F.crc32(F.col("vec_id").cast("string")) % n_blocks)
     rep = F.broadcast(spark.range(n_blocks).select(F.col("id").alias("other")))
@@ -890,24 +922,32 @@ def _cosine_nn_blocked(
         cm = np.stack(right["c_emb"].to_numpy()).astype(np.float64)
         cn = np.sqrt((cm * cm).sum(axis=1))
         c_ids = right["c_id"].to_numpy()
-        a = np.stack(left["embedding"].to_numpy()).astype(np.float64)
-        an = np.sqrt((a * a).sum(axis=1))
-        # oracle formula verbatim: dot / (|a|·|b|), THEN round
-        cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
         pos = {int(v): i for i, v in enumerate(c_ids)}
-        row_ids = left["vec_id"].to_numpy()
-        for i, vid in enumerate(row_ids):
-            j = pos.get(int(vid))
-            if j is not None:
-                cos[i, j] = -2.0  # exclude self
-        best = cos.argmax(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": row_ids,
-                "nn_id": c_ids[best],
-                "cos_sim": cos[np.arange(len(best)), best],
-            }
-        )
+        a_all = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        ids_all = left["vec_id"].to_numpy()
+        step = _score_chunk_rows(len(c_ids), cells)
+        outs = []
+        for s in range(0, len(ids_all), step):
+            a = a_all[s : s + step]
+            an = np.sqrt((a * a).sum(axis=1))
+            # oracle formula verbatim: dot / (|a|·|b|), THEN round
+            cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+            row_ids = ids_all[s : s + step]
+            for i, vid in enumerate(row_ids):
+                j = pos.get(int(vid))
+                if j is not None:
+                    cos[i, j] = -2.0  # exclude self
+            best = cos.argmax(axis=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": row_ids,
+                        "nn_id": c_ids[best],
+                        "cos_sim": cos[np.arange(len(best)), best],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     local = (
         queries.groupby("qblk", "cblk")
@@ -981,7 +1021,7 @@ def llm_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     if n <= _NN_BROADCAST_MAX_N:
         return _cosine_pairs_broadcast(spark, emb, sf_dir)
-    return _cosine_pairs_blocked(spark, emb, n_blocks=max(1, -(-n // 100_000)))
+    return _cosine_pairs_blocked(spark, emb, n_blocks=max(1, -(-n // _NN_BLOCK_ROWS)))
 
 
 def _cosine_pairs_broadcast(
@@ -995,23 +1035,31 @@ def _cosine_pairs_broadcast(
     bc = _corpus_matrix_bc(spark, sf_dir)
     t = _COSINE_DEDUP_T
 
+    cells = _NN_SCORE_CELLS
+
     def pair_batches(batches):
         c_ids, cm, cn = bc.value
+        step = _score_chunk_rows(len(c_ids), cells)
         for pdf in batches:
-            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            an = np.sqrt((a * a).sum(axis=1))
-            cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
-            row_ids = pdf["vec_id"].to_numpy()
-            # query_id < corpus_id: each unordered pair emitted exactly once
-            qi, ci = np.nonzero((cos >= t) & (row_ids[:, None] < c_ids[None, :]))
-            if len(qi):
-                yield pd.DataFrame(
-                    {
-                        "vec_a": row_ids[qi],
-                        "vec_b": c_ids[ci],
-                        "cos_sim": cos[qi, ci],
-                    }
+            a_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids_all = pdf["vec_id"].to_numpy()
+            for s in range(0, len(ids_all), step):
+                a = a_all[s : s + step]
+                an = np.sqrt((a * a).sum(axis=1))
+                cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+                row_ids = ids_all[s : s + step]
+                # query_id < corpus_id: each unordered pair emitted once
+                qi, ci = np.nonzero(
+                    (cos >= t) & (row_ids[:, None] < c_ids[None, :])
                 )
+                if len(qi):
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": row_ids[qi],
+                            "vec_b": c_ids[ci],
+                            "cos_sim": cos[qi, ci],
+                        }
+                    )
 
     return emb.mapInPandas(pair_batches, "vec_a long, vec_b long, cos_sim double")
 
@@ -1025,6 +1073,7 @@ def _cosine_pairs_blocked(
     import numpy as np
     import pandas as pd
 
+    cells = _NN_SCORE_CELLS
     t = _COSINE_DEDUP_T
     blk = emb.withColumn("blk", F.crc32(F.col("vec_id").cast("string")) % n_blocks)
     rep = F.broadcast(spark.range(n_blocks).select(F.col("id").alias("other")))
@@ -1042,14 +1091,26 @@ def _cosine_pairs_blocked(
         cm = np.stack(right["c_emb"].to_numpy()).astype(np.float64)
         cn = np.sqrt((cm * cm).sum(axis=1))
         c_ids = right["c_id"].to_numpy()
-        a = np.stack(left["embedding"].to_numpy()).astype(np.float64)
-        an = np.sqrt((a * a).sum(axis=1))
-        cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
-        row_ids = left["vec_id"].to_numpy()
-        qi, ci = np.nonzero((cos >= t) & (row_ids[:, None] < c_ids[None, :]))
-        return pd.DataFrame(
-            {"vec_a": row_ids[qi], "vec_b": c_ids[ci], "cos_sim": cos[qi, ci]}
-        )
+        a_all = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        ids_all = left["vec_id"].to_numpy()
+        step = _score_chunk_rows(len(c_ids), cells)
+        outs = []
+        for s in range(0, len(ids_all), step):
+            a = a_all[s : s + step]
+            an = np.sqrt((a * a).sum(axis=1))
+            cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+            row_ids = ids_all[s : s + step]
+            qi, ci = np.nonzero((cos >= t) & (row_ids[:, None] < c_ids[None, :]))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": row_ids[qi],
+                        "vec_b": c_ids[ci],
+                        "cos_sim": cos[qi, ci],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         queries.groupby("qblk", "cblk")

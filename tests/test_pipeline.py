@@ -185,6 +185,48 @@ def test_cosine_pairs_blocked_matches_broadcast(spark, sf_dir):
     assert len(want) > 0  # fixture must exercise the threshold
 
 
+def test_cosine_kernels_chunked_scoring_is_exact(spark, sf_dir, monkeypatch):
+    """Per-task memory in every cosine kernel is bounded by scoring the
+    query side in _score_chunk_rows(...) slices (≤ _NN_SCORE_CELLS score
+    cells per matmul).  Forcing pathologically small chunks (64-row
+    floor) must not change a single output row vs the one-matmul
+    spelling — pins the chunk-boundary bookkeeping (self-exclusion,
+    tiebreaks, pair emission) introduced by the r7 scale probe."""
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.operators import pipeline as P
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    want_nn = {
+        r["vec_id"]: (r["nn_id"], r["cos_sim"])
+        for r in P._cosine_nn_broadcast(spark, emb, sf_dir).collect()
+    }
+    want_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in P._cosine_pairs_broadcast(spark, emb, sf_dir).collect()
+    }
+    monkeypatch.setattr(P, "_NN_SCORE_CELLS", 1)  # step floors at 64 rows
+    got_nn = {
+        r["vec_id"]: (r["nn_id"], r["cos_sim"])
+        for r in P._cosine_nn_broadcast(spark, emb, sf_dir).collect()
+    }
+    got_blk = {
+        r["vec_id"]: (r["nn_id"], r["cos_sim"])
+        for r in P._cosine_nn_blocked(spark, emb, n_blocks=3).collect()
+    }
+    got_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in P._cosine_pairs_broadcast(spark, emb, sf_dir).collect()
+    }
+    got_pblk = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in P._cosine_pairs_blocked(spark, emb, n_blocks=3).collect()
+    }
+    assert got_nn == want_nn
+    assert got_blk == want_nn
+    assert got_pairs == want_pairs
+    assert got_pblk == want_pairs
+
+
 def test_mm_ingest_sha_matches_exact_dedup_grouping(spark, sf_dir):
     """Same content ⇒ same payload hash: sha-group count == md5-group count."""
     ingest = QUERIES["mm_ingest"](spark, sf_dir)
