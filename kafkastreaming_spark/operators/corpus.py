@@ -160,6 +160,112 @@ def llm_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+    ),
+    bc AS (
+      SELECT lang, bigram, COUNT(*) AS c FROM big GROUP BY lang, bigram
+    ),
+    pc AS (
+      SELECT lang, string_split(bigram, ' ')[1] AS w1, SUM(c) AS cp
+      FROM bc GROUP BY lang, string_split(bigram, ' ')[1]
+    ),
+    vocab AS (
+      SELECT lang, COUNT(DISTINCT tok) AS v
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang
+    ),
+    scored AS (
+      SELECT b.doc_id, b.lang,
+             CAST(ROUND(ln((pc.cp + vocab.v) / (bc.c + 1.0)) * 1e9) AS BIGINT)
+               AS nll9
+      FROM big b
+      JOIN bc ON bc.lang = b.lang AND bc.bigram = b.bigram
+      JOIN pc ON pc.lang = b.lang AND pc.w1 = string_split(b.bigram, ' ')[1]
+      JOIN vocab ON vocab.lang = b.lang
+    )
+    SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(nll9) / (COUNT(*) * 1e9), 6) AS avg_nll
+    FROM scored GROUP BY doc_id, lang
+    """,
+)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model score — the CCNet-style
+    perplexity proxy used as a model-based quality filter: train an
+    add-one-smoothed bigram LM per language on the corpus itself
+    (document being scored included — standard for corpus-level
+    filtering), then score each doc by its mean negative log-likelihood
+    -avg ln P(w2|w1), P = (C(w1 w2)+1)/(C(w1·)+V).  Low avg_nll =
+    fluent/boilerplate-like; high = rare/garbled — the filter
+    thresholds on this column.
+
+    Hash-checkability for an avg-of-logs: per-BIGRAM NLL is snapped to
+    a 1e-9 integer grid (ROUND(ln(...)·1e9) → BIGINT, same discipline
+    as graph_pagerank's rank grid) so the per-doc reduction is an
+    exact order-free INT64 sum — float summation order never enters;
+    the only cross-engine float op is the single ln per DISTINCT
+    (lang, bigram), whose ≤2-ulp libm spread (~2e-7 on the 1e9 grid)
+    sits five orders of magnitude below the rounding boundary.
+
+    Plan: bigram counts / prefix counts / vocab sizes are bounded by
+    the vocabulary (31 tokens → ≤961 bigrams per lang), i.e. dimension
+    tables: three BROADCAST joins onto the exploded bigram stream, one
+    hash-agg on doc_id — per-row work O(tokens), shuffle volume one row
+    per doc.  At an open vocabulary the bc/pc tables become fact-sized
+    and the joins flip to sort-merge on (lang, bigram); the spelling
+    is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("tk"))
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(tk) - 1),"
+                "   i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                " END"
+            )
+        ).alias("bigram"),
+    )
+    bc = big.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    pc = bc.groupBy(
+        "lang", F.split("bigram", " ").getItem(0).alias("w1")
+    ).agg(F.sum("c").alias("cp"))
+    vocab = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    scored = (
+        big.withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(F.broadcast(bc), ["lang", "bigram"])
+        .join(F.broadcast(pc), ["lang", "w1"])
+        .join(F.broadcast(vocab), ["lang"])
+        .withColumn(
+            "nll9",
+            F.round(
+                F.log((F.col("cp") + F.col("v")) / (F.col("c") + F.lit(1.0))) * 1e9,
+                0,
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("nll9") / (F.count(F.lit(1)) * F.lit(1e9)), 6
+        ).alias("avg_nll"),
+    )
+
+
 # 5-word shingles as a 1-based array expression, Spark / DuckDB spellings
 # (same bind-the-token-array-once discipline as llm_bigram_stats).
 _GRAM5_SPARK = (

@@ -1578,6 +1578,108 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+      WHERE e.v <> r.u
+    ),
+    clus AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id,
+             COUNT(*) + 1 AS cluster_size
+      FROM reach GROUP BY u
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS ttr,
+             CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
+                   AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) >= 0.2
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents
+    ),
+    m AS (
+      SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+             CAST(COALESCE(c.cluster_size, 1) AS BIGINT) AS cluster_size,
+             q.n_tokens, q.ttr, q.keep
+      FROM q LEFT JOIN clus c ON q.doc_id = c.doc_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id
+        ORDER BY keep DESC, ttr DESC, doc_id ASC) AS rn
+      FROM m
+    )
+    SELECT cluster_id, cluster_size, doc_id AS keep_doc_id, ttr AS keep_ttr,
+           n_tokens AS keep_n_tokens, cluster_size - 1 AS n_dropped
+    FROM r WHERE rn = 1
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE canonical-doc selection — the decision layer an
+    actual dedup pipeline ships: inside each SimHash duplicate cluster
+    (``llm_dedup_clusters``) keep the HIGHEST-QUALITY member (by the
+    ``llm_quality_score`` gate, then type-token ratio, then lowest
+    doc_id), not the arbitrary min-id; singletons pass through as their
+    own one-doc cluster, so the output IS the deduped corpus manifest.
+
+    Plan shape: the cluster label table is orders of magnitude smaller
+    than the corpus (only docs that HAVE a near-dup), so it broadcasts
+    onto the per-row quality features — map-side join, then ONE shuffle
+    on cluster_id for the arg-max, spelled as max(struct(keep, ttr,
+    -doc_id, ...)) so it's a partial-aggregatable single pass (no
+    window sort; struct comparison is lexicographic, and -doc_id makes
+    "max" pick the lowest id on full quality ties).  ttr enters the
+    ordering 6dp-rounded — exactly what both engines emit — so the
+    comparison is cross-engine stable; doc_id uniqueness makes the
+    total order tie-free."""
+    clus = llm_dedup_clusters(spark, sf_dir)
+    q = llm_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "ttr", "keep")
+    m = q.join(F.broadcast(clus), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1).cast("long")).alias("cluster_size"),
+        "n_tokens",
+        "ttr",
+        "keep",
+    )
+    best = m.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("keep").alias("keep"),
+                F.col("ttr").alias("ttr"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("n_tokens").alias("n_tokens"),
+                F.col("cluster_size").alias("cluster_size"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "cluster_id",
+        F.col("b.cluster_size").alias("cluster_size"),
+        (-F.col("b.neg_id")).alias("keep_doc_id"),
+        F.col("b.ttr").alias("keep_ttr"),
+        F.col("b.n_tokens").alias("keep_n_tokens"),
+        (F.col("b.cluster_size") - F.lit(1)).alias("n_dropped"),
+    )
+
+
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 

@@ -227,6 +227,39 @@ def test_cosine_kernels_chunked_scoring_is_exact(spark, sf_dir, monkeypatch):
     assert got_pblk == want_pairs
 
 
+def test_dedup_keep_best_partitions_corpus(spark, sf_dir):
+    """llm_dedup_keep_best is a corpus manifest: one row per cluster
+    (incl. singletons), cluster sizes partition the doc count, the kept
+    doc is always a member of its cluster, and within every multi-doc
+    cluster the winner is quality-maximal under (keep, ttr, -doc_id)."""
+    from kafkastreaming_spark.io import load_table
+
+    out = QUERIES["llm_dedup_keep_best"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["cluster_size"] for r in out) == n_docs
+    assert len({r["cluster_id"] for r in out}) == len(out)
+    clus = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["llm_dedup_clusters"](spark, sf_dir).collect()
+    }
+    qual = {
+        r["doc_id"]: (r["keep"], r["ttr"], -r["doc_id"])
+        for r in QUERIES["llm_quality_score"](spark, sf_dir).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for d, c in clus.items():
+        members.setdefault(c, []).append(d)
+    for r in out:
+        if r["cluster_size"] > 1:
+            assert clus[r["keep_doc_id"]] == r["cluster_id"]
+            assert r["n_dropped"] == r["cluster_size"] - 1
+            best = max(members[r["cluster_id"]], key=lambda d: qual[d])
+            assert r["keep_doc_id"] == best
+        else:
+            assert r["keep_doc_id"] == r["cluster_id"]
+            assert r["keep_doc_id"] not in clus
+
+
 def test_mm_ingest_sha_matches_exact_dedup_grouping(spark, sf_dir):
     """Same content ⇒ same payload hash: sha-group count == md5-group count."""
     ingest = QUERIES["mm_ingest"](spark, sf_dir)

@@ -1,0 +1,301 @@
+"""Empirical ~10× scale probe (round-7 item 1).
+
+The 100×-scale story elsewhere in this repo rests on plan-shape pins and
+statistics-driven regime gates; this tool MEASURES it.  It builds a
+deterministic blowup of sf0.1 into ``/tmp/scale_probe/sf1`` (same schema,
+re-keyed ids so joins keep their fan-out), times the most expensive +
+every regime-gated key at both scales, and verifies that the gates flip
+to their distributed regimes at probe scale while producing the same
+answers as the local/broadcast regimes they replace.
+
+Blowup recipe (pure DuckDB SQL, seed-free and replica-deterministic):
+
+* ``lineitem``/``orders``: 10 replicas, ``*_orderkey + r·1e6`` — the
+  order→line fan-out and all FK joins keep their selectivity, customer /
+  part / supplier stay dimension-sized (so broadcast plans stay honest).
+* ``events``: 10 replicas, ``event_id + r·1e7``, ``user_id + r·1e5`` —
+  10× rows AND 10× user cardinality (sessionization / RFM group counts
+  grow, per-group size holds).
+* ``documents``: 10 replicas, ``doc_id + r·1e6``, text verbatim — a
+  duplicate-heavy corpus (every doc now has 10 exact copies): the worst
+  case for dedup candidate generation.
+* ``embeddings``: 60 replicas, ``vec_id + r·1e6`` — 120k vectors crosses
+  ``_NN_BROADCAST_MAX_N`` (100k), so the cosine kernels' blocked regime
+  engages NATURALLY, not via a patched threshold.
+* dims (``region nation customer supplier part``): byte-copied.
+
+Per timed key the artifact records wall seconds at both scales, the
+driving-table row counts, and ``per_row_ratio`` =
+(probe_sec/probe_rows)/(base_sec/base_rows) — ≤ ~2 means the key's cost
+is still linear in its input at 10×; >2 flags a super-linear plan.
+
+Regime checks (``regimes`` section):
+
+* ``llm_cosine_nn`` / ``llm_cosine_dedup``: gate flips to blocked at
+  120k vectors; outputs compared against the forced-broadcast kernel at
+  the SAME scale via count + order-free xxhash64 XOR (no driver collect).
+* ``llm_cosine_clusters``: its pair graph exceeds ``_CC_LOCAL_MAX_EDGES``
+  (10M) at probe scale, so the distributed connected-components path
+  engages naturally; checked for agreement with the local-regime labels
+  via the same count+XOR fold (gate patched to force the local path).
+* ``graph_pagerank`` / ``llm_dedup_clusters``: SimHash pair counts stay
+  below 10M even at 10× docs, so the distributed path is forced by
+  patching ``_CC_LOCAL_MAX_EDGES = 0`` and compared the same way.
+
+Usage::
+
+    python tools/scale_probe.py                  # full probe, writes
+                                                 # SCALE_PROBE_r{N}.json
+    python tools/scale_probe.py --keys tpch_q1   # subset, no artifact
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_probe/sf1"
+
+# (table, replicas, [(key_col, offset), ...])
+BLOWUP = [
+    ("lineitem", 10, [("l_orderkey", 1_000_000)]),
+    ("orders", 10, [("o_orderkey", 1_000_000)]),
+    ("events", 10, [("event_id", 10_000_000), ("user_id", 100_000)]),
+    ("documents", 10, [("doc_id", 1_000_000)]),
+    ("embeddings", 60, [("vec_id", 1_000_000)]),
+]
+COPY = ["region", "nation", "customer", "supplier", "part"]
+
+# key -> driving table (per-row cost is measured against this table)
+TIMED = {
+    "tpch_q1": "lineitem",
+    "tpch_q8": "lineitem",
+    "agg_group": "lineitem",
+    "agg_cube": "lineitem",
+    "agg_count_distinct": "lineitem",
+    "sink_parquet": "lineitem",
+    "sink_bucketed": "lineitem",
+    "sink_exactly_once": "events",
+    "events_pathing": "events",
+    "events_anomaly": "events",
+    "events_rfm": "events",
+    "llm_corpus_clean": "documents",
+    "llm_jaccard_dedup": "documents",
+    "llm_dedup_clusters": "documents",
+    "llm_minhash_det": "documents",
+    "llm_fingerprint": "documents",
+    "llm_ngram_jaccard": "documents",
+    "llm_contamination": "documents",
+    "graph_pagerank": "documents",
+    "llm_cosine_nn": "embeddings",
+    "llm_cosine_dedup": "embeddings",
+    "llm_ann_ivf": "embeddings",
+    "llm_pq_adc_topk": "embeddings",
+    "llm_topk_similar": "embeddings",
+}
+# timed separately: its probe-scale pair graph (>10M edges) makes the
+# natural distributed-CC run the headline number, recorded in `regimes`.
+CLUSTER_KEY = "llm_cosine_clusters"
+
+
+def build_blowup(force: bool = False) -> dict:
+    import duckdb
+
+    manifest_path = os.path.join(OUT, "_MANIFEST.json")
+    want = {"base": BASE, "blowup": BLOWUP, "copy": COPY}
+    if not force and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            if json.load(f) == json.loads(json.dumps(want)):
+                return want
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    for table, reps, keys in BLOWUP:
+        repl = ", ".join(f"{c} + r * {off} AS {c}" for c, off in keys)
+        con.execute(
+            f"COPY (SELECT t.* REPLACE ({repl}) "
+            f"FROM '{BASE}/{table}.parquet' t, range({reps}) g(r)) "
+            f"TO '{OUT}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    for table in COPY:
+        shutil.copyfile(f"{BASE}/{table}.parquet", f"{OUT}/{table}.parquet")
+    with open(manifest_path, "w") as f:
+        json.dump(want, f)
+    return want
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _fold(df):
+    """Order-free (count, XOR of row hashes) fold — exact equality witness
+    with no driver collect, safe at tens of millions of rows."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)]).alias("h")
+    )
+    out = row.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
+    ).collect()[0]
+    return int(out["n"]), int(out["x"] or 0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", nargs="*", default=None)
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--skip-regimes", action="store_true")
+    args = ap.parse_args()
+
+    print("building blowup fixture ...", flush=True)
+    t0 = time.perf_counter()
+    build_blowup(force=args.rebuild)
+    print(f"fixture ready in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.operators import pipeline as P
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = {}
+    for t in [b[0] for b in BLOWUP]:
+        rows[t] = (
+            load_table(spark, BASE, t).count(),
+            load_table(spark, OUT, t).count(),
+        )
+    print("row counts:", rows, flush=True)
+
+    # warm-up both dirs: JVM, codegen, parquet footers
+    QUERIES["agg_group"](spark, BASE).count()
+    QUERIES["agg_group"](spark, OUT).count()
+
+    keys = args.keys if args.keys else sorted(TIMED)
+    report: dict[str, dict] = {}
+    for key in keys:
+        table = TIMED[key]
+        entry: dict = {"driving_table": table}
+        try:
+            t0 = time.perf_counter()
+            _materialize(QUERIES[key](spark, BASE))
+            entry["base_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            _materialize(QUERIES[key](spark, OUT))
+            entry["probe_sec"] = round(time.perf_counter() - t0, 3)
+            br, pr = rows[table]
+            entry["base_rows"], entry["probe_rows"] = br, pr
+            entry["per_row_ratio"] = round(
+                (entry["probe_sec"] / pr) / (entry["base_sec"] / br), 3
+            )
+        except Exception as exc:  # noqa: BLE001 — record, keep probing
+            entry["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        report[key] = entry
+        print(f"{key}: {entry}", flush=True)
+
+    regimes: dict[str, dict] = {}
+    if not args.skip_regimes:
+        emb = load_table(spark, OUT, "embeddings").select("vec_id", "embedding")
+        n = emb.count()
+
+        # cosine NN: natural gate flip at 120k, vs forced broadcast
+        t0 = time.perf_counter()
+        nat = _fold(QUERIES["llm_cosine_nn"](spark, OUT))
+        t_nat = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        forced = _fold(P._cosine_nn_broadcast(spark, emb, OUT))
+        regimes["llm_cosine_nn"] = {
+            "n_vectors": n,
+            "gate": P._NN_BROADCAST_MAX_N,
+            "natural_regime": "blocked" if n > P._NN_BROADCAST_MAX_N else "broadcast",
+            "blocked_sec": t_nat,
+            "broadcast_sec": round(time.perf_counter() - t0, 3),
+            "count_xor_match": nat == forced,
+            "out_rows": nat[0],
+        }
+        print("llm_cosine_nn:", regimes["llm_cosine_nn"], flush=True)
+
+        t0 = time.perf_counter()
+        nat = _fold(QUERIES["llm_cosine_dedup"](spark, OUT))
+        t_nat = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        forced = _fold(P._cosine_pairs_broadcast(spark, emb, OUT))
+        regimes["llm_cosine_dedup"] = {
+            "n_vectors": n,
+            "natural_regime": "blocked" if n > P._NN_BROADCAST_MAX_N else "broadcast",
+            "blocked_sec": t_nat,
+            "broadcast_sec": round(time.perf_counter() - t0, 3),
+            "count_xor_match": nat == forced,
+            "out_rows": nat[0],
+        }
+        print("llm_cosine_dedup:", regimes["llm_cosine_dedup"], flush=True)
+
+        # CC/pagerank: distributed vs local regime on the SAME probe input
+        saved = P._CC_LOCAL_MAX_EDGES
+        for key in ("llm_dedup_clusters", "graph_pagerank", CLUSTER_KEY):
+            try:
+                edge_src = (
+                    QUERIES["llm_cosine_dedup"](spark, OUT)
+                    if key == CLUSTER_KEY
+                    else QUERIES["llm_simhash_dedup"](spark, OUT)
+                )
+                n_edges = edge_src.count()
+                P._CC_LOCAL_MAX_EDGES = 0  # force distributed
+                t0 = time.perf_counter()
+                dist = _fold(QUERIES[key](spark, OUT))
+                t_dist = round(time.perf_counter() - t0, 3)
+                P._CC_LOCAL_MAX_EDGES = max(saved, n_edges + 1)  # force local
+                t0 = time.perf_counter()
+                loc = _fold(QUERIES[key](spark, OUT))
+                regimes[key] = {
+                    "n_edges": n_edges,
+                    "gate": saved,
+                    "natural_regime": "distributed" if n_edges > saved else "local",
+                    "distributed_sec": t_dist,
+                    "local_sec": round(time.perf_counter() - t0, 3),
+                    "count_xor_match": dist == loc,
+                    "out_rows": dist[0],
+                }
+            except Exception as exc:  # noqa: BLE001
+                regimes[key] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            finally:
+                P._CC_LOCAL_MAX_EDGES = saved
+            print(f"{key}:", regimes[key], flush=True)
+
+    if args.keys:
+        return
+
+    from bench import current_round
+
+    artifact = {
+        "base": BASE,
+        "probe": OUT,
+        "rows": {t: {"base": b, "probe": p} for t, (b, p) in rows.items()},
+        "timed": report,
+        "regimes": regimes,
+        "note": (
+            "per_row_ratio = (probe_sec/probe_rows)/(base_sec/base_rows) on "
+            "the driving table; <=~2 means cost stays linear at 10x. "
+            "Regime folds compare count + bit_xor(xxhash64(row)) — exact, "
+            "order-free, no driver collect."
+        ),
+    }
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
