@@ -1643,9 +1643,12 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the corpus (only docs that HAVE a near-dup), so it broadcasts
     onto the per-row quality features — map-side join, then ONE shuffle
     on cluster_id for the arg-max, spelled as max(struct(keep, ttr,
-    -doc_id, ...)) so it's a partial-aggregatable single pass (no
-    window sort; struct comparison is lexicographic, and -doc_id makes
-    "max" pick the lowest id on full quality ties).  ttr enters the
+    -doc_id, ...)) so it's a partial-aggregatable single pass — no
+    corpus-wide window sort; struct comparison is lexicographic, and
+    -doc_id makes "max" pick the lowest id on full quality ties.
+    (Struct-typed max lowers to two-phase SortAggregate — struct
+    buffers aren't hash-aggregatable — which still partial-combines
+    before the shuffle; pinned in test_plans.)  ttr enters the
     ordering 6dp-rounded — exactly what both engines emit — so the
     comparison is cross-engine stable; doc_id uniqueness makes the
     total order tie-free."""

@@ -322,3 +322,37 @@ def test_pq_adc_broadcasts_lut(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_pq_adc_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_lm_score_broadcasts_lm_tables(spark, sf_dir):
+    """llm_lm_score: the bounded-vocab LM tables (bigram counts, prefix
+    counts, vocab sizes) must broadcast onto the exploded bigram stream
+    — a sort-merge join here would shuffle the full token fanout three
+    times — and the per-doc reduction must be a two-phase hash-agg."""
+    plan = _plan(spark, sf_dir, "llm_lm_score")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_keep_best_broadcasts_clusters_no_window(spark, sf_dir):
+    """llm_dedup_keep_best: the (small) cluster-label table broadcasts
+    onto per-row quality features, and the per-cluster arg-max is a
+    partial-aggregatable struct-max — NO window sort over the corpus.
+    Struct-typed max lowers to SortAggregate (struct buffers aren't
+    hash-aggregatable), but it must stay TWO-PHASE: a partial aggregate
+    below the Exchange so shuffle volume is one row per (partition,
+    cluster), not one per doc."""
+    plan = _plan(spark, sf_dir, "llm_dedup_keep_best")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
+    assert aggs >= 2
+    first_agg = min(
+        i
+        for i in (plan.find("SortAggregate"), plan.find("HashAggregate"))
+        if i != -1
+    )
+    assert first_agg < plan.index("Exchange")  # partial agg above Exchange
+    # in formatted top-down order: final agg printed first, Exchange
+    # between the two phases
