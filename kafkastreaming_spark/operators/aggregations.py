@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkastreaming_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
+from kafkastreaming_spark.hashing import H_DUCK, H_SPARK
 from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
 from kafkastreaming_spark.registry import query
 
@@ -295,6 +296,79 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# KMV sketch size.  64 keeps BOTH branches (exact-below-k and estimate)
+# live on the fixtures (150 distinct users per type); production uses
+# k = 1024+ for ~3% standard error (1/sqrt(k-2)).
+_KMV_K = 64
+_KMV_SPACE = 1 << 60  # H() parses 15 hex chars -> uniform on [0, 2^60)
+
+_KMV_H_SPARK = H_SPARK.format(x="CAST(user_id AS STRING)")
+_KMV_H_DUCK = H_DUCK.format(x="CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_KMV_H_DUCK} AS hv
+      FROM main.events
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+           CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+                ELSE CAST(ROUND(({_KMV_K} - 1) * {_KMV_SPACE}.0 / MAX(hv))
+                          AS BIGINT)
+           END AS est_distinct
+    FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch — a cardinality estimator that,
+    unlike HLL (`agg_approx_distinct`, rows-only), is DETERMINISTIC and
+    exactly hash-checkable: both engines hash every value with the
+    portable 60-bit md5 H(), keep the k smallest distinct hashes per
+    group, and estimate |D| ≈ (k-1)·2^60/h_(k) (Bar-Yossef et al.,
+    "Counting distinct elements in a data stream").  Below k distinct
+    values the sketch IS the exact count (m < k branch).
+
+    Scale shape: one distinct-shuffle on (group, hash) then a per-group
+    top-k that Catalyst lowers to WindowGroupLimit — partial limiting
+    BEFORE the shuffle, so each map task forwards at most k hashes per
+    group regardless of input size; the kth-smallest-of-union equals
+    kth-smallest-of-merged-partials, which is exactly why KMV sketches
+    merge (the same property the partial limit exploits).  The only
+    float op is one mul+div on identical inputs; ROUND lands ~1e17
+    where doubles have integer ulp, so no half-case ambiguity."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.expr(_KMV_H_SPARK).alias("hv")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hv")
+    topk = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    agg = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.max("hv").alias("kth"),
+    )
+    return agg.select(
+        "event_type",
+        "m",
+        F.when(F.col("m") < _KMV_K, F.col("m"))
+        .otherwise(
+            F.round(
+                F.lit(_KMV_K - 1) * F.lit(float(_KMV_SPACE)) / F.col("kth"), 0
+            ).cast("long")
+        )
+        .alias("est_distinct"),
     )
 
 

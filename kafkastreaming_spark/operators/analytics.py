@@ -401,3 +401,103 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rfm_segment",
         F.concat("r_quartile", "f_quartile", "m_quartile"),
     )
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS conv_ts
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, conv_ts, ts, event_id, event_type
+      FROM tagged
+      WHERE event_type <> 'purchase' AND conv_ts IS NOT NULL
+    ),
+    sized AS (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY user_id, conv_ts) AS n_touches,
+             row_number() OVER (PARTITION BY user_id, conv_ts
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id, conv_ts
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM touches
+    )
+    SELECT event_type AS channel,
+           CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           ROUND(SUM(CAST(ROUND(1000000.0 / n_touches) AS BIGINT)) / 1e6, 6)
+             AS linear_credit
+    FROM sized GROUP BY event_type
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution — first-touch, last-touch and
+    linear credit per channel (event_type), the marketing-analytics
+    workload every event warehouse runs: each non-purchase event is a
+    "touch" attributed to the user's NEXT purchase.
+
+    The touch→conversion assignment is ONE reverse running-min window
+    over (user, ts DESC, event_id DESC) — the as-of-forward join
+    expressed as a window so it shares a single shuffle+sort on the
+    user key with the per-conversion counts and first/last row_numbers
+    that follow (Exchange reuse: five window functions, one sort
+    order family, one shuffle).  event_id breaks timestamp ties so the
+    frame contents are a total order — identical in both engines.
+
+    Linear credit (1/n per touch) is summed EXACTLY: each touch's share
+    is snapped to integer micro-credits (ROUND(1e6/n) — the pagerank
+    grid discipline) so the per-channel reduction is an order-free
+    int64 sum, divided back out once at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    w_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w_rev).alias("conv_ts"),
+    )
+    touches = tagged.filter(
+        (F.col("event_type") != "purchase") & F.col("conv_ts").isNotNull()
+    )
+    grp = Window.partitionBy("user_id", "conv_ts")
+    sized = touches.select(
+        "event_type",
+        F.count(F.lit(1)).over(grp).alias("n_touches"),
+        F.row_number()
+        .over(grp.orderBy("ts", "event_id"))
+        .alias("rn_first"),
+        F.row_number()
+        .over(grp.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_last"),
+    )
+    return sized.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("last_touch"),
+        F.round(
+            F.sum(
+                F.round(F.lit(1000000.0) / F.col("n_touches"), 0).cast("long")
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("linear_credit"),
+    )

@@ -356,3 +356,23 @@ def test_dedup_keep_best_broadcasts_clusters_no_window(spark, sf_dir):
     assert first_agg < plan.index("Exchange")  # partial agg above Exchange
     # in formatted top-down order: final agg printed first, Exchange
     # between the two phases
+
+
+def test_kmv_topk_lowers_to_window_group_limit(spark, sf_dir):
+    """agg_kmv_distinct: the per-group k-smallest-hashes filter must
+    lower to WindowGroupLimit (map-side partial limiting — each task
+    forwards at most k hashes per group, the sketch's merge property)."""
+    plan = _plan(spark, sf_dir, "agg_kmv_distinct")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 4  # ≤2 real shuffles (tree+detail x2)
+
+
+def test_attribution_windows_share_one_user_shuffle(spark, sf_dir):
+    """events_attribution: conversion assignment + per-conversion counts
+    + first/last row_numbers are all windows over the user key — they
+    must share one shuffle family (≤2 real Exchanges: user windows +
+    final channel agg), with no nested-loop join anywhere."""
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert plan.count("Exchange") <= 4  # formatted prints tree + detail
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 2
