@@ -198,14 +198,47 @@ def _hier_agg(df: DataFrame, grouped) -> DataFrame:
     )
 
 
+def _revenue_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r_name, n_name) pre-aggregate of the revenue base — the
+    aggregate-before-Expand rewrite for the hierarchical-grouping keys.
+
+    CUBE/ROLLUP/GROUPING SETS lower to Expand, which REPLICATES every
+    input row once per grouping set BEFORE the shuffle — at 100 TB that
+    multiplies shuffle volume by the set count.  Because COUNT and the
+    exact-decimal SUM are algebraic, grouping over a (r_name, n_name)
+    partial (≤ |nations| rows) is value-identical: partial decimal sums
+    stay UNROUNDED (dsum rounds only once, at the final merge), and
+    Expand replicates 25 rows instead of the orders table.  Catalyst
+    does not perform this rewrite itself; the fixture has no NULL
+    r_name/n_name, so data-NULL vs subtotal-NULL conflation (the one
+    semantic hazard of aggregating below a cube) cannot arise."""
+    return (
+        _revenue_base(spark, sf_dir)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,8)")).alias("ps"),
+        )
+    )
+
+
+def _hier_agg_merged(grouped) -> DataFrame:
+    return grouped.agg(
+        F.grouping_id().alias("gid"),
+        F.sum("pn").alias("n_orders"),
+        F.round(F.sum("ps"), 2).cast("double").alias("revenue"),
+    )
+
+
 @query(
     "agg_rollup",
     oracle=f"WITH {_REVENUE_BASE_SQL} {_HIER_AGG_SQL} GROUP BY ROLLUP(r_name, n_name)",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical totals: (r, n), (r), () with grouping_id bitmask."""
-    base = _revenue_base(spark, sf_dir)
-    return _hier_agg(base, base.rollup("r_name", "n_name"))
+    """Hierarchical totals: (r, n), (r), () with grouping_id bitmask —
+    Expand runs over the (r_name, n_name) partial (_revenue_partial)."""
+    part = _revenue_partial(spark, sf_dir)
+    return _hier_agg_merged(part.rollup("r_name", "n_name"))
 
 
 @query(
@@ -213,9 +246,11 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"WITH {_REVENUE_BASE_SQL} {_HIER_AGG_SQL} GROUP BY CUBE(r_name, n_name)",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 4 grouping combinations of (r_name, n_name)."""
-    base = _revenue_base(spark, sf_dir)
-    return _hier_agg(base, base.cube("r_name", "n_name"))
+    """All 4 grouping combinations of (r_name, n_name) — via the
+    aggregate-before-Expand rewrite (see _revenue_partial): Expand
+    replicates the 25-row partial, not the orders join."""
+    part = _revenue_partial(spark, sf_dir)
+    return _hier_agg_merged(part.cube("r_name", "n_name"))
 
 
 @query(
@@ -224,9 +259,12 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((r_name), (n_name))""",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets: per-region and per-nation totals only."""
-    base = _revenue_base(spark, sf_dir)
-    return _hier_agg(base, base.groupingSets([["r_name"], ["n_name"]], "r_name", "n_name"))
+    """Explicit grouping sets: per-region and per-nation totals only —
+    Expand runs over the (r_name, n_name) partial (_revenue_partial)."""
+    part = _revenue_partial(spark, sf_dir)
+    return _hier_agg_merged(
+        part.groupingSets([["r_name"], ["n_name"]], "r_name", "n_name")
+    )
 
 
 @query(

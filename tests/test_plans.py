@@ -376,3 +376,16 @@ def test_attribution_windows_share_one_user_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 4  # formatted prints tree + detail
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") >= 2
+
+
+@pytest.mark.parametrize("key", ["agg_cube", "agg_rollup", "agg_grouping_sets"])
+def test_hierarchical_aggs_expand_over_partial(spark, sf_dir, key):
+    """CUBE/ROLLUP/GROUPING SETS must run Expand over the (r_name,
+    n_name) pre-aggregate, not the orders join: Expand replicates its
+    input once per grouping set, so at scale it must see ≤|nations|
+    rows.  In the top-down formatted plan the final aggregate prints
+    before Expand and the pre-aggregate prints after it."""
+    plan = _plan(spark, sf_dir, key)
+    i_exp = plan.index("Expand")
+    assert i_exp > plan.index("HashAggregate")  # final agg above Expand
+    assert plan.find("HashAggregate", i_exp) != -1  # pre-agg below Expand
