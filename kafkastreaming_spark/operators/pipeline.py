@@ -1166,6 +1166,130 @@ def llm_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cc_distributed(spark, pairs, cols=("vec_a", "vec_b"), out_id="vec_id")
 
 
+@query(
+    "llm_semdedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id < 16),
+    asg AS (
+      SELECT vec_id, ve, cid,
+             ROUND(list_dot_product(ve, cv) / (sqrt(list_dot_product(ve, ve))
+                   * sqrt(list_dot_product(cv, cv))), 6) AS sim
+      FROM e CROSS JOIN cent
+    ),
+    arank AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid) AS rn
+      FROM asg
+    ),
+    bucket AS (SELECT vec_id, ve, cid AS bucket FROM arank WHERE rn = 1),
+    pairs AS (
+      SELECT b.vec_id AS vb
+      FROM bucket a JOIN bucket b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.ve, b.ve)
+                  / (sqrt(list_dot_product(a.ve, a.ve))
+                     * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.4
+    ),
+    dups AS (SELECT vb, COUNT(*) AS n_earlier_dups FROM pairs GROUP BY vb)
+    SELECT b.vec_id, b.bucket,
+           CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS keep,
+           CAST(COALESCE(d.n_earlier_dups, 0) AS BIGINT) AS n_earlier_dups
+    FROM bucket b LEFT JOIN dups d ON b.vec_id = d.vb
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style BUCKETED semantic dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication") — the prescreen-then-rescore composition the exact
+    pair scan's docstring promises as the 100 TB path: assign every
+    vector to its nearest coarse centroid (the shared IVF topology of
+    ``llm_ann_ivf``, deterministic stand-in centroids = first 16
+    vectors), then run the exact cosine pair scan ONLY within each
+    bucket and keep the lowest-id member of every near-dup pair group.
+    Output is the per-vector manifest: (vec_id, bucket, keep,
+    n_earlier_dups).
+
+    Cost shape vs ``llm_cosine_dedup``: the all-pairs scan is O(n²);
+    bucketing cuts it to O(n²/K) (K=16 here; production K ~ √n from
+    ``llm_ivf_train`` keeps bucket sizes bounded as the corpus grows,
+    and the miss risk is near-dup pairs straddling a centroid boundary
+    — the recall/cost dial).  Assignment reuses the proven sequential
+    double-fold spelling (cross-engine identical); the within-bucket
+    pair scan is the chunked numpy kernel discipline of
+    ``_cosine_pairs_blocked`` — one BLAS matmul per query chunk, per-
+    task score matrix capped at ``_NN_SCORE_CELLS`` cells, per-task
+    memory one bucket — shuffled once on the bucket key."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("ve")
+    )
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("ve").alias("cv")
+    )
+    sim = F.round(
+        F.expr(_DOT.format(a="ve", b="cv"))
+        / (
+            F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
+            * F.sqrt(F.expr(_SQ_NORM.format(v="cv")))
+        ),
+        6,
+    )
+    asg = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "ve", "cid", sim.alias("sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    bucket = (
+        asg.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "ve", F.col("cid").alias("bucket"))
+    )
+
+    t = _COSINE_DEDUP_T
+    cells = _NN_SCORE_CELLS
+
+    def bucket_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": [], "n_earlier_dups": []})
+        pdf = pdf.sort_values("vec_id")
+        cm = np.stack(pdf["ve"].to_numpy()).astype(np.float64)
+        cn = np.sqrt((cm * cm).sum(axis=1))
+        ids = pdf["vec_id"].to_numpy()
+        step = _score_chunk_rows(len(ids), cells)
+        n_earlier = np.zeros(len(ids), dtype=np.int64)
+        for s in range(0, len(ids), step):
+            a = cm[s : s + step]
+            an = cn[s : s + step]
+            # oracle formula verbatim: dot / (|a|·|b|), THEN round
+            cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+            # strict upper triangle: row id < column id (ids are sorted)
+            hit = (cos >= t) & (ids[s : s + step, None] < ids[None, :])
+            n_earlier += hit.sum(axis=0)
+        mask = n_earlier > 0
+        return pd.DataFrame(
+            {"vec_id": ids[mask], "n_earlier_dups": n_earlier[mask]}
+        )
+
+    dups = bucket.groupBy("bucket").applyInPandas(
+        lambda pdf: bucket_dups(pdf), "vec_id long, n_earlier_dups long"
+    )
+    return bucket.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "bucket",
+        F.when(F.col("n_earlier_dups").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+        F.coalesce("n_earlier_dups", F.lit(0).cast("long")).alias(
+            "n_earlier_dups"
+        ),
+    )
+
+
 def _hyperplanes(n: int = 8, dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: 6dp-rounded sines, so the
     SQL literals parse to bit-identical doubles in both engines."""

@@ -455,3 +455,19 @@ def test_pq_train_trained_adc_recall_beats_literal(spark, sf_dir):
     r_trained, r_literal = recall_at_5(trained), recall_at_5(literal)
     assert r_trained >= r_literal, (r_trained, r_literal)
     assert r_trained >= 0.2, r_trained  # trained codebook must be usable at all
+
+
+def test_semdedup_drops_subset_of_exact_pair_scan(spark, sf_dir):
+    """Bucketing only PRUNES candidate pairs: every vector llm_semdedup
+    drops must also appear as the later member of some pair in the
+    exact all-pairs scan (llm_cosine_dedup), and its bucket-local
+    earlier-dup count can never exceed the exact scan's count."""
+    sem = {r["vec_id"]: r for r in QUERIES["llm_semdedup"](spark, sf_dir).collect()}
+    exact_later = {}
+    for r in QUERIES["llm_cosine_dedup"](spark, sf_dir).collect():
+        exact_later[r["vec_b"]] = exact_later.get(r["vec_b"], 0) + 1
+    dropped = [v for v, r in sem.items() if r["keep"] == 0]
+    assert len(dropped) > 0  # fixture must exercise the drop path
+    for v in dropped:
+        assert v in exact_later
+        assert sem[v]["n_earlier_dups"] <= exact_later[v]

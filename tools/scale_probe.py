@@ -100,6 +100,12 @@ TIMED = {
     "llm_ann_ivf": "embeddings",
     "llm_pq_adc_topk": "embeddings",
     "llm_topk_similar": "embeddings",
+    # round-7 additions
+    "llm_semdedup": "embeddings",
+    "llm_lm_score": "documents",
+    "llm_dedup_keep_best": "documents",
+    "events_attribution": "events",
+    "agg_kmv_distinct": "events",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
