@@ -1232,13 +1232,12 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("ve").alias("cv")
     )
+    # norms once per side before the ×K join (same r7 rewrite as
+    # _ivf_probe_topk — identical value tree, 16× fewer norm folds)
+    emb = emb.withColumn("nv", F.sqrt(F.expr(_SQ_NORM.format(v="ve"))))
+    cent = cent.withColumn("ncv", F.sqrt(F.expr(_SQ_NORM.format(v="cv"))))
     sim = F.round(
-        F.expr(_DOT.format(a="ve", b="cv"))
-        / (
-            F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
-            * F.sqrt(F.expr(_SQ_NORM.format(v="cv")))
-        ),
-        6,
+        F.expr(_DOT.format(a="ve", b="cv")) / (F.col("nv") * F.col("ncv")), 6
     )
     asg = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "ve", "cid", sim.alias("sim")
@@ -1462,24 +1461,30 @@ def _ivf_probe_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Shared IVF topology: assign every vector to its nearest centroid's
     inverted list, probe each query's top-2 centroids, rescore exactly
     inside those lists.  Used by the stand-in-centroid ``llm_ann_ivf``
-    (hash-checked) and the k-means-trained ``llm_ann_ivf_trained``."""
+    (hash-checked) and the k-means-trained ``llm_ann_ivf_trained``.
+
+    Norms are computed ONCE per vector/centroid before the ×K
+    assignment join (r7: the inline spelling re-folded ||v|| per
+    (vector, centroid) pair — 2K redundant interpreted HOF folds per
+    vector; the value tree dot/(√a·√b) is unchanged, so 6dp results
+    and the oracle stay bit-identical)."""
+    emb = emb.withColumn("nv", F.sqrt(F.expr(_SQ_NORM.format(v="ve"))))
+    cent = cent.withColumn("ncv", F.sqrt(F.expr(_SQ_NORM.format(v="cv"))))
     sim = F.round(
-        F.expr(_DOT.format(a="ve", b="cv"))
-        / (
-            F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
-            * F.sqrt(F.expr(_SQ_NORM.format(v="cv")))
-        ),
-        6,
+        F.expr(_DOT.format(a="ve", b="cv")) / (F.col("nv") * F.col("ncv")), 6
     )
-    asg = emb.crossJoin(F.broadcast(cent)).select("vec_id", "ve", "cid", sim.alias("sim"))
+    asg = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "ve", "nv", "cid", sim.alias("sim")
+    )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     arank = asg.withColumn("rn", F.row_number().over(w_assign))
     bucket = arank.filter(F.col("rn") == 1).select(
-        "vec_id", "ve", F.col("cid").alias("bucket")
+        "vec_id", "ve", "nv", F.col("cid").alias("bucket")
     )
     probes = arank.filter((F.col("vec_id") < 5) & (F.col("rn") <= 2)).select(
         F.col("vec_id").alias("query_id"),
         F.col("ve").alias("qv"),
+        F.col("nv").alias("qnv"),
         F.col("cid").alias("bucket"),
     )
     cand = (
@@ -1488,12 +1493,7 @@ def _ivf_probe_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     cos = F.round(
-        F.expr(_DOT.format(a="qv", b="ve"))
-        / (
-            F.sqrt(F.expr(_SQ_NORM.format(v="qv")))
-            * F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
-        ),
-        6,
+        F.expr(_DOT.format(a="qv", b="ve")) / (F.col("qnv") * F.col("nv")), 6
     )
     scored = cand.select("query_id", "vec_id", cos.alias("cos_sim"))
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
