@@ -359,9 +359,18 @@ def llm_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids or random hyperplanes), join query→bucket, scan only
     colliding buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", F.col("embedding").alias("ve"))
+    # norms once per side before the pair join (r7 hoist: the inline
+    # spelling re-folded ||v|| per (query, vector) pair; value tree
+    # dot/(√a·√b) unchanged ⇒ 6dp scores and oracle hashes identical)
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ve"),
+        F.sqrt(F.expr(_SQ_NORM.format(v="embedding"))).alias("nv"),
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(F.expr(_SQ_NORM.format(v="embedding"))).alias("qnv"),
     )
     scored = (
         F.broadcast(queries)
@@ -372,10 +381,7 @@ def llm_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(
                 F.expr(_DOT.format(a="qv", b="ve"))
-                / (
-                    F.sqrt(F.expr(_SQ_NORM.format(v="qv")))
-                    * F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
-                ),
+                / (F.col("qnv") * F.col("nv")),
                 6,
             ).alias("cos_sim"),
         )

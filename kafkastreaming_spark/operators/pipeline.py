@@ -1360,13 +1360,19 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: repartition by bucket ⇒ each probe is one co-located
     partition scan; recall tunes via multi-probe (flip one sign bit)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per side before the bucket join (same r7 hoist as
+    # _ivf_probe_topk — identical value tree, no per-pair re-fold)
     bucketed = emb.select(
         "vec_id",
         F.col("embedding").alias("ve"),
+        F.sqrt(F.expr(_SQ_NORM.format(v="embedding"))).alias("nv"),
         F.expr(_bucket_expr_spark("embedding")).alias("bucket"),
     )
     q = bucketed.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("nv").alias("qnv"),
+        "bucket",
     )
     scored = (
         F.broadcast(q)
@@ -1377,10 +1383,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(
                 F.expr(_DOT.format(a="qv", b="ve"))
-                / (
-                    F.sqrt(F.expr(_SQ_NORM.format(v="qv")))
-                    * F.sqrt(F.expr(_SQ_NORM.format(v="ve")))
-                ),
+                / (F.col("qnv") * F.col("nv")),
                 6,
             ).alias("cos_sim"),
         )
