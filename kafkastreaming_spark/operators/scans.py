@@ -380,3 +380,50 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT))"
         ).alias("text_hash_xor"),
     )
+
+
+@query(
+    "sink_compaction",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           bit_xor(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                   AS BIGINT)) AS id_hash_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (the OPTIMIZE / bin-packing rewrite every
+    100 TB lake runs): events are first written as 64 deliberately tiny
+    files (the pathological layout streaming ingestion leaves behind —
+    at scale, listing + footer reads of millions of small files dominate
+    scan cost), then compacted with a shuffle-free ``coalesce`` rewrite
+    into 4 right-sized files.
+
+    Correctness of a compaction job is exactly "no row lost, none
+    duplicated, none altered" — so the returned profile aggregates the
+    COMPACTED table per event_type with an order-free xor of the
+    portable 60-bit md5 of each event_id, and the oracle computes the
+    same digest from the ORIGINAL table: any dropped/duplicated row
+    breaks the hash.  File counts before/after are pinned in pytest.
+    ``coalesce`` (not ``repartition``) is the production choice: it
+    merges map-side with no shuffle; repartition would re-shuffle the
+    table to fix a layout problem."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    small = _sink_path("ks_spark_sink_compact_small", sf_dir)
+    ev.repartition(64).write.mode("overwrite").parquet(small)
+    compacted = _sink_path("ks_spark_sink_compact_big", sf_dir)
+    spark.read.parquet(small).coalesce(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "bit_xor(CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT))"
+        ).alias("id_hash_xor"),
+    )

@@ -97,3 +97,43 @@ def test_load_table_accepts_int96(spark, tmp_path):
         str(tmp_path / "i96"), pa.timestamp("ns", tz="UTC"), int96=True
     )
     assert _loaded_ts(spark, d) == "2024-01-15 10:00:00"
+
+
+def test_sink_compaction_shrinks_file_count_preserving_rows(spark, sf_dir):
+    """The compaction rewrite must actually fix the layout: the small
+    layout has 64 parquet files, the compacted one at most 4, and the
+    profile the key returns must equal the same aggregate computed from
+    the original table (no row lost/duplicated/altered)."""
+    import glob
+    import os
+
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.operators.scans import _sink_path
+
+    out = {r["event_type"]: r for r in QUERIES["sink_compaction"](spark, sf_dir).collect()}
+    small = _sink_path("ks_spark_sink_compact_small", sf_dir)
+    big = _sink_path("ks_spark_sink_compact_big", sf_dir)
+    n_small = len(glob.glob(os.path.join(small, "*.parquet")))
+    n_big = len(glob.glob(os.path.join(big, "*.parquet")))
+    assert n_small == 64
+    assert 1 <= n_big <= 4
+    from pyspark.sql import functions as F
+
+    want = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "bit_xor(CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT))"
+            ).alias("id_hash_xor"),
+        )
+        .collect()
+    }
+    assert set(out) == set(want)
+    for t in want:
+        assert out[t]["n_events"] == want[t]["n_events"]
+        assert out[t]["id_hash_xor"] == want[t]["id_hash_xor"]

@@ -471,3 +471,32 @@ def test_semdedup_drops_subset_of_exact_pair_scan(spark, sf_dir):
     for v in dropped:
         assert v in exact_later
         assert sem[v]["n_earlier_dups"] <= exact_later[v]
+
+
+def test_cosine_gate_dispatch_blocked_path_end_to_end(spark, sf_dir, monkeypatch):
+    """Force the registry-level gate itself (not the kernels) to take
+    the blocked branch by dropping _NN_BROADCAST_MAX_N to 0: the
+    driver-visible QUERIES entries must produce the identical result
+    through either regime.  Covers the dispatch line the kernel-level
+    pins can't reach."""
+    from kafkastreaming_spark.operators import pipeline as P
+
+    want_nn = {
+        r["vec_id"]: (r["nn_id"], r["cos_sim"])
+        for r in QUERIES["llm_cosine_nn"](spark, sf_dir).collect()
+    }
+    want_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in QUERIES["llm_cosine_dedup"](spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(P, "_NN_BROADCAST_MAX_N", 0)  # driver-side gate
+    got_nn = {
+        r["vec_id"]: (r["nn_id"], r["cos_sim"])
+        for r in QUERIES["llm_cosine_nn"](spark, sf_dir).collect()
+    }
+    got_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in QUERIES["llm_cosine_dedup"](spark, sf_dir).collect()
+    }
+    assert got_nn == want_nn
+    assert got_pairs == want_pairs
