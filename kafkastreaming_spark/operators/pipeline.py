@@ -1705,6 +1705,99 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SW_LIST = "'a', 'the', 'and', 'of', 'to', 'in', 'is'"
+
+
+@query(
+    "llm_quality_ratios",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars,
+             string_split(text, ' ') AS tk
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n_chars,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(tk,
+                  x -> list_contains([{_SW_LIST}], x))) AS BIGINT) AS sw_cnt,
+             CAST(len(list_filter(tk, x -> len(x) <= 2)) AS BIGINT)
+               AS short_cnt,
+             CAST(len(list_filter(tk, x -> len(x) >= 6)) AS BIGINT)
+               AS long_cnt,
+             CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT)
+               AS punct_cnt
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(CAST(sw_cnt AS DOUBLE) / n_tokens, 6) AS sw_ratio,
+           ROUND(CAST(short_cnt AS DOUBLE) / n_tokens, 6) AS short_ratio,
+           ROUND(CAST(long_cnt AS DOUBLE) / n_tokens, 6) AS long_ratio,
+           ROUND(CAST(punct_cnt AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           CASE WHEN sw_cnt >= 2
+                 AND CAST(punct_cnt AS DOUBLE) / n_chars <= 0.1
+                THEN 1 ELSE 0 END AS keep
+    FROM feat
+    """,
+)
+def llm_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style ratio features (Rae et al. 2021 §A1.1) — the second
+    half of the heuristic quality gate, complementing
+    ``llm_quality_score``'s length/TTR/digit features: stop-word ratio
+    (real text contains function words; keyword-stuffed or generated
+    junk often doesn't), short- and long-token ratios (word-length
+    distribution tails), and symbol/punctuation density, with the
+    canonical "≥2 stop words AND punct ≤ 10%" keep rule.
+
+    All per-row array/regex expressions over the bound token array —
+    embarrassingly parallel, zero shuffle, runs at scan speed at any
+    corpus size (same plan class as llm_quality_score; the two gates
+    compose with AND in a production filter stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.split("text", " ").alias("tk"),
+    )
+    feat = t.select(
+        "doc_id",
+        "n_chars",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(
+            F.expr(f"filter(tk, x -> array_contains(array({_SW_LIST}), x))")
+        )
+        .cast("long")
+        .alias("sw_cnt"),
+        F.size(F.expr("filter(tk, x -> length(x) <= 2)"))
+        .cast("long")
+        .alias("short_cnt"),
+        F.size(F.expr("filter(tk, x -> length(x) >= 6)"))
+        .cast("long")
+        .alias("long_cnt"),
+        F.size(F.expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+        .cast("long")
+        .alias("punct_cnt"),
+    )
+    punct_ratio = F.col("punct_cnt").cast("double") / F.col("n_chars")
+    return feat.select(
+        "doc_id",
+        F.round(F.col("sw_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "sw_ratio"
+        ),
+        F.round(
+            F.col("short_cnt").cast("double") / F.col("n_tokens"), 6
+        ).alias("short_ratio"),
+        F.round(
+            F.col("long_cnt").cast("double") / F.col("n_tokens"), 6
+        ).alias("long_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.when((F.col("sw_cnt") >= 2) & (punct_ratio <= 0.1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+
+
 @query(
     "llm_dedup_keep_best",
     oracle=f"""
