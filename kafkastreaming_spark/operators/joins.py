@@ -405,3 +405,125 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.filter(F.col("kind") == 1).select(
         "event_id", "user_id", "ts", "value", "next_click_ts"
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS back_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+      SELECT p.event_id, c.ts AS fwd_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts, b.value,
+           CASE
+             WHEN b.back_ts IS NULL THEN f.fwd_ts
+             WHEN f.fwd_ts IS NULL THEN b.back_ts
+             WHEN date_diff('microsecond', b.back_ts, b.ts)
+                  <= date_diff('microsecond', b.ts, f.fwd_ts)
+               THEN b.back_ts
+             ELSE f.fwd_ts
+           END AS nearest_click_ts,
+           CASE
+             WHEN b.back_ts IS NULL AND f.fwd_ts IS NULL THEN NULL
+             WHEN f.fwd_ts IS NULL THEN 'back'
+             WHEN b.back_ts IS NULL THEN 'fwd'
+             WHEN date_diff('microsecond', b.back_ts, b.ts)
+                  <= date_diff('microsecond', b.ts, f.fwd_ts)
+               THEN 'back'
+             ELSE 'fwd'
+           END AS direction
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``):
+    per purchase, the click closest in time in EITHER direction, ties
+    toward the backward match — sensor-alignment and feature-join
+    semantics when "most recent" is too strict.
+
+    One union-tag pass computes BOTH candidates over a single user_id
+    shuffle: the running backward carry (``last ignoring nulls``, time
+    ascending — join_asof's window) and the running forward carry
+    (``first ignoring nulls`` over the time-ascending frame's future
+    rows — join_asof_forward's, respelled as an UNBOUNDED FOLLOWING
+    frame so both windows share ONE sort order and Exchange).  The
+    nearest pick is then a per-row CASE on the two microsecond gaps —
+    no second shuffle, no self-join.  At identical timestamps clicks
+    sort before (backward) / after (forward) purchases via the kind
+    tag, reproducing DuckDB's inclusive >= / <= ASOF semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+        "value",
+    )
+    # forward candidates need clicks AFTER purchases at equal ts: use a
+    # second tag column that orders clicks last, but keep ONE sort order
+    # by exploiting frames: backward = kind 0 first (asc ts, kind);
+    # forward = first click strictly ahead in the same order — a click
+    # at the same ts has kind 0 < 1 and lands BEHIND the purchase, so
+    # carry it separately via a same-ts column.
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tagged = clicks.unionByName(purchases).select(
+        "*",
+        F.last("click_ts", ignorenulls=True).over(w_back).alias("back_ts"),
+        F.first("click_ts", ignorenulls=True).over(w_fwd).alias("fwd_raw"),
+    )
+    # fwd_raw misses a click at the SAME ts (kind 0 sorts before the
+    # purchase, so it's outside the CURRENT ROW..FOLLOWING frame) — but
+    # that click is the back_ts with gap 0, which always wins the
+    # nearest tie anyway, so correct fwd = COALESCE over the same-ts
+    # case is unnecessary; gap comparison handles it.
+    out = tagged.filter(F.col("kind") == 1)
+    # microsecond gaps — cast("long") would truncate to SECONDS and
+    # silently disagree with the oracle's date_diff('microsecond', ...)
+    # on sub-second ties
+    back_gap = F.unix_micros("ts") - F.unix_micros("back_ts")
+    fwd_gap = F.unix_micros("fwd_raw") - F.unix_micros("ts")
+    pick_back = F.col("fwd_raw").isNull() | (
+        F.col("back_ts").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(pick_back, F.col("back_ts"))
+        .otherwise(F.col("fwd_raw"))
+        .alias("nearest_click_ts"),
+        F.when(
+            F.col("back_ts").isNull() & F.col("fwd_raw").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(pick_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )
