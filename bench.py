@@ -31,11 +31,17 @@ def current_round() -> int:
     """Resolve the in-progress round number for artifact stamping.
 
     SPARK_GRAFT_ROUND wins (the round recipe exports it — the only
-    unambiguous source at a round boundary).  The fallback infers from
-    the newest BENCH_DETAIL_r{N}.json THIS repo writes (last full bench
-    was round N → now building N+1), not the driver's BENCH_r trail:
-    the driver can drop BENCH_r{N}.json while round-N artifacts are
-    still being produced, which would misfile a re-run as N+1.
+    unambiguous source at a round boundary).  The fallback combines
+    both trails, because each alone fails in one direction: the
+    driver's BENCH_r{N}.json appears only after round N ends (so
+    driver_max+1 = the round being built), but the driver can also
+    drop it while round-N artifacts are still being produced; our own
+    BENCH_DETAIL_r{N}.json appears DURING round N (so a second ad-hoc
+    bench inside the same round must NOT bump to N+1 — the r7 bug:
+    inferring own_max+1 misfiled SCALE_PROBE as r08 mid-round-7).
+    max(driver_max + 1, own_max) is right in all three states: fresh
+    round (own trail behind → driver+1), mid-round re-run (own == in-
+    progress round → own), and driver-dropped-early (both equal).
     """
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env and env.isdigit():
@@ -51,10 +57,7 @@ def current_round() -> int:
             default=0,
         )
 
-    own = trail("BENCH_DETAIL_r*.json")
-    if own:
-        return own + 1
-    return trail("BENCH_r*.json") + 1
+    return max(trail("BENCH_r*.json") + 1, trail("BENCH_DETAIL_r*.json"))
 
 
 def main() -> None:

@@ -190,14 +190,6 @@ _HIER_AGG_SQL = f"""
 """
 
 
-def _hier_agg(df: DataFrame, grouped) -> DataFrame:
-    return grouped.agg(
-        F.grouping_id().alias("gid"),
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", "revenue"),
-    )
-
-
 def _revenue_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(r_name, n_name) pre-aggregate of the revenue base — the
     aggregate-before-Expand rewrite for the hierarchical-grouping keys.

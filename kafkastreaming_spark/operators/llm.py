@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafkastreaming_spark.hashing import H_SPARK
+from kafkastreaming_spark.hashing import H_DUCK, H_SPARK
 from kafkastreaming_spark.io import load_table
 from kafkastreaming_spark.memo import memo
 from kafkastreaming_spark.registry import query
@@ -584,7 +584,7 @@ _MINHASH_DET_ORACLE = f"""
     WITH d AS (
       SELECT doc_id,
              list_distinct(list_transform(string_split(text, ' '),
-               t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+               t -> {H_DUCK.format(x='t')}
                     % {_MH_MOD})) AS hs
       FROM documents
     ),

@@ -21,3 +21,19 @@ def test_current_round_env_override(monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "42")
     assert bench.current_round() == 42
+
+
+def test_current_round_mid_round_rerun(monkeypatch, tmp_path):
+    """The r7 misfile bug: once this repo's own BENCH_DETAIL_r{N} exists
+    mid-round, a second artifact run must still stamp N — only the
+    driver's end-of-round BENCH_r{N} advances the inference."""
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_r06.json").write_text("{}")
+    assert bench.current_round() == 7  # fresh round: driver trail + 1
+    (tmp_path / "BENCH_DETAIL_r07.json").write_text("{}")
+    assert bench.current_round() == 7  # mid-round re-run: NOT 8
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    assert bench.current_round() == 8  # driver closed round 7

@@ -235,6 +235,7 @@ def main() -> None:
         t0 = time.perf_counter()
         nat = _fold(QUERIES["llm_cosine_dedup"](spark, OUT))
         t_nat = round(time.perf_counter() - t0, 3)
+        dedup_pair_count = nat[0]  # reused as CLUSTER_KEY's edge count
         t0 = time.perf_counter()
         forced = _fold(P._cosine_pairs_broadcast(spark, emb, OUT))
         regimes["llm_cosine_dedup"] = {
@@ -251,12 +252,13 @@ def main() -> None:
         saved = P._CC_LOCAL_MAX_EDGES
         for key in ("llm_dedup_clusters", "graph_pagerank", CLUSTER_KEY):
             try:
-                edge_src = (
-                    QUERIES["llm_cosine_dedup"](spark, OUT)
-                    if key == CLUSTER_KEY
-                    else QUERIES["llm_simhash_dedup"](spark, OUT)
-                )
-                n_edges = edge_src.count()
+                if key == CLUSTER_KEY:
+                    # the pair scan was counted moments ago in the
+                    # llm_cosine_dedup fold — don't re-run the most
+                    # expensive kernel in the probe just to recount it
+                    n_edges = dedup_pair_count
+                else:
+                    n_edges = QUERIES["llm_simhash_dedup"](spark, OUT).count()
                 P._CC_LOCAL_MAX_EDGES = 0  # force distributed
                 t0 = time.perf_counter()
                 dist = _fold(QUERIES[key](spark, OUT))
