@@ -34,14 +34,19 @@ def current_round() -> int:
     unambiguous source at a round boundary).  The fallback combines
     both trails, because each alone fails in one direction: the
     driver's BENCH_r{N}.json appears only after round N ends (so
-    driver_max+1 = the round being built), but the driver can also
-    drop it while round-N artifacts are still being produced; our own
+    driver_max+1 = the round being built), but our own
     BENCH_DETAIL_r{N}.json appears DURING round N (so a second ad-hoc
     bench inside the same round must NOT bump to N+1 — the r7 bug:
     inferring own_max+1 misfiled SCALE_PROBE as r08 mid-round-7).
-    max(driver_max + 1, own_max) is right in all three states: fresh
-    round (own trail behind → driver+1), mid-round re-run (own == in-
-    progress round → own), and driver-dropped-early (both equal).
+    Two states are unambiguous: own trail behind the driver's → fresh
+    round (driver+1); own trail ahead → mid-round re-run (own).  Equal
+    nonzero trails are GENUINELY ambiguous (ADVICE r7): a fresh round
+    start (driver just dropped BENCH_rN, our BENCH_DETAIL_rN is last
+    round's → true round N+1) is observationally identical to the
+    driver dropping BENCH_rN early while round-N artifacts are still
+    being produced (true round N).  In that state we warn on stderr
+    and assume the far-more-common fresh-round reading — set
+    SPARK_GRAFT_ROUND to override.
     """
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env and env.isdigit():
@@ -57,7 +62,16 @@ def current_round() -> int:
             default=0,
         )
 
-    return max(trail("BENCH_r*.json") + 1, trail("BENCH_DETAIL_r*.json"))
+    driver, own = trail("BENCH_r*.json"), trail("BENCH_DETAIL_r*.json")
+    if driver and driver == own:
+        print(
+            f"WARNING: round inference is ambiguous (BENCH_r{driver} and "
+            f"BENCH_DETAIL_r{own} coexist): assuming fresh round "
+            f"{driver + 1}; export SPARK_GRAFT_ROUND if this is a "
+            f"mid-round re-run after an early driver drop.",
+            file=sys.stderr,
+        )
+    return max(driver + 1, own)
 
 
 def main() -> None:

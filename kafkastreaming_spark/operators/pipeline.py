@@ -773,8 +773,9 @@ def _nn_block_count(n: int) -> int:
     bounded by the chunked scoring (``_NN_SCORE_CELLS``) regardless of
     block size, so the block size only trades SHUFFLE REPLICATION (the
     crossJoin ships every row B times per side) against TASK
-    parallelism (B² cogroup tasks): just past the 100k gate, n//32
-    blocks keep B ≥ 8 → ≥ 64 tasks so a 32-way stage stays busy; from
+    parallelism (B² cogroup tasks): just past the 100k gate the 16,384-
+    row floor gives B = ceil(100_001/16_384) = 7 → 49 tasks, enough to
+    keep a 32-way stage busy (B ≥ 8 → ≥ 64 tasks once n > 7·16_384 ≈ 115k); from
     n ≥ 3.2M blocks saturate at 100k rows (block stack ≤ ~51 MB of
     float64 at 64 dims) so B — and with it shuffle volume — grows only
     linearly in n instead of the fixed-16k spelling's 6× overshoot
@@ -1754,9 +1755,10 @@ _SW_LIST = "'a', 'the', 'and', 'of', 'to', 'in', 'is'"
            ROUND(CAST(sw_cnt AS DOUBLE) / n_tokens, 6) AS sw_ratio,
            ROUND(CAST(short_cnt AS DOUBLE) / n_tokens, 6) AS short_ratio,
            ROUND(CAST(long_cnt AS DOUBLE) / n_tokens, 6) AS long_ratio,
-           ROUND(CAST(punct_cnt AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           ROUND(CAST(punct_cnt AS DOUBLE) / NULLIF(n_chars, 0), 6)
+             AS punct_ratio,
            CASE WHEN sw_cnt >= 2
-                 AND CAST(punct_cnt AS DOUBLE) / n_chars <= 0.1
+                 AND CAST(punct_cnt AS DOUBLE) / NULLIF(n_chars, 0) <= 0.1
                 THEN 1 ELSE 0 END AS keep
     FROM feat
     """,
@@ -1800,7 +1802,13 @@ def llm_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("punct_cnt"),
     )
-    punct_ratio = F.col("punct_cnt").cast("double") / F.col("n_chars")
+    # NULLIF guard: an empty-text doc would make Spark's double Divide
+    # yield NULL while DuckDB yields inf — nullify the denominator in
+    # BOTH spellings so punct_ratio and the keep flag agree cross-engine
+    # even if the fixture ever grows an n_chars = 0 row (ADVICE r7).
+    punct_ratio = F.col("punct_cnt").cast("double") / F.nullif(
+        F.col("n_chars"), F.lit(0)
+    )
     return feat.select(
         "doc_id",
         F.round(F.col("sw_cnt").cast("double") / F.col("n_tokens"), 6).alias(

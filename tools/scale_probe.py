@@ -196,14 +196,20 @@ def main() -> None:
         try:
             t0 = time.perf_counter()
             _materialize(QUERIES[key](spark, BASE))
-            entry["base_sec"] = round(time.perf_counter() - t0, 3)
+            base_sec = time.perf_counter() - t0
             t0 = time.perf_counter()
             _materialize(QUERIES[key](spark, OUT))
-            entry["probe_sec"] = round(time.perf_counter() - t0, 3)
+            probe_sec = time.perf_counter() - t0
+            entry["base_sec"] = round(base_sec, 3)
+            entry["probe_sec"] = round(probe_sec, 3)
             br, pr = rows[table]
             entry["base_rows"], entry["probe_rows"] = br, pr
-            entry["per_row_ratio"] = round(
-                (entry["probe_sec"] / pr) / (entry["base_sec"] / br), 3
+            # ratio from the UNROUNDED timings: a sub-millisecond base
+            # run rounds to 0.0 and would ZeroDivisionError (ADVICE r7)
+            entry["per_row_ratio"] = (
+                round((probe_sec / pr) / (base_sec / br), 3)
+                if base_sec > 0
+                else None
             )
         except Exception as exc:  # noqa: BLE001 — record, keep probing
             entry["error"] = f"{type(exc).__name__}: {exc}"[:300]
