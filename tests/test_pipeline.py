@@ -500,3 +500,27 @@ def test_cosine_gate_dispatch_blocked_path_end_to_end(spark, sf_dir, monkeypatch
     }
     assert got_nn == want_nn
     assert got_pairs == want_pairs
+
+
+def _drop_memo(key: str) -> None:
+    from kafkastreaming_spark import memo as M
+
+    for k in [k for k in M._store if k[2] == key]:
+        del M._store[k]
+
+
+def test_lm_score_open_vocab_regime_matches_broadcast(spark, sf_dir, monkeypatch):
+    """llm_lm_score's training collect is gated (judge r7 item 2): past
+    _LM_BROADCAST_MAX_BIGRAMS the LM is written as parquet artifacts and
+    the scoring joins flip broadcast -> sort-merge.  Force the open-
+    vocabulary branch by dropping the gate to 0 (clearing the memoized
+    model first) and pin byte-identical scores through either regime."""
+    from kafkastreaming_spark.operators import corpus as C
+
+    _drop_memo("lm_model")
+    want = sorted(map(str, QUERIES["llm_lm_score"](spark, sf_dir).collect()))
+    monkeypatch.setattr(C, "_LM_BROADCAST_MAX_BIGRAMS", 0)
+    _drop_memo("lm_model")
+    got = sorted(map(str, QUERIES["llm_lm_score"](spark, sf_dir).collect()))
+    assert got == want
+    _drop_memo("lm_model")  # don't leak the gate-0 parquet model to later tests
