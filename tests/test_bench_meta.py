@@ -37,3 +37,17 @@ def test_current_round_mid_round_rerun(monkeypatch, tmp_path):
     assert bench.current_round() == 7  # mid-round re-run: NOT 8
     (tmp_path / "BENCH_r07.json").write_text("{}")
     assert bench.current_round() == 8  # driver closed round 7
+
+
+def test_current_round_ambiguous_state_warns(monkeypatch, tmp_path, capsys):
+    """Equal nonzero trails (driver dropped BENCH_rN early, or a fresh
+    round start) are genuinely ambiguous (ADVICE r7): the inference must
+    say so on stderr and assume the fresh-round reading."""
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    (tmp_path / "BENCH_DETAIL_r07.json").write_text("{}")
+    assert bench.current_round() == 8
+    assert "ambiguous" in capsys.readouterr().err
