@@ -867,3 +867,86 @@ def llm_mix_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(bucket < ppm, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
     )
+
+
+_PACK_CAP = 256  # tokens per packed training sequence
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT doc_id, lang, n, rn,
+             1 AS bin_idx, 0 AS bin_offset, n AS cur
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.lang, d.n, d.rn,
+             CASE WHEN p.cur + d.n > {_PACK_CAP} AND p.cur > 0
+                  THEN p.bin_idx + 1 ELSE p.bin_idx END,
+             CASE WHEN p.cur + d.n > {_PACK_CAP} AND p.cur > 0
+                  THEN 0 ELSE p.cur END,
+             CASE WHEN p.cur + d.n > {_PACK_CAP} AND p.cur > 0
+                  THEN d.n ELSE p.cur + d.n END
+      FROM pack p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+           CAST(bin_idx AS BIGINT) AS bin_idx,
+           CAST(bin_offset AS BIGINT) AS bin_offset
+    FROM pack
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — the batch-prep step between tokenization and
+    training: greedily pack documents (in doc_id order, atomically —
+    no splitting) into fixed-capacity {cap}-token bins per language,
+    emitting each doc's bin index and token offset inside its bin.
+    Greedy first-fit-in-order is the standard streaming packer (docs
+    arrive pre-shuffled; order-stability matters more than the ~½ token
+    of fill a bin-packing solver would recover).
+
+    The fold is order-SEQUENTIAL by construction (each doc's bin
+    depends on every predecessor's remainder), so it is not window-
+    expressible: the Spark side is a per-group ``applyInPandas``
+    running the exact integer fold, the oracle the equivalent
+    recursive CTE — both exact int arithmetic, zero floats.  Scale
+    contract: the sequential unit is the GROUP, here lang; at 100 TB
+    the group key is (lang, date-shard) so each shard's fold is
+    bounded and shards pack in parallel — per-task memory is one
+    group's (doc_id, n) pairs, the same bound as any applyInPandas
+    key in this repo."""
+    import pandas as pd
+
+    cap = _PACK_CAP
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offs = [], []
+        b, cur = 1, 0
+        for n in pdf["n_tokens"]:
+            if cur + n > cap and cur > 0:
+                b += 1
+                cur = 0
+            bins.append(b)
+            offs.append(cur)
+            cur += int(n)
+        pdf["bin_idx"] = bins
+        pdf["bin_offset"] = offs
+        return pdf[["doc_id", "lang", "n_tokens", "bin_idx", "bin_offset"]]
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return docs.groupBy("lang").applyInPandas(
+        pack,
+        "doc_id long, lang string, n_tokens long, bin_idx long, bin_offset long",
+    )
+
+
+llm_pack_sequences.__doc__ = llm_pack_sequences.__doc__.format(cap=_PACK_CAP)

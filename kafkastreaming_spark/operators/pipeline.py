@@ -1276,6 +1276,48 @@ def _assign_buckets(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _assign_buckets_np(
+    spark: SparkSession, emb: DataFrame, cent_df: DataFrame
+) -> DataFrame:
+    """BLAS nearest-centroid assignment for the TRAINED (rows-only)
+    keys: one float64 matmul per Arrow batch against the broadcast
+    K×d centroid matrix, 6dp-rounded sims, argmax with first-max =
+    lowest-cid tiebreak — the same decision rule as ``_assign_buckets``
+    without the ×K crossJoin of interpreted HOF folds (scale probe r8:
+    the SQL spelling cost 419 s at 120k vectors × K=256; K is trained
+    ~√n, so the crossJoin fan-out grows n^1.5 while this kernel stays
+    one n×K matmul).  The hash-checked stand-in keys keep the SQL
+    spelling for oracle parity."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cent_df.orderBy("cid").collect()  # K ≤ 256 by ivf_k's clamp
+    cmat = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cmat, cids, cn))
+
+    def assign(batches):
+        c, ids, ncv = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["ve"].to_numpy()).astype(np.float64)
+            an = np.sqrt((a * a).sum(axis=1))
+            sim = np.round((a @ c.T) / np.outer(an, ncv), 6)
+            # argmax returns the FIRST max → lowest cid (rows cid-sorted)
+            bucket = ids[sim.argmax(axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "ve": pdf["ve"],
+                    "bucket": bucket,
+                }
+            )
+
+    return emb.mapInPandas(assign, "vec_id long, ve array<double>, bucket int")
+
+
 def _semdedup_manifest(bucket: DataFrame) -> DataFrame:
     """Within-bucket exact cosine pair scan → per-vector keep manifest
     (vec_id, bucket, keep, n_earlier_dups).  Shared by the stand-in-
@@ -1340,13 +1382,18 @@ def llm_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: the quantizer is iteratively trained, so there is no SQL
     oracle; pytest pins (a) drops ⊆ the exact pair scan's later-member
     set and (b) drop-set recall vs that exact set ≥ the stand-in
-    ``llm_semdedup``'s recall (the judge's wiring criterion)."""
+    ``llm_semdedup``'s recall (the judge's wiring criterion).
+    Assignment runs the ``_assign_buckets_np`` matmul kernel — same
+    6dp/lowest-cid decision rule, one n×K BLAS pass instead of the ×K
+    crossJoin (which the r8 probe measured at 419 s for 120k × K=256)."""
     from kafkastreaming_spark.operators.kmeans import trained_centroids
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("ve")
     )
-    return _semdedup_manifest(_assign_buckets(emb, trained_centroids(spark, sf_dir)))
+    return _semdedup_manifest(
+        _assign_buckets_np(spark, emb, trained_centroids(spark, sf_dir))
+    )
 
 
 def _hyperplanes(n: int = 8, dim: int = 64) -> list[list[float]]:

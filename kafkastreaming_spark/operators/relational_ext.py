@@ -182,3 +182,41 @@ def sub_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) recent
         """
     )
+
+
+@query(
+    "sub_not_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def sub_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` — the null-aware anti join (added r8).
+
+    NOT IN is NOT a plain anti join: if the subquery produces any NULL,
+    three-valued logic makes every row's predicate UNKNOWN and the
+    result empty — so Catalyst must plan a NULL-AWARE anti join
+    (``NullAwareAntiJoin`` / a LeftAnti with the null-check condition)
+    whenever the key is nullable, which degrades to a broadcast +
+    per-row null test rather than a hash lookup.  This key pins the
+    declarative spelling and its semantics; c_custkey is non-null in
+    the fixture, so the result equals the plain anti join and stays
+    hash-checkable while the PLAN is the null-aware shape.  At 100 TB
+    the practical advice stands in the docstring: prefer NOT EXISTS
+    (join_anti) when the key is provably non-null — this key is the
+    semantically-faithful fallback when it isn't."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ks_ni_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("ks_ni_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM ks_ni_orders
+        WHERE o_custkey NOT IN (
+          SELECT c_custkey FROM ks_ni_customer WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )

@@ -220,3 +220,44 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "win_percentiles",
+    oracle="""
+    WITH w AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             percent_rank() OVER pw AS pr,
+             cume_dist() OVER pw AS cd,
+             ntile(4) OVER pw AS quartile
+      FROM customer
+      WINDOW pw AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume_dist,
+           quartile
+    FROM w
+    """,
+)
+def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window battery (added r8): percent_rank,
+    cume_dist, and ntile(4) of customers by account balance within each
+    nation — the quantile-bucketing triple behind scorecards and spend
+    segmentation (events_rfm uses the same ntile machinery over events).
+
+    All three are rank arithmetic — exact integer ratios evaluated as
+    double by an identical tree in both engines, rounded 6dp; the
+    (c_acctbal, c_custkey) total order makes every tie deterministic.
+    One (nation) shuffle + one sort serves all three frames; at 100 TB
+    this is a single window pass over the (bounded) entity table, not
+    the fact table."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
