@@ -550,3 +550,107 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, media_type string, width int, height int, bpp int, "
         "n_bytes long, px_min int, px_max int, px_sum long",
     )
+
+
+def _phash_col_sums_duck() -> tuple[str, str]:
+    """DuckDB spellings for the 16 per-column pixel sums and the 15-bit
+    adjacent-column comparison signature (exact integers end to end)."""
+    cols = ", ".join(
+        "list_sum(list_transform(generate_series(0, h - 1), "
+        f"i -> p[i * {_BMP_W} + {j + 1}])) AS c{j}"
+        for j in range(_BMP_W)
+    )
+    bits = " + ".join(
+        f"CASE WHEN c{j} > c{j + 1} THEN {1 << j} ELSE 0 END"
+        for j in range(_BMP_W - 1)
+    )
+    return cols, bits
+
+
+_PHASH_COLS, _PHASH_BITS = _phash_col_sums_duck()
+
+
+@query(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), ch -> ascii(ch))
+               [1:(length(text) // {_BMP_W}) * {_BMP_W}] AS p,
+             length(text) // {_BMP_W} AS h
+      FROM documents WHERE length(text) >= {_BMP_W}
+    ),
+    cs AS (SELECT doc_id, {_PHASH_COLS} FROM px),
+    sig AS (SELECT doc_id, CAST({_PHASH_BITS} AS BIGINT) AS dhash FROM cs),
+    grp AS (
+      SELECT dhash, CAST(COUNT(*) AS BIGINT) AS bucket_size,
+             MIN(doc_id) AS keep_doc
+      FROM sig GROUP BY dhash
+    )
+    SELECT s.doc_id, s.dhash, g.bucket_size,
+           CASE WHEN s.doc_id = g.keep_doc THEN 1 ELSE 0 END AS keep
+    FROM sig s JOIN grp g USING (dhash)
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL near-dup image dedup (added r8) — the dHash pipeline
+    of an image lake: decode each BMP payload, collapse it to a
+    16-column brightness profile (sum over rows per pixel column —
+    integer block-downsampling), sign the profile with the classic
+    difference-hash bit trick (bit j = col_j > col_{{j+1}}, 15 bits),
+    then dedup by signature bucket keeping the lowest doc_id.  Two
+    images with the same left-to-right brightness ORDERING collide
+    regardless of absolute brightness/contrast — exactly dHash's
+    invariance, on a real decoded container.
+
+    Exactness: column sums and comparisons are pure int64 — no resize
+    interpolation, no floats — so the whole perceptual signature is
+    hash-checked against the oracle's arithmetic reconstruction from
+    the char codes (same contract as mm_image_decode: the kernel runs
+    the REAL bytes path — synth → header parse → bottom-up pixel read —
+    and the oracle never sees a byte).  Plan: map-side decode+signature
+    (Arrow batches), one uniform-key groupBy on the 15-bit signature,
+    broadcast-join of the tiny bucket table back onto the manifest.  At
+    100 TB: signatures are cheap map work streaming off the blob store;
+    collisions shuffle only (doc_id, dhash) pairs.  Swap the column-
+    profile for a full 8×8 dHash / pHF DCT at deployment — the
+    plumbing, bucketing, and keep policy are identical."""
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if (codes >= 128).any():
+                    raise ValueError(
+                        "mm_phash_dedup assumes ASCII text (pixel synth)"
+                    )
+                payload = _make_bmp(codes)
+                _, _, _, px = _decode_bmp(payload)
+                col = px[:, :, 0].astype(np.int64).sum(axis=0)
+                dh = 0
+                for j in range(_BMP_W - 1):
+                    if col[j] > col[j + 1]:
+                        dh |= 1 << j
+                rows.append((int(doc_id), dh))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _BMP_W)
+        .select("doc_id", "text")
+    )
+    sig = docs.mapInPandas(phash_batches, "doc_id long, dhash long")
+    grp = sig.groupBy("dhash").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_size"),
+        F.min("doc_id").alias("keep_doc"),
+    )
+    return sig.join(F.broadcast(grp), "dhash").select(
+        "doc_id",
+        "dhash",
+        "bucket_size",
+        F.when(F.col("doc_id") == F.col("keep_doc"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
