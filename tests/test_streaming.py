@@ -171,3 +171,19 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert out.count() == n_events, "duplicates must be removed exactly once"
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_sessionize_matches_session_window_twin(spark, sf_dir):
+    """events_sessionize (gaps-and-islands batch sessionization) and
+    stream_session (Spark session_window) implement the SAME 30-minute
+    gap semantics through entirely different machinery — their
+    (user, session_start, n_events) sets must be identical."""
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in QUERIES["events_sessionize"](spark, sf_dir).collect()
+    }
+    twin = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in QUERIES["stream_session"](spark, sf_dir).collect()
+    }
+    assert batch == twin
