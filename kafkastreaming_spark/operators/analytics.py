@@ -670,3 +670,221 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@query(
+    "events_cep",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clicks,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_clicks, n_purchases, seq,
+           CASE WHEN regexp_matches(seq, 'c[^e]*p') THEN 1 ELSE 0 END
+             AS clean_conversion
+    FROM seq
+    """,
+)
+def events_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match — the MATCH_RECOGNIZE /
+    Flink-CEP workhorse a Kafka pipeline answers: per user, did a
+    ``click`` lead to a ``purchase`` with NO intervening ``error``?
+
+    Each user's events are folded (ordered by ``ts, event_id`` — a
+    total order) into a string of event-type initials (c/e/p/s/v, all
+    distinct), and the pattern is one regex ``c[^e]*p`` EXISTENCE test
+    — existence (not match count or span) is deliberately the exported
+    semantic because it is identical across Java regex and RE2-style
+    engines; counts of greedy matches are not.  Everything else is
+    exact integers.
+
+    Plan: ONE (user_id) shuffle; the sequence fold is
+    ``array_sort(collect_list(struct))`` → ``transform`` → join — all
+    JVM codegen, no Python.  At 100 TB per-entity sequences are the
+    irreducible state of CEP (same contract as events_pathing); the
+    per-user string is bounded by per-user activity, not corpus size,
+    and the streaming twin is session-state + NFA-step per event."""
+    ev = load_table(spark, sf_dir, "events")
+    folded = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("seq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        "n_clicks",
+        "n_purchases",
+        "seq",
+        F.when(F.col("seq").rlike("c[^e]*p"), 1)
+        .otherwise(0)
+        .alias("clean_conversion"),
+    )
+
+
+@query(
+    "events_markov",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    step AS (
+      SELECT user_id, event_type AS curr,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pair AS (
+      SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS n
+      FROM step WHERE prev IS NOT NULL GROUP BY prev, curr
+    )
+    SELECT prev, curr, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev), 6) AS prob
+    FROM pair
+    """,
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    every (prev_type -> curr_type) step within a user's timeline, the
+    exact transition count and the row-normalized probability — the
+    next-event model behind product recommendations and anomaly
+    scoring on clickstreams.
+
+    Exactness: counts are int64; the ONLY float op is the final
+    count/row-total division, computed from identical integers by an
+    identical expression both engines, rounded 6dp.  Plan: one
+    (user_id) shuffle + (ts, event_id) sort for the lag, then a hash
+    agg that collapses to |types|^2 <= 25 rows; the normalizing window
+    runs on that tiny grouped table.  At 100 TB the lag pass is the
+    same shuffle sessionization already pays, and the output is
+    constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    step = ev.select(
+        F.col("event_type").alias("curr"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    pair = step.groupBy("prev", "curr").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return pair.select(
+        "prev",
+        "curr",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev")),
+            6,
+        ).alias("prob"),
+    )
+
+
+@query(
+    "events_scd2",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    regime AS (
+      SELECT *,
+             SUM(is_change) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked
+    ),
+    dim AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             event_type AS state,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM regime GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY version) AS valid_to,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY version) IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM dim
+    """,
+)
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from a changelog — the
+    Debezium/Kafka-Connect pattern: collapse each user's event stream
+    into versioned state intervals (state = event_type run), each row
+    carrying ``valid_from`` / ``valid_to`` (NULL = open) and an
+    ``is_current`` flag.
+
+    Classic change-flag -> running-sum -> per-regime collapse -> lead()
+    interval chaining.  All three window phases and the regime agg
+    share ONE (user_id) shuffle (the version window's sort is a prefix
+    reuse).  Values are timestamps and int64 only — nothing floats.
+    At 100 TB this is the standard CDC-to-dimension compaction: state
+    per user is one (type, ts) pair, and the output shrinks to the
+    number of CHANGES, not events — exactly why warehouses store SCD2
+    instead of raw logs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = ev.withColumn(
+        "is_change",
+        F.when(
+            prev.isNull() | (F.col("event_type") != prev), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    regime = marked.withColumn(
+        "version",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    dim = regime.groupBy(
+        "user_id", "version", F.col("event_type").alias("state")
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(wv)
+    return dim.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
+    )

@@ -593,3 +593,66 @@ def test_jaccard_dedup_open_vocab_guard_fires(spark, tmp_path):
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     with _pytest.raises(ValueError, match="llm_minhash_lsh"):
         QUERIES["llm_jaccard_dedup"](spark, str(tmp_path)).collect()
+
+
+def test_cep_existence_matches_python_regex(spark, sf_dir):
+    """events_cep: the JVM rlike existence verdict must agree with an
+    independent Python re.search on every per-user sequence, and the
+    exact counters must be internally consistent with the string."""
+    import re
+
+    rows = QUERIES["events_cep"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events == len(r.seq)
+        assert r.n_clicks == r.seq.count("c")
+        assert r.n_purchases == r.seq.count("p")
+        assert r.clean_conversion == (
+            1 if re.search("c[^e]*p", r.seq) else 0
+        )
+
+
+def test_markov_rows_normalize_and_conserve(spark, sf_dir):
+    """events_markov: per-prev probabilities sum to 1 (6dp rounding),
+    and total transition mass equals n_events - n_users (every user's
+    first event has no predecessor)."""
+    from collections import defaultdict
+
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["events_markov"](spark, sf_dir).collect()
+    assert rows
+    by_prev = defaultdict(list)
+    for r in rows:
+        by_prev[r.prev].append(r)
+    for prev, grp in by_prev.items():
+        assert abs(sum(r.prob for r in grp) - 1.0) < 1e-4, prev
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_scd2_intervals_chain_and_conserve(spark, sf_dir):
+    """events_scd2: per user the intervals must chain exactly
+    (valid_to(v) == valid_from(v+1)), exactly one open current row per
+    user, and regime run lengths must sum back to the event count."""
+    from collections import defaultdict
+
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["events_scd2"](spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    total = 0
+    for uid, grp in by_user.items():
+        grp.sort(key=lambda r: r.version)
+        assert [r.version for r in grp] == list(range(1, len(grp) + 1))
+        assert sum(r.is_current for r in grp) == 1
+        assert grp[-1].is_current == 1 and grp[-1].valid_to is None
+        for a, b in zip(grp, grp[1:]):
+            assert a.valid_to == b.valid_from, uid
+            assert a.state != b.state, uid
+        total += sum(r.n_events for r in grp)
+    assert total == load_table(spark, sf_dir, "events").count()

@@ -447,3 +447,40 @@ def test_interpolate_windows_over_grid_only(spark, sf_dir):
     # formatted trees print parents above children: the aggregate that
     # produces the grid must appear BELOW (after) the windows
     assert "HashAggregate" in tree[first_window:]
+
+
+def test_cep_single_shuffle_no_python(spark, sf_dir):
+    """events_cep: the sequence fold must be ONE user_id exchange of
+    JVM codegen (array_sort/transform/array_join) — a Python UDF or a
+    second raw shuffle would dominate at scale."""
+    plan = _plan(spark, sf_dir, "events_cep")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 1
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_markov_raw_shuffle_once_then_tiny(spark, sf_dir):
+    """events_markov: 3 exchanges total, but only the FIRST carries raw
+    rows (user_id for the lag); the pair-count agg is map-side partial
+    so the second moves <= |types|^2 partial rows, and the normalizing
+    window shuffles the <= 25-row grouped table."""
+    plan = _plan(spark, sf_dir, "events_markov")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 3
+    assert tree.count("Window") == 2
+    # partial aggregation before the pair exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scd2_all_windows_share_one_exchange(spark, sf_dir):
+    """events_scd2: change-flag lag, the version running sum, the
+    regime collapse agg, and the lead() interval chain must ALL reuse
+    one user_id exchange — this is the whole point of keying every
+    phase by the same entity."""
+    plan = _plan(spark, sf_dir, "events_scd2")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 3
+    assert "HashAggregate" in plan
