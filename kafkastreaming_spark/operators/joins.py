@@ -527,3 +527,96 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("direction"),
     )
+
+
+@query(
+    "join_bloom",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact join — the runtime-filter pattern Spark's
+    AQE applies automatically (spark.sql.optimizer.runtime.bloomFilter;
+    its ``bloom_filter_agg`` expression is optimizer-internal, not a
+    callable SQL function) built from first principles: a k=2-hash,
+    m=65536-bit Bloom filter over the selective build side (customers
+    with c_acctbal > 9000, ~10%), materialized as a 1024-row
+    (slot, bit_or-bitmap) table, broadcast, and used to prefilter
+    orders BEFORE the shuffle join so ~90% of the fact side never
+    enters the exchange.
+
+    Hash-checkable by construction: bloom false positives are removed
+    by the real join that follows, so the result is EXACTLY the plain
+    join — the oracle is ordinary SQL with no bloom at all.  The final
+    join is hinted merge (SMJ) so the bloom guards a genuine shuffle
+    rather than disappearing into a broadcast plan at test scale.  At
+    100 TB: m scales linearly with build cardinality (~1.44 m/n bits
+    per key per hash for a target FPR), the bitmap table stays
+    m/64 rows ≈ KBs–MBs broadcast, and shuffle volume drops by
+    build-side selectivity — THE lever for selective fact-dim joins."""
+    n_bits = 1 << 16  # m; scale with build-side count() in production
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    )
+
+    def bitpos(col, seed):
+        h = F.xxhash64(F.lit(seed), col) if seed else F.xxhash64(col)
+        return F.pmod(h, F.lit(n_bits).cast("long"))
+
+    def slot_mask(poscol, prefix):
+        # SQL shiftleft accepts a column shift amount; the PySpark
+        # wrapper insists on a Python int, hence expr().
+        return [
+            F.expr(f"CAST({poscol} / 64 AS BIGINT)").alias(f"{prefix}_slot"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({poscol} % 64 AS INT))"
+            ).alias(f"{prefix}_mask"),
+        ]
+
+    key = F.col("c_custkey")
+    bloom = (
+        cust.select(
+            F.explode(
+                F.array(bitpos(key, None), bitpos(key, "b2"))
+            ).alias("pos")
+        )
+        .select(*slot_mask("pos", "b"))
+        .groupBy("b_slot")
+        .agg(F.bit_or("b_mask").alias("b_bits"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_custkey")
+    pre = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_custkey",
+        bitpos(ok, None).alias("pos1"),
+        bitpos(ok, "b2").alias("pos2"),
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_custkey",
+        *slot_mask("pos1", "h1"),
+        *slot_mask("pos2", "h2"),
+    )
+    b1 = broadcast(bloom.withColumnRenamed("b_slot", "s1").withColumnRenamed("b_bits", "bits1"))
+    b2 = broadcast(bloom.withColumnRenamed("b_slot", "s2").withColumnRenamed("b_bits", "bits2"))
+    pre = (
+        pre.join(b1, pre.h1_slot == b1.s1, "left")
+        .join(b2, pre.h2_slot == b2.s2, "left")
+        .filter(
+            (F.col("bits1").bitwiseAND(F.col("h1_mask")) != 0)
+            & (F.col("bits2").bitwiseAND(F.col("h2_mask")) != 0)
+        )
+        .select("o_orderkey", "o_totalprice", "o_custkey")
+    )
+    return (
+        pre.hint("merge")
+        .join(cust, pre.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_acctbal"
+        )
+    )

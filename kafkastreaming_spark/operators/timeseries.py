@@ -494,3 +494,65 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_interpolated"),
     )
+
+
+@query(
+    "events_forecast",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vc
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    fc AS (
+      SELECT event_type, hour, vc,
+             lag(vc, 24) OVER (PARTITION BY event_type ORDER BY hour)
+               AS pred
+      FROM hourly
+    )
+    SELECT event_type,
+           CAST(COUNT(pred) AS BIGINT) AS n_scored,
+           CAST(SUM(ABS(vc - pred)) AS BIGINT) AS abs_err_cents,
+           ROUND(CAST(SUM(ABS(vc - pred)) AS DOUBLE)
+                 / COUNT(pred) / 100.0, 6) AS mae
+    FROM fc GROUP BY event_type
+    """,
+)
+def events_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecasting pipeline must beat: predict this hour's per-type value
+    sum with the value 24 hours earlier (same hour yesterday), then
+    score MAE per event_type over the whole history.
+
+    Exactness: hourly sums are exact integer cents, the 24-step lag is
+    over the AGGREGATED hourly series (dense per type — every hour has
+    events at every sf), |error| sums stay int64, and the only float is
+    the final rounded MAE division.  Plan: one (type, hour) hash-agg
+    shrinks the fact table ~1000×, then the lag window and the scoring
+    agg run over the tiny hourly series.  At 100 TB the fact scan is
+    date-partition-pruned and the window input is per-type×hours —
+    megabytes; forecasting backtests are cheap AFTER aggregation, which
+    is exactly where this plan puts the window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    fc = hourly.withColumn("pred", F.lag("vc", 24).over(w))
+    return fc.groupBy("event_type").agg(
+        F.count("pred").cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("vc") - F.col("pred"))).cast("long").alias(
+            "abs_err_cents"
+        ),
+        F.round(
+            F.sum(F.abs(F.col("vc") - F.col("pred"))).cast("double")
+            / F.count("pred")
+            / 100.0,
+            6,
+        ).alias("mae"),
+    )

@@ -261,3 +261,64 @@ def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "win_count_distinct",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_types_so_far
+    FROM flagged
+    """,
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — the feature-engineering
+    staple ("how many distinct event types has this user produced so
+    far?") that Spark's window frames do not support natively.
+
+    Portable two-phase spelling (identical in both engines, exact
+    ints): flag each row that is the FIRST occurrence of its
+    (user, type) via row_number()=1, then running-sum the flags per
+    user.  This replaces the non-portable distinct-frame (and the
+    collect_set memory hog: a distinct-in-frame set grows with
+    cardinality; the flag spelling carries one bit per row).  The flag
+    window partitions by (user_id, event_type) and the running sum by
+    user_id — two exchanges, but the second re-hashes rows that are
+    ALREADY user-clustered, so at scale AQE-coalesced partitions make
+    it a cheap local-heavy shuffle; Spark cannot express the
+    first-occurrence window under user_id-only partitioning, so two
+    exchanges is the floor for the portable spelling."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum("first_seen").over(w_run).cast("long").alias(
+                "n_types_so_far"
+            ),
+        )
+    )

@@ -484,3 +484,37 @@ def test_scd2_all_windows_share_one_exchange(spark, sf_dir):
     assert tree.count("Exchange") == 1
     assert tree.count("Window") == 3
     assert "HashAggregate" in plan
+
+
+def test_join_bloom_broadcasts_bitmap_then_smj(spark, sf_dir):
+    """join_bloom: the bitmap joins must be broadcast (never shuffle
+    the fact side for the prefilter) and the final join a SortMergeJoin
+    so the bloom is guarding a real exchange."""
+    plan = _plan(spark, sf_dir, "join_bloom")
+    tree = _tree(plan)
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" in tree
+    assert "BatchEvalPython" not in plan
+
+
+def test_win_count_distinct_one_exchange(spark, sf_dir):
+    """win_count_distinct: exactly the two exchanges the portable
+    spelling needs — (user_id, event_type) for the first-seen flag,
+    user_id for the running sum — and not a third."""
+    plan = _plan(spark, sf_dir, "win_count_distinct")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 2  # (user,type) flag + user running
+    assert tree.count("Window") == 2
+
+
+def test_events_forecast_window_after_agg(spark, sf_dir):
+    """events_forecast: the 24-lag window must consume the AGGREGATED
+    hourly series, never raw events — assert the HashAggregate sits
+    below the Window in the tree (window input is the shrunk table)."""
+    plan = _plan(spark, sf_dir, "events_forecast")
+    tree = _tree(plan)
+    assert tree.count("Window") == 1
+    # formatted tree lists children with higher numbers deeper; the
+    # aggregate feeding the window appears after (deeper than) it
+    win_at = tree.index("Window")
+    assert "HashAggregate" in tree[win_at:]
