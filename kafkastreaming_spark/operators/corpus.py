@@ -950,3 +950,63 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_pack_sequences.__doc__ = llm_pack_sequences.__doc__.format(cap=_PACK_CAP)
+
+
+@query(
+    "llm_bpe_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair
+      FROM words, unnest(generate_series(1, length(word) - 1)) AS t(i)
+      WHERE length(word) >= 2
+    ),
+    counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+             AS merge_rank
+    FROM counted
+    """,
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: count every adjacent
+    character pair inside every word occurrence across the corpus and
+    rank the merge candidates — rank 1 is the pair the first BPE merge
+    would fuse.  (Real BPE iterates re-pair→merge; the per-iteration
+    map-reduce is exactly this operator, so its plan IS the training
+    loop body.)
+
+    Exact int64 counts; total (n DESC, pair ASC) order makes the merge
+    ranking deterministic.  The word-length guard matters cross-engine:
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0] while DuckDB's
+    generate_series(1, 0) is empty — single-char words are filtered
+    before the expansion in both spellings.  Plan: map-side explode ×
+    ~word_len fanout, then one hash-agg over a vocabulary-bounded pair
+    space (≤ alphabet²) — partial aggregation collapses almost
+    everything map-side; the ranking window runs on the tiny counted
+    table.  At 100 TB this is one scan + one combine-heavy shuffle per
+    BPE iteration, the canonical distributed-tokenizer-training shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substr(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return counted.select(
+        "pair", "n", F.row_number().over(w).cast("long").alias("merge_rank")
+    )

@@ -427,3 +427,48 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 16, 10) AS BIGINT))"
         ).alias("id_hash_xor"),
     )
+
+
+@query(
+    "sink_jsonl",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM (
+      SELECT n.n_nationkey, n.n_name, n.n_regionkey,
+             COUNT(o.o_orderkey) AS n_orders
+      FROM nation n
+      LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_nationkey, n.n_name, n.n_regionkey
+    )
+    """,
+)
+def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink round-trip — the interchange format every
+    downstream training job and Kafka topic speaks: aggregate, write
+    ``.write.json`` (one JSON object per line, gzip-able, splittable),
+    read back with an EXPLICIT schema so types survive the trip.
+
+    The read-back schema is pinned from the written DataFrame rather
+    than inferred — JSON inference demotes ints that happen to look
+    float-ish and reorders columns; schema-on-read is the production
+    contract (same discipline as source_jsonl).  The aggregate keeps
+    to ints only, because JSON has no decimal type — the honest
+    statement of the format's limits.  At 100 TB you write partitioned
+    gzip JSONL for interchange and parquet for re-reads; the plan here
+    (broadcast dims, one count agg) is scan-shaped either way."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        nation.join(
+            cust, cust.c_nationkey == nation.n_nationkey, "left"
+        )
+        .join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    path = _sink_path("ks_spark_sink_jsonl", sf_dir)
+    agg.write.mode("overwrite").json(path)
+    return spark.read.schema(agg.schema).json(path)

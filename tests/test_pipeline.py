@@ -680,3 +680,38 @@ def test_join_bloom_prefilter_prunes_fact_side(spark, sf_dir):
     # that survive = true matches + false positives.  With m=65536,
     # k=2 and ~n_build*2 set bits the FPR is well under 5% here.
     assert exact_sel < n_orders * 0.35  # the filter had work to do
+
+
+def test_bpe_pairs_rank_total_order_and_mass(spark, sf_dir):
+    """llm_bpe_pairs: merge_rank must be a gapless 1..N total order
+    consistent with (n DESC, pair ASC), and pair mass must equal
+    sum(len(word)-1) over all multi-char word occurrences."""
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["llm_bpe_pairs"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.merge_rank)
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(len(r.pair) == 2 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert (-a.n, a.pair) < (-b.n, b.pair)
+    docs = load_table(spark, sf_dir, "documents")
+    expected = docs.selectExpr(
+        "aggregate(transform(split(text, ' '),"
+        " w -> CASE WHEN length(w) >= 2 THEN length(w) - 1 ELSE 0 END),"
+        " 0L, (acc, x) -> acc + x) AS m"
+    ).groupBy().sum("m").collect()[0][0]
+    assert sum(r.n for r in rows) == expected
+
+
+def test_sink_jsonl_schema_survives_round_trip(spark, sf_dir):
+    """sink_jsonl: the read-back frame must carry the EXACT written
+    schema (ints stay longs — no JSON inference demotion) and every
+    nation must appear exactly once."""
+    df = QUERIES["sink_jsonl"](spark, sf_dir)
+    types = dict(df.dtypes)
+    # the fixture's 32-bit nationkey must NOT be demoted/promoted by the
+    # JSON trip, and the count stays long — schema-on-read fidelity
+    assert types["n_nationkey"] == "int"
+    assert types["n_orders"] == "bigint"
+    rows = df.collect()
+    assert len(rows) == len({r.n_nationkey for r in rows}) == 25
