@@ -123,6 +123,17 @@ TIMED = {
     "llm_winnow": "documents",
     "udtf_tokens": "documents",
     "llm_semdedup_trained": "embeddings",
+    # round-8 wave 3: the keys added late in r8 — CEP string folds,
+    # SCD2/Markov window chains, the bloom-prefiltered join, the
+    # two-window count-distinct, the BPE pair fanout, the JSONL sink
+    "events_cep": "events",
+    "events_scd2": "events",
+    "events_markov": "events",
+    "events_forecast": "events",
+    "win_count_distinct": "events",
+    "join_bloom": "orders",
+    "llm_bpe_pairs": "documents",
+    "sink_jsonl": "orders",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
