@@ -615,3 +615,45 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope * F.lit(24.0) / F.lit(100.0), 6).alias("slope_per_day"),
         F.round((my - slope * mx) / F.lit(100.0), 6).alias("intercept"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap OR-aggregation — the
+    ClickHouse/Doris "bitmap" pattern: pack each user_id into bit
+    (id % 64) of slot (id / 64), ``bit_or`` the masks per
+    (event_type, slot), then sum ``bit_count`` of the slot bitmaps.
+    The result provably equals COUNT(DISTINCT) — the oracle IS plain
+    COUNT(DISTINCT), no bitmap in sight.
+
+    Why bother at scale: distinct-agg partials are per-key VALUE SETS
+    (shuffle grows with distinct cardinality), while bitmap partials
+    are fixed 8-byte words keyed by (group, slot) — the shuffle is
+    bounded by the ID-SPACE/64 regardless of row count, the partials
+    are mergeable by a single OR (hence reusable across rollup levels
+    and incremental refreshes), and map-side combine compresses
+    perfectly.  Dense surrogate IDs are the precondition (same one the
+    production bitmap engines impose); sparse IDs go through a
+    dictionary first."""
+    ev = load_table(spark, sf_dir, "events")
+    packed = ev.select(
+        "event_type",
+        F.expr("CAST(user_id / 64 AS BIGINT)").alias("slot"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+        ).alias("mask"),
+    )
+    slots = packed.groupBy("event_type", "slot").agg(
+        F.bit_or("mask").alias("bits")
+    )
+    return slots.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_users")
+    )

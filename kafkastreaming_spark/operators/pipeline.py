@@ -2242,3 +2242,117 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         fp_batches, "doc_id long, fp0 long, fp1 long, fp2 long, fp3 long"
     )
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, ve, {_bucket_expr_duck('ve')} AS bucket FROM e),
+    scored AS (
+      SELECT s.vec_id AS src, t.vec_id AS dst,
+             ROUND(list_dot_product(s.ve, t.ve)
+                   / (sqrt(list_dot_product(s.ve, s.ve))
+                      * sqrt(list_dot_product(t.ve, t.ve))), 6) AS cos_sim
+      FROM b s JOIN b t USING (bucket)
+      WHERE s.vec_id <> t.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos_sim DESC, dst) AS rn
+      FROM scored
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ranked WHERE rn <= 2
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (SELECT unnest([x, y, z]) AS vec_id FROM tri)
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY vec_id
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the deterministic 2-NN similarity
+    graph — the clustering-coefficient / community-density primitive,
+    run on the graph a dedup pipeline already owns: each vector's LSH
+    bucket gives candidates, exact cosine picks its top-2 neighbors,
+    and edges are undirected via (least, greatest) + DISTINCT.
+
+    Triangle enumeration is the canonical vertex-ordered two-path
+    join: e1=(a<b), e2=(b<c) chained on the middle vertex, closed by
+    an (a, c) edge probe — each triangle found exactly once because
+    a<b<c is a total order.  Per-node counts explode each triangle to
+    its three corners.  All similarity is the same rounded-6dp cosine
+    tree every ANN key uses; everything after is integer.
+
+    At 100 TB: the graph build IS llm_ann_lsh's plan (bucket join +
+    per-source top-k), producing ≤2n directed / ≤2n undirected edges —
+    the triangle join is O(n·k²) on a k-bounded adjacency, shuffled on
+    edge endpoints, never on raw vectors.  Degree explosion (the
+    classic triangle-count killer) cannot happen: out-degree is capped
+    at k=2 by construction, so the two-path fan-out is bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ve"),
+        F.sqrt(F.expr(_SQ_NORM.format(v="embedding"))).alias("nv"),
+        F.expr(_bucket_expr_spark("embedding")).alias("bucket"),
+    )
+    s = bucketed.select(
+        F.col("vec_id").alias("src"),
+        F.col("ve").alias("sv"),
+        F.col("nv").alias("snv"),
+        "bucket",
+    )
+    t = bucketed.select(
+        F.col("vec_id").alias("dst"),
+        F.col("ve").alias("tv"),
+        F.col("nv").alias("tnv"),
+        "bucket",
+    )
+    scored = (
+        s.join(t, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.expr(_DOT.format(a="sv", b="tv"))
+                / (F.col("snv") * F.col("tnv")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    und = knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = und.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+    e2 = und.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e1.join(e2, F.col("b1") == F.col("a2"))
+        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")))
+        .select(
+            F.col("a1").alias("x"), F.col("b1").alias("y"), F.col("b2").alias("z")
+        )
+    )
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("vec_id")
+    )
+    return nodes.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -715,3 +715,83 @@ def test_sink_jsonl_schema_survives_round_trip(spark, sf_dir):
     assert types["n_orders"] == "bigint"
     rows = df.collect()
     assert len(rows) == len({r.n_nationkey for r in rows}) == 25
+
+
+def test_graph_triangles_matches_numpy_rebuild(spark, sf_dir):
+    """graph_triangles: rebuild the 2-NN graph and count triangles
+    independently in numpy/python from the raw embeddings (same
+    hyperplanes, same rounding) — per-node counts must match exactly."""
+    import itertools
+
+    import numpy as np
+
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.operators.pipeline import _PLANES
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    V = np.array([r.embedding for r in emb], dtype=np.float64)
+    planes = np.array(_PLANES, dtype=np.float64)
+    buckets = ((V @ planes.T) > 0) @ (1 << np.arange(len(_PLANES)))
+    norms = np.sqrt((V * V).sum(axis=1))
+    edges = set()
+    for bk in np.unique(buckets):
+        sel = np.where(buckets == bk)[0]
+        if len(sel) < 2:
+            continue
+        sub = V[sel]
+        cos = np.round(
+            (sub @ sub.T) / np.outer(norms[sel], norms[sel]), 6
+        )
+        for i in range(len(sel)):
+            order = sorted(
+                (j for j in range(len(sel)) if j != i),
+                key=lambda j: (-cos[i, j], ids[sel[j]]),
+            )[:2]
+            for j in order:
+                a, b = sorted((int(ids[sel[i]]), int(ids[sel[j]])))
+                edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    # each triangle visited 3x (once per edge) per corner... each
+    # triangle (a,b,c) found from edges (a,b),(a,c),(b,c) → 3 finds,
+    # each crediting all 3 corners → divide by 3
+    expected = {n: v // 3 for n, v in expected.items()}
+    got = {
+        r.vec_id: r.n_triangles
+        for r in QUERIES["graph_triangles"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_agg_bitmap_distinct_no_expand_and_exact(spark, sf_dir):
+    """agg_bitmap_distinct: must equal the engine's COUNT(DISTINCT)
+    exactly, and the plan must be plain two-level hash agg — no Expand
+    (the distinct-agg rewrite) and no value-set partials."""
+    from kafkastreaming_spark.io import load_table
+
+    got = {
+        r.event_type: r.n_users
+        for r in QUERIES["agg_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+    plan = QUERIES["agg_bitmap_distinct"](spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Expand" not in plan
