@@ -888,3 +888,105 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
         "n_events",
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    base AS (
+      SELECT user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+               AS cohort_week
+      FROM events
+    ),
+    staged AS (
+      SELECT cohort_week, user_id, vc,
+             CAST(date_diff('day', cohort_week,
+                            date_trunc('week', ts)) / 7 AS BIGINT)
+               AS week_offset
+      FROM base
+    ),
+    g AS (
+      SELECT cohort_week, week_offset,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+             CAST(SUM(vc) AS BIGINT) AS spend_cents
+      FROM staged GROUP BY cohort_week, week_offset
+    ),
+    size_ AS (
+      SELECT cohort_week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM staged GROUP BY cohort_week
+    )
+    SELECT g.cohort_week, g.week_offset, g.n_active, s.n_users,
+           CAST(SUM(g.spend_cents) OVER (PARTITION BY g.cohort_week
+                                         ORDER BY g.week_offset
+                                         ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_spend_cents,
+           ROUND(CAST(SUM(g.spend_cents)
+                        OVER (PARTITION BY g.cohort_week
+                              ORDER BY g.week_offset
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / s.n_users / 100.0, 6) AS ltv
+    FROM g JOIN size_ s ON s.cohort_week = g.cohort_week
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the growth-analytics readout on
+    top of retention: users are cohorted by first-seen WEEK, and each
+    (cohort, week-offset) row carries active users, exact cumulative
+    spend, and cumulative LTV per cohort user.
+
+    Exactness: spend snaps to integer cents at the source, offsets are
+    integer week arithmetic on date_trunc'd timestamps, the running
+    sum is int64, and the only float is the final rounded
+    LTV division.  Plan: the first-seen stamp is a min-over-user
+    window (one user_id shuffle — no self-join), the (cohort, offset)
+    agg collapses to cohorts × horizon rows, and the cumulative window
+    + cohort-size join run over that tiny grouped table.  At 100 TB
+    the user window is sessionization's shuffle; everything after is
+    constant-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.date_trunc("week", F.min("ts").over(wu)).alias("cohort_week"),
+    )
+    staged = base.withColumn(
+        "week_offset",
+        (
+            F.datediff(
+                F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+            )
+            / 7
+        ).cast("long"),
+    )
+    g = staged.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active"),
+        F.sum("vc").cast("long").alias("spend_cents"),
+    )
+    size = staged.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("spend_cents").over(wc)
+    return (
+        g.join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_users",
+            cum.cast("long").alias("cum_spend_cents"),
+            F.round(
+                cum.cast("double") / F.col("n_users") / 100.0, 6
+            ).alias("ltv"),
+        )
+    )

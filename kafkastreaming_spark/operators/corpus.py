@@ -1010,3 +1010,80 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "pair", "n", F.row_number().over(w).cast("long").alias("merge_rank")
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
+      FROM toks, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+      WHERE len(tk) >= 3
+    ),
+    firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams g JOIN firsts f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against the earlier corpus — the
+    diversity/curation score data-mixture papers filter on: what
+    fraction of a doc's distinct word trigrams first appear in THIS
+    doc (doc_id order = ingestion order)?  Boilerplate and recombined
+    spam score near 0; genuinely new material scores high.
+
+    First-occurrence attribution is a min-over-gram aggregation —
+    NO quadratic doc×doc comparison, unlike pairwise dedup: the gram
+    table carries (gram → min doc_id), and a doc's novelty is how many
+    of its grams it owns.  Exact int counts, one rounded ratio.  Plan:
+    explode→per-doc DISTINCT (map-heavy), one gram-keyed shuffle for
+    the min, one gram-keyed join back (same partitioning — AQE reuses
+    it), one doc-keyed agg.  At 100 TB grams are Zipf-skewed: the min
+    agg partial-combines the head map-side, and the join's hot grams
+    are exactly the ones whose first_doc resolves early — skew-safe
+    because the payload is one int64, not a row set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 2),"
+                " i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "gram")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_novel"),
+        F.round(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty"),
+    )

@@ -795,3 +795,61 @@ def test_agg_bitmap_distinct_no_expand_and_exact(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Expand" not in plan
+
+
+def test_cohort_ltv_monotone_and_conserves_spend(spark, sf_dir):
+    """events_cohort_ltv: per cohort the LTV curve must be
+    nondecreasing, n_active <= n_users, and the final cumulative spend
+    must equal the cohort's total exact-cent spend."""
+    from collections import defaultdict
+
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["events_cohort_ltv"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_week].append(r)
+    total_expected = (
+        load_table(spark, sf_dir, "events")
+        .select(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    grand = 0
+    for cohort, grp in by_cohort.items():
+        grp.sort(key=lambda r: r.week_offset)
+        for a, b in zip(grp, grp[1:]):
+            assert a.ltv <= b.ltv + 1e-9
+            assert a.cum_spend_cents <= b.cum_spend_cents
+        for r in grp:
+            assert r.n_active <= r.n_users
+        grand += grp[-1].cum_spend_cents
+    assert grand == total_expected  # cohorts partition all spend
+
+
+def test_ngram_novelty_first_doc_and_gram_conservation(spark, sf_dir):
+    """llm_ngram_novelty: the earliest doc must score novelty 1.0, all
+    scores live in [0, 1], and summed n_novel must equal the number of
+    DISTINCT trigrams in the corpus (each gram owned exactly once)."""
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["llm_ngram_novelty"](spark, sf_dir).collect()
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0
+    assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2),"
+                    " i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))"
+                )
+            ).alias("gram")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct
