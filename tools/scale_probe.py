@@ -134,6 +134,10 @@ TIMED = {
     "join_bloom": "orders",
     "llm_bpe_pairs": "documents",
     "sink_jsonl": "orders",
+    "graph_triangles": "embeddings",
+    "agg_bitmap_distinct": "events",
+    "events_cohort_ltv": "events",
+    "llm_ngram_novelty": "documents",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
