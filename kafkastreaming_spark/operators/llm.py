@@ -247,12 +247,53 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB dedup path: banding turns the O(n²) pair space
     into per-bucket joins — candidate volume scales with collision
     count, not n².  Here: HashingTF(binary) → MinHashLSH(seed=42) →
-    approxSimilarityJoin at Jaccard distance ≤ 0.5."""
+    approxSimilarityJoin at Jaccard distance ≤ 0.5.
+
+    REGIME GATE (r8, probe-driven): banding's premise is SPARSE
+    collisions.  On a bounded-vocabulary corpus (this fixture: ~40
+    distinct tokens) every doc shares most tokens with every other, so
+    every band of every table collides and the candidate graph is the
+    COMPLETE graph — measured 614 s at 5 000 docs through ml's
+    per-candidate distance UDF, quadratic in n with a catastrophic
+    constant.  When the global vocabulary fits 64 bits (counted with
+    one cheap distinct-agg), the SAME pair set is produced exactly by
+    the llm_jaccard_dedup bitmask discipline — a broadcast
+    whole-stage-codegen popcount pair scan, ~3 s at the same scale and
+    recall 1.0 by construction (it is exact).  Open vocabulary — the
+    case banding exists for — keeps the ml path."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )
+    vocab_n = (
+        docs.select(F.explode("tokens").alias("t")).distinct().count()
+    )
+    if vocab_n <= _LSH_MASK_MAX_VOCAB:
+        per_doc = _jaccard_per_doc(spark, sf_dir)
+        a = per_doc.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n").alias("n_a"),
+            F.col("mask").alias("mask_a"),
+        )
+        b = per_doc.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n").alias("n_b"),
+            F.col("mask").alias("mask_b"),
+        )
+        inter = F.expr("CAST(bit_count(mask_a & mask_b) AS BIGINT)")
+        union = F.col("n_a") + F.col("n_b") - inter
+        jdist = F.lit(1.0) - inter.cast("double") / union
+        return (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(jdist, 6).alias("jaccard_dist"),
+            )
+            .filter(F.col("jaccard_dist") <= 0.5)
+        )
     feats = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=256, binary=True
     ).transform(docs)
@@ -561,6 +602,10 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unlike pyspark.ml's MinHashLSH (rows-only), this variant is fully
 # DuckDB-oracle-checkable.  a_i*h < 2^31 * 2^31 = 2^62: no int64
 # overflow in either engine.
+# llm_minhash_lsh regime gate: vocab sizes that fit a 64-bit mask take
+# the exact popcount pair scan; larger vocabularies take ml MinHashLSH
+_LSH_MASK_MAX_VOCAB = 64
+
 _MH_K = 32  # signature length
 _MH_BANDS = 8  # 8 bands x 4 rows: P(band collision | J) = 1-(1-J^4)^8
 _MH_MOD = (1 << 31) - 1

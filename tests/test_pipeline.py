@@ -853,3 +853,26 @@ def test_ngram_novelty_first_doc_and_gram_conservation(spark, sf_dir):
         .count()
     )
     assert sum(r.n_novel for r in rows) == n_distinct
+
+
+def test_minhash_lsh_ml_regime_still_runs(spark, sf_dir, monkeypatch):
+    """llm_minhash_lsh: forcing the open-vocab regime (gate -> 0) must
+    still produce pairs via ml MinHashLSH, and those pairs must be a
+    subset of the exact bitmask regime's pair set (LSH can only MISS
+    pairs, never invent ones below the distance threshold on hashed
+    features... inventions are possible via HashingTF collisions, so
+    pin high overlap rather than strict subset)."""
+    from kafkastreaming_spark.operators import llm
+
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["llm_minhash_lsh"](spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(llm, "_LSH_MASK_MAX_VOCAB", 0)
+    ml_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["llm_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert ml_pairs  # the banding path still executes end to end
+    overlap = len(ml_pairs & exact_pairs) / len(ml_pairs)
+    assert overlap >= 0.9
