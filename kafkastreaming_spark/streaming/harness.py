@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 from kafkastreaming_spark.io import load_table
 from kafkastreaming_spark.sources.factory import file_event_stream
 
+# chunk dirs already built by THIS process: (path,) -> reuse
+_REPLAY_BUILT: set[tuple] = set()
+
 
 def replay_chunks(
     spark: SparkSession,
@@ -37,10 +40,25 @@ def replay_chunks(
 ) -> str:
     """Write events as n_chunks arrival-ordered parquet files; optionally
     move a slice of mid-timeline rows into the last chunk (late data).
-    Returns the chunk directory."""
+    Returns the chunk directory.
+
+    The replay is a pure function of (sf_dir, n_chunks, late_fraction) —
+    every streaming key reads the same events table — so the chunk dir
+    is built ONCE per (process, params) and shared across keys, queries
+    (each has its own checkpoint), and bench repeats.  Before this memo
+    the rows-only bench paid a toPandas + parquet rewrite per
+    invocation: ~12 rewrites of the full events table per repeat at
+    sf0.1 (r8 roadmap item).  ``tag`` is kept for API compatibility but
+    no longer differentiates storage."""
+    del tag  # shared storage: content depends only on the params below
     out = os.path.join(
-        tempfile.gettempdir(), f"ks_stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        "ks_stream_shared_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{n_chunks}"
+        f"_{int(late_fraction * 10_000)}_{os.getpid()}",
     )
+    if (out, ) in _REPLAY_BUILT:
+        return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
@@ -70,6 +88,7 @@ def replay_chunks(
             coerce_timestamps="us",
             allow_truncated_timestamps=True,
         )
+    _REPLAY_BUILT.add((out,))
     return out
 
 

@@ -154,7 +154,16 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     from kafkastreaming_spark.sources.factory import file_event_stream
     from kafkastreaming_spark.streaming.harness import replay_chunks, run_to_memory
 
-    chunk_dir = replay_chunks(spark, sf_dir, n_chunks=3, tag="deduptest")
+    # replay dirs are SHARED per (sf, params) since r8 — copy to a
+    # private dir before injecting the duplicate chunk, or the mutation
+    # would poison every later consumer of the shared dir
+    import shutil
+    import tempfile
+
+    shared = replay_chunks(spark, sf_dir, n_chunks=3, tag="deduptest")
+    chunk_dir = os.path.join(tempfile.gettempdir(), "ks_stream_deduptest_priv")
+    shutil.rmtree(chunk_dir, ignore_errors=True)
+    shutil.copytree(shared, chunk_dir)
     # duplicate the first 40 rows of chunk 0 into a later-arriving file
     first = pd.read_parquet(os.path.join(chunk_dir, "chunk_000.parquet")).head(40)
     first.to_parquet(
