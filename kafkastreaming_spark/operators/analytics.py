@@ -942,11 +942,16 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer week arithmetic on date_trunc'd timestamps, the running
     sum is int64, and the only float is the final rounded
     LTV division.  Plan: the first-seen stamp is a min-over-user
-    window (one user_id shuffle — no self-join), the (cohort, offset)
-    agg collapses to cohorts × horizon rows, and the cumulative window
-    + cohort-size join run over that tiny grouped table.  At 100 TB
-    the user window is sessionization's shuffle; everything after is
-    constant-sized."""
+    window (one user_id shuffle — no self-join); raw rows then
+    pre-aggregate ONCE on (cohort, offset, user) so the active-user
+    and cohort-size DISTINCTs become plain counts over the shrunk
+    per-user table — no countDistinct Expand ever touches raw rows —
+    and the cohort size falls out of the SAME aggregate (offset-0
+    actives = the cohort, since first events define the cohort week).
+    The cumulative window + cohort-size join run over cohorts × horizon
+    rows.  At 100 TB the user window is sessionization's shuffle and
+    the (cohort, offset, user) agg map-side-combines on user-clustered
+    input; everything after is constant-sized."""
     ev = load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id")
     base = ev.select(
@@ -964,29 +969,52 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 7
         ).cast("long"),
     )
-    g = staged.groupBy("cohort_week", "week_offset").agg(
-        F.countDistinct("user_id").cast("long").alias("n_active"),
-        F.sum("vc").cast("long").alias("spend_cents"),
+    per_user = staged.groupBy(
+        "cohort_week", "week_offset", "user_id"
+    ).agg(F.sum("vc").alias("uvc"))
+    # g is consumed TWICE (curve rows + the offset-0 size derivation);
+    # without truncation Catalyst recomputes the raw scan + min-window
+    # per branch (the graph_triangles lesson).  localCheckpoint pins the
+    # cohorts x horizon table — a few rows.
+    g = (
+        per_user.groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum("uvc").cast("long").alias("spend_cents"),
+        )
+        .localCheckpoint(eager=False)
     )
-    size = staged.groupBy("cohort_week").agg(
-        F.countDistinct("user_id").cast("long").alias("n_users")
+    # cohort size = n_active at offset 0: every user's FIRST event lands
+    # in their own cohort week by construction, so the week-0 active set
+    # IS the cohort — deriving size from g avoids a second raw scan +
+    # min-window pass (Catalyst does not share common subplans; the
+    # two-branch spelling scanned events twice, plan-pinned below).
+    # The oracle keeps the independent COUNT(DISTINCT) spelling, so the
+    # identity is hash-checked, not assumed.
+    size = g.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("n_users")
     )
     wc = (
         Window.partitionBy("cohort_week")
         .orderBy("week_offset")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum("spend_cents").over(wc)
     return (
         g.join(size, "cohort_week")
+        .withColumn(
+            "cum_spend_cents", F.sum("spend_cents").over(wc).cast("long")
+        )
         .select(
             "cohort_week",
             "week_offset",
             "n_active",
             "n_users",
-            cum.cast("long").alias("cum_spend_cents"),
+            "cum_spend_cents",
             F.round(
-                cum.cast("double") / F.col("n_users") / 100.0, 6
+                F.col("cum_spend_cents").cast("double")
+                / F.col("n_users")
+                / 100.0,
+                6,
             ).alias("ltv"),
         )
     )

@@ -518,3 +518,41 @@ def test_events_forecast_window_after_agg(spark, sf_dir):
     # aggregate feeding the window appears after (deeper than) it
     win_at = tree.index("Window")
     assert "HashAggregate" in tree[win_at:]
+
+
+def test_cohort_ltv_no_raw_count_distinct(spark, sf_dir):
+    """events_cohort_ltv: the raw scan + min-window + (cohort, offset,
+    user) pre-aggregate run ONCE behind a localCheckpoint (g feeds both
+    the curve and the offset-0 size derivation); the visible plan is
+    the cumulative window + broadcast size join over the checkpointed
+    cohorts×horizon table — no Expand (distinct-agg rewrite), no
+    parquet re-scan, exactly the one cum window."""
+    plan = _plan(spark, sf_dir, "events_cohort_ltv")
+    tree = _tree(plan)
+    assert "Expand" not in tree
+    assert "Scan parquet" not in tree  # raw pass is checkpointed, once
+    assert tree.count("Window") == 1
+
+
+def test_ngram_novelty_no_python_bounded_shuffles(spark, sf_dir):
+    """llm_ngram_novelty: the whole pipeline is JVM-side (explode,
+    distinct, min-agg, join, agg) — no Python eval, and the gram join
+    must not degenerate into a nested loop."""
+    plan = _plan(spark, sf_dir, "llm_ngram_novelty")
+    tree = _tree(plan)
+    assert "EvalPython" not in plan
+    assert "NestedLoop" not in tree
+    assert tree.count("Exchange") <= 4
+
+
+def test_bpe_pairs_rank_window_on_counted_table(spark, sf_dir):
+    """llm_bpe_pairs: the merge-rank window is a single global sort of
+    the COUNTED pair table (<= alphabet² rows), never of the exploded
+    pair stream — exactly two exchanges: the pair-count agg and the
+    single-partition rank."""
+    plan = _plan(spark, sf_dir, "llm_bpe_pairs")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 2
+    assert tree.count("Window") == 1
+    win_at = tree.index("Window")
+    assert "HashAggregate" in tree[win_at:]
