@@ -269,3 +269,54 @@ def stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = run_to_memory(agg, mode)
         rows.append((mode, out.count()))
     return spark.createDataFrame(rows, "output_mode string, emitted_rows long")
+
+
+@query("stream_stream_outer")
+def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the inner
+    join (``stream_stream_join``) cannot express: every click row is
+    emitted, with its within-5-minutes purchase when one exists and
+    NULL padding once the watermark PROVES no match can still arrive.
+    That proof is the whole point: outer results are only correct
+    because the purchase-side watermark eventually passes
+    click_ts + 5 min, at which point Spark both evicts the click state
+    AND emits the unmatched row — outer join without a watermark-bounded
+    range condition is rejected by the engine.
+
+    Rows-only (streaming semantics), cross-pinned in pytest against the
+    batch left-outer interval join twin: matched pairs identical, and
+    matched + null-padded = all clicks.  At 100 TB state is bounded by
+    the watermark horizon per side, exactly as the inner variant."""
+    clicks = (
+        stream_events(spark, sf_dir, n_chunks=4, tag="sso_c")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir, n_chunks=4, tag="sso_p")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "click_id", "c_user", "click_ts", "purchase_id", "purchase_ts"
+    )
+    return run_to_memory(joined, "append")

@@ -196,3 +196,59 @@ def test_sessionize_matches_session_window_twin(spark, sf_dir):
         for r in QUERIES["stream_session"](spark, sf_dir).collect()
     }
     assert batch == twin
+
+
+def test_stream_stream_outer_matches_batch_twin(spark, sf_dir):
+    """stream_stream_outer: matched pairs must equal the batch
+    left-outer interval join exactly, and matched + null-padded rows
+    must cover every click (the watermark eventually proves every
+    unmatched click unmatched — AvailableNow drains the stream, so the
+    final watermark passes the whole timeline)."""
+    rows = QUERIES["stream_stream_outer"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    twin = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")
+        ),
+        "left_outer",
+    ).collect()
+    got_matched = {
+        (r.click_id, r.purchase_id) for r in rows if r.purchase_id is not None
+    }
+    want_matched = {
+        (r.click_id, r.purchase_id)
+        for r in twin
+        if r.purchase_id is not None
+    }
+    assert got_matched == want_matched
+    # Null-padding needs the watermark to PROVE no match can arrive,
+    # and the watermark used by micro-batch N is computed from data
+    # through batch N-1.  With the 4-chunk replay, the LAST batch runs
+    # under a watermark of max(ts of chunks 0-2) - 10 min; clicks whose
+    # 5-min match window reaches past it are legitimately still held in
+    # state when AvailableNow drains — the append-mode tail.  Clicks
+    # strictly older than that horizon must appear exactly once.
+    import datetime
+
+    ts_sorted = [r.ts for r in ev.select("ts").orderBy("ts").collect()]
+    rpc = len(ts_sorted) // 4 + 1
+    wm_basis = ts_sorted[min(3 * rpc, len(ts_sorted)) - 1]
+    horizon = wm_basis - datetime.timedelta(minutes=15)
+    finalized = {r.click_id for r in twin if r.click_ts < horizon}
+    got_clicks = {r.click_id for r in rows}
+    assert finalized <= got_clicks
+    assert got_clicks <= {r.click_id for r in twin}
