@@ -1087,3 +1087,101 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty"),
     )
+
+
+@query(
+    "llm_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    blocked AS (
+      SELECT doc_id, list_distinct(tk) AS tks,
+             tk[1] || ' ' || tk[2] || ' ' || tk[3] AS blk
+      FROM toks WHERE len(tk) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.tks, b.tks)) AS BIGINT) AS n_common,
+             CAST(len(a.tks) AS BIGINT) AS n_a,
+             CAST(len(b.tks) AS BIGINT) AS n_b
+      FROM blocked a JOIN blocked b USING (blk)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, n_a, n_b,
+           ROUND(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b), 6)
+             AS containment,
+           CAST(CASE WHEN n_common = LEAST(n_a, n_b) THEN 1 ELSE 0 END
+                AS INTEGER) AS full_containment
+    FROM pairs WHERE 2 * n_common >= LEAST(n_a, n_b)
+    """,
+)
+def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup — the truncation-dupe detector
+    symmetric Jaccard misses: a snippet reposted inside a longer page
+    has low Jaccard (union is large) but containment
+    |A∩B| / min(|A|,|B|) ≈ 1.  Web-crawl pipelines run this alongside
+    MinHash because crawl truncation and quote-embedding are the two
+    most common near-dup shapes.
+
+    Candidate generation blocks on the first-3-token prefix: a
+    truncation dupe shares its prefix with its source by construction,
+    so the blocking key is aligned with exactly the dupe class this
+    operator owns (mid-document extractions land in the MinHash/SimHash
+    keys instead — documented split of responsibilities).  Within a
+    block the pair scan is exact set intersection over distinct tokens;
+    the ≥½ threshold is the integer predicate 2·common ≥ min(|A|,|B|)
+    — no float compare gates a row.
+
+    Plan: one shuffle on the prefix key co-partitions both join sides
+    (self-join, AQE plans it broadcast at this SF); work is O(Σ b²)
+    over prefix-block sizes b — bounded because a 3-token prefix is
+    highly selective on natural text (fixture max block = 3 docs).  At
+    100 TB a hot boilerplate prefix would need the same cap/salt
+    treatment as any skewed join key; the MinHash banding keys remain
+    the open-vocabulary fallback.  Sets stay as arrays inside one
+    codegen'd stage — no explode×explode token join, so shuffle volume
+    is O(corpus), not O(tokens²)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    blocked = (
+        toks.filter(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct("tk").alias("tks"),
+            F.concat_ws(
+                " ", F.col("tk")[0], F.col("tk")[1], F.col("tk")[2]
+            ).alias("blk"),
+        )
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect("a.tks", "b.tks"))
+        .cast("long")
+        .alias("n_common"),
+        F.size("a.tks").cast("long").alias("n_a"),
+        F.size("b.tks").cast("long").alias("n_b"),
+    )
+    small = F.least("n_a", "n_b")
+    return pairs.filter(2 * F.col("n_common") >= small).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_common").cast("double") / small, 6).alias(
+            "containment"
+        ),
+        F.when(F.col("n_common") == small, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("full_containment"),
+    )
