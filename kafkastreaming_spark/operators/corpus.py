@@ -1185,3 +1185,155 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("full_containment"),
     )
+
+
+def _bpe_merge_sql(k: int) -> str:
+    """Oracle helper: scalar-subquery merge-table lookup for rank ``k``,
+    with an unmatchable two-control-char fallback so a short merge table
+    (< 6 distinct pairs) degrades to a no-op replace instead of NULLing
+    the whole encoding."""
+    return (
+        f"COALESCE((SELECT pair FROM ranked WHERE rk = {k}),"
+        " chr(1) || chr(1))"
+    )
+
+
+@query(
+    "llm_bpe_apply",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM words WHERE length(word) >= 1 GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, n_occ
+      FROM vocab, unnest(generate_series(1, length(word) - 1)) AS t(i)
+      WHERE length(word) >= 2
+    ),
+    ranked AS (
+      SELECT pair,
+             row_number() OVER (ORDER BY SUM(n_occ) DESC, pair) AS rk
+      FROM pairs GROUP BY pair
+    ),
+    m AS (
+      SELECT {_bpe_merge_sql(1)} AS m1, {_bpe_merge_sql(2)} AS m2,
+             {_bpe_merge_sql(3)} AS m3, {_bpe_merge_sql(4)} AS m4,
+             {_bpe_merge_sql(5)} AS m5, {_bpe_merge_sql(6)} AS m6
+    ),
+    expanded AS (
+      SELECT word, n_occ,
+             ' ' || array_to_string(
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)), '  ') || ' ' AS s
+      FROM vocab
+    ),
+    applied AS (
+      SELECT word, n_occ,
+        replace(replace(replace(replace(replace(replace(s,
+          ' ' || substr(m1, 1, 1) || '  ' || substr(m1, 2, 1) || ' ',
+          ' ' || m1 || ' '),
+          ' ' || substr(m2, 1, 1) || '  ' || substr(m2, 2, 1) || ' ',
+          ' ' || m2 || ' '),
+          ' ' || substr(m3, 1, 1) || '  ' || substr(m3, 2, 1) || ' ',
+          ' ' || m3 || ' '),
+          ' ' || substr(m4, 1, 1) || '  ' || substr(m4, 2, 1) || ' ',
+          ' ' || m4 || ' '),
+          ' ' || substr(m5, 1, 1) || '  ' || substr(m5, 2, 1) || ' ',
+          ' ' || m5 || ' '),
+          ' ' || substr(m6, 1, 1) || '  ' || substr(m6, 2, 1) || ' ',
+          ' ' || m6 || ' ') AS s
+      FROM expanded, m
+    )
+    SELECT word, n_occ,
+           array_to_string(list_filter(string_split(trim(s), ' '),
+                                       t -> t <> ''), ' ') AS encoded,
+           CAST(len(list_filter(string_split(trim(s), ' '),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM applied
+    """,
+)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of llm_bpe_pairs:
+    take the top-6 merges from the occurrence-weighted pair statistics
+    and encode every vocabulary word with them, emitting the token
+    sequence and its post-merge length.  Real tokenizers do exactly
+    this split: train on the corpus once, then encode at the VOCAB
+    level (each distinct word once) and let occurrence counts weight
+    any downstream stats — never re-encoding every word occurrence.
+
+    The merge step is exact GPT-2-style application: for each merge in
+    rank order, fuse ALL left-to-right non-overlapping occurrences of
+    the pair.  The engine-portable spelling is the double-space
+    delimiter trick: chars joined with '  ' and wrapped in single
+    spaces make `replace(' x  y ', ' xy ')` consume exactly one
+    delimiter from each side, so adjacent merges still see their
+    boundary space — odd runs come out 'aa aa a' exactly as the
+    reference scan-merge loop produces (a single-space join drops the
+    shared boundary and diverges).  Both engines' `replace` is
+    left-to-right non-overlapping, so the hash check pins the merge
+    semantics, not just row counts.
+
+    The 6-row merge table is collected to the driver — bounded by
+    CONTRACT (top-k of an ≤alphabet² pair space, the kmeans-K×d
+    discipline), not by data size.  Plan: vocab agg (map-side combine
+    collapses the Zipf head), pair agg over the ≤alphabet² space, one
+    6-row collect, then ONE map-only codegen'd pass over the vocab —
+    at 100 TB the vocab table is the only shuffled payload and the
+    merge battery runs at scan speed; per-iteration retraining would
+    simply interleave llm_bpe_pairs' plan between merges."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substr(word, i, 2))"
+                )
+            ).alias("pair"),
+            "n_occ",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n_occ").alias("n"))
+    )
+    # top-6 merge table: bounded-by-contract driver state (<= alphabet^2
+    # candidates, 6 collected rows) -- the kmeans-codebook discipline.
+    merges = [
+        r["pair"]
+        for r in pairs.orderBy(F.col("n").desc(), "pair").limit(6).collect()
+    ]
+    s = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    for mg in merges:
+        s = F.replace(
+            s,
+            F.lit(" " + mg[0] + "  " + mg[1] + " "),
+            F.lit(" " + mg + " "),
+        )
+    toks = F.filter(
+        F.split(F.trim(s), " "), lambda t: t != F.lit("")
+    )
+    return vocab.select(
+        "word",
+        "n_occ",
+        F.array_join(toks, " ").alias("encoded"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
