@@ -556,3 +556,145 @@ def events_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mae"),
     )
+
+
+@query(
+    "ts_cross_corr",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t,
+           (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                          (SELECT h1 FROM bounds),
+                                          INTERVAL 1 HOUR)) AS h) g
+    ),
+    dense AS (
+      SELECT g.event_type, g.h, COALESCE(hy.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN hourly hy
+        ON hy.event_type = g.event_type AND hy.h = g.h
+    ),
+    lags AS (SELECT unnest(generate_series(-6, 6)) AS lag_h),
+    joined AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_h,
+             a.cnt AS x, b.cnt AS y
+      FROM dense a
+      JOIN lags l ON TRUE
+      JOIN dense b
+        ON b.event_type > a.event_type
+       AND b.h = a.h + l.lag_h * INTERVAL 1 HOUR
+    ),
+    sums AS (
+      SELECT type_a, type_b, lag_h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM joined GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, CAST(lag_h AS BIGINT) AS lag_h, n,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0), 6)
+             AS r
+    FROM sums
+    """,
+)
+def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-CORRELATION between event-type hourly series — the
+    lead/lag diagnostic behind alerting and causal-hint dashboards
+    ("errors rise 2 h after deploys"): Pearson r between every type
+    pair's dense hourly count series at offsets −6..+6 h.
+
+    The series are GAP-FILLED onto the global [min,max] hour grid first
+    (zero-count hours are real observations — correlating only on
+    co-active hours biases r upward; this is the sparse-series trap).
+    Pearson r is assembled from six exact int64 sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) so the only floats are two correctly-rounded sqrts and
+    one division — IEEE-identical cross-engine; zero-variance windows
+    NULL out via NULLIF rather than dividing by zero (the
+    quality-ratios lesson, ADVICE r7).
+
+    Plan: one (type,hour) hash-agg over raw events — the ONLY scan of
+    the big table; the dense grid (types × hours, a few thousand rows)
+    is localCheckpoint-pinned because the lag join consumes it twice
+    (cohort_ltv lesson: Catalyst re-runs unshared subtrees, and each
+    re-run would re-scan events).  The 13-lag × pair fan-out and the
+    final sums run entirely on post-aggregation tables.  At 100 TB the
+    hourly agg map-side-combines to types × hours rows regardless of
+    input volume — everything downstream is constant-sized; a span 10×
+    longer grows the grid linearly, never the raw-scan count."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    dense = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(-6), F.lit(6))).alias("lag_h")
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"),
+        F.col("h").alias("ha"),
+        F.col("cnt").alias("x"),
+    ).crossJoin(F.broadcast(lags))
+    b = dense.select(
+        F.col("event_type").alias("type_b"),
+        F.col("h").alias("hb"),
+        F.col("cnt").alias("y"),
+    )
+    joined = a.join(
+        b,
+        (F.col("type_b") > F.col("type_a"))
+        & (F.col("hb") == F.expr("timestampadd(HOUR, lag_h, ha)")),
+    )
+    sums = joined.groupBy("type_a", "type_b", "lag_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return sums.select(
+        "type_a",
+        "type_b",
+        F.col("lag_h").cast("long").alias("lag_h"),
+        "n",
+        # when() without otherwise == NULLIF: zero-variance -> NULL r
+        F.round(num / F.when(den != 0.0, den), 6).alias("r"),
+    )
