@@ -322,3 +322,97 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "win_streak",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, d - rn * INTERVAL 1 DAY AS grp, d FROM numbered
+    ),
+    streaks AS (
+      SELECT user_id, grp,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS streak_start, MAX(d) AS streak_end
+      FROM islands GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id, len, streak_start, streak_end,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS pick,
+             CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_active_days,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_streaks
+      FROM streaks
+    )
+    SELECT user_id, n_active_days, n_streaks,
+           len AS best_len, streak_start AS best_start,
+           streak_end AS best_end
+    FROM best WHERE pick = 1
+    """,
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity STREAK per user — the
+    gaps-and-islands window idiom (the date-granularity sibling of
+    events_sessionize's timestamp-gap islands): consecutive active
+    days share the invariant `day − row_number`, so one window plus
+    one group-by labels every streak without any self-join or
+    iterative expansion.
+
+    Output per user: total active days, number of streaks, and the
+    best streak's length/start/end (ties broken earliest-start — a
+    total order, so the hash pins tie semantics).  All arithmetic is
+    integer date math; no floats anywhere.
+
+    Plan: distinct (user, day) first — the ONLY pass over raw events,
+    combine-heavy because a user's events cluster in time — then two
+    user-keyed windows over the shrunk day table (Spark plans both
+    over ONE exchange+sort since partition keys match).  At 100 TB the
+    day table is ≤ users × span-days regardless of event volume; the
+    window partitions are per-user (bounded by the date span), so no
+    single-task funnel exists — the windows.py scale rule."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    islands = days.select(
+        "user_id",
+        "d",
+        F.expr("timestampadd(DAY, -row_number() OVER "
+               "(PARTITION BY user_id ORDER BY d), d)").alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    wu = Window.partitionBy("user_id")
+    wp = wu.orderBy(F.col("len").desc(), "streak_start")
+    best = streaks.select(
+        "user_id",
+        "len",
+        "streak_start",
+        "streak_end",
+        F.row_number().over(wp).alias("pick"),
+        F.sum("len").over(wu).cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).over(wu).cast("long").alias("n_streaks"),
+    )
+    return best.filter(F.col("pick") == 1).select(
+        "user_id",
+        "n_active_days",
+        "n_streaks",
+        F.col("len").alias("best_len"),
+        F.col("streak_start").alias("best_start"),
+        F.col("streak_end").alias("best_end"),
+    )
