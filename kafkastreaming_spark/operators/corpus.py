@@ -1337,3 +1337,144 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(toks, " ").alias("encoded"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+# DSIR feature space: hashed word-bigram buckets.  64 buckets keeps the
+# log-ratio table a 64-row dim (broadcast by construction) while still
+# separating stylistic registers; the salt decorrelates bucketing from
+# every other hash-derived decision on the same grams.
+_DSIR_BUCKETS = 64
+_DSIR_F_SPARK = (
+    "pmod("
+    + _H_SPARK.format(x="concat('dsir:', bigram)")
+    + f", {_DSIR_BUCKETS})"
+)
+_DSIR_F_DUCK = (
+    _H_DUCK.format(x="concat('dsir:', bigram)") + f" % {_DSIR_BUCKETS}"
+)
+
+
+@query(
+    "llm_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      WHERE len(tk) >= 2
+    ),
+    feat AS (
+      SELECT doc_id, lang, {_DSIR_F_DUCK} AS f FROM big
+    ),
+    fc AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ct
+      FROM feat GROUP BY f
+    ),
+    tot AS (
+      SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM fc
+    ),
+    lam AS (
+      SELECT f,
+             CAST(ROUND((ln((ct + 1.0) / (tt + {_DSIR_BUCKETS}))
+                         - ln((cr + 1.0) / (tr + {_DSIR_BUCKETS})))
+                        * 1e9) AS BIGINT) AS lr9
+      FROM fc, tot
+    ),
+    docfeat AS (
+      SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM feat GROUP BY doc_id, f
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.cnt * l.lr9) AS BIGINT) AS sum_lr9,
+           ROUND(CAST(SUM(d.cnt * l.lr9) AS DOUBLE)
+                 / (SUM(d.cnt) * 1e9), 6) AS avg_logratio,
+           CAST(CASE WHEN SUM(d.cnt * l.lr9) > 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS keep
+    FROM docfeat d JOIN lam l ON l.f = d.f
+    GROUP BY d.doc_id
+    """,
+)
+def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much more
+    likely its hashed-n-gram feature profile is under a TARGET
+    distribution than under the raw corpus, keep the up-weighted tail.
+    Target here = the English slice (the classic "quality domain vs
+    whole crawl" setup); features = word bigrams hashed into 64
+    buckets — hashing is what makes the method corpus-scale: the
+    model is a fixed-width count vector, never an open vocabulary.
+
+    Exactness: the importance weight is Σ_g λ[f(g)] over the doc's
+    bigram OCCURRENCES, with per-feature λ = ln p̂_target − ln p̂_raw
+    (add-one smoothed).  λ is snapped to the 1e-9 integer grid
+    (the llm_lm_score discipline) so each doc's sum is an exact
+    order-free INT64 reduction; the only cross-engine float is one ln
+    pair per feature (64 of them), ulp-spread five orders below the
+    grid.  keep = (weight > 0) is an integer predicate — docs whose
+    profile leans toward the target survive the resample.
+
+    Plan: ONE exploded-bigram scan feeds both the 64-row feature/count
+    model (map-side combine collapses to ≤64 rows per task) and the
+    per-(doc, feature) profile; the λ table is a 64-row broadcast dim;
+    the final agg shuffles one row per (doc, ≤64 features).  At 100 TB
+    this is two combine-heavy aggs + a broadcast join — the model side
+    is CONSTANT-width no matter the corpus, which is the entire point
+    of hashed DSIR."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("tk")
+    ).filter(F.size("tk") >= 2)
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat(element_at(tk, i), ' ',"
+                " element_at(tk, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    feat = big.select(
+        "doc_id", "lang", F.expr(_DSIR_F_SPARK).alias("f")
+    )
+    fc = feat.groupBy("f").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+    )
+    tot = fc.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    b = float(_DSIR_BUCKETS)
+    lam = fc.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.round(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + b))
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + b))
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("lr9"),
+    )
+    docfeat = feat.groupBy("doc_id", "f").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    joined = docfeat.join(F.broadcast(lam), "f")
+    s = F.sum(F.col("cnt") * F.col("lr9"))
+    return joined.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        s.cast("long").alias("sum_lr9"),
+        F.round(
+            s.cast("double") / (F.sum("cnt") * 1e9), 6
+        ).alias("avg_logratio"),
+        F.when(s > 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
