@@ -1443,9 +1443,20 @@ def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = big.select(
         "doc_id", "lang", F.expr(_DSIR_F_SPARK).alias("f")
     )
-    fc = feat.groupBy("f").agg(
-        F.count(F.lit(1)).cast("long").alias("cr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    # ONE corpus scan: the (doc, lang, f) profile is the finest grain
+    # both consumers need (lang is functionally dependent on doc_id, so
+    # carrying it adds no cardinality); the 64-row feature model fc is
+    # RE-AGGREGATED from it instead of re-scanning raw documents —
+    # without the checkpoint Catalyst ran the scan+explode three times
+    # (fc, tot, docfeat branches; caught by the r8 plan census).
+    docfeat = (
+        feat.groupBy("doc_id", "lang", "f")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    fc = docfeat.groupBy("f").agg(
+        F.sum("cnt").cast("long").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("ct"),
     )
@@ -1464,9 +1475,6 @@ def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("lr9"),
-    )
-    docfeat = feat.groupBy("doc_id", "f").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
     )
     joined = docfeat.join(F.broadcast(lam), "f")
     s = F.sum(F.col("cnt") * F.col("lr9"))

@@ -556,3 +556,71 @@ def test_bpe_pairs_rank_window_on_counted_table(spark, sf_dir):
     assert tree.count("Window") == 1
     win_at = tree.index("Window")
     assert "HashAggregate" in tree[win_at:]
+
+
+def test_win_streak_agg_reuses_user_exchange(spark, sf_dir):
+    """win_streak: exactly two exchanges — the (user, day) distinct and
+    the user window key — the streak group-by and both ranking windows
+    must REUSE the user partitioning (a third exchange means the
+    gaps-and-islands chain re-shuffled)."""
+    plan = _plan(spark, sf_dir, "win_streak")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 2
+    assert tree.count("Window") == 3  # island rn + rank/total pair
+
+
+def test_cross_corr_lag_join_over_pinned_grid(spark, sf_dir):
+    """ts_cross_corr: the dense grid is localCheckpoint-pinned, so the
+    visible plan must contain NO parquet scan (raw events are read once
+    at checkpoint build) and the 13-row lag fan-out must be a broadcast,
+    never a shuffle of the grid."""
+    plan = _plan(spark, sf_dir, "ts_cross_corr")
+    tree = _tree(plan)
+    assert "Scan parquet" not in tree
+    assert "BroadcastNestedLoop" in tree  # 13-row lag dim crossJoin
+    assert tree.count("Window") == 0
+
+
+def test_containment_blocked_join_no_cartesian(spark, sf_dir):
+    """llm_containment: candidate generation must be an equi-join on the
+    prefix block key (broadcast or SMJ — never a cartesian pair scan),
+    with the set intersection evaluated JVM-side."""
+    plan = _plan(spark, sf_dir, "llm_containment")
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "NestedLoop" not in tree
+    assert "EvalPython" not in plan
+
+
+def test_bpe_apply_map_only_after_vocab_agg(spark, sf_dir):
+    """llm_bpe_apply: the returned plan is the vocab aggregate plus ONE
+    map-only codegen'd replace battery — a single exchange (the word
+    agg), no window, no Python (the 6-row merge collect runs in a
+    separate bounded job)."""
+    plan = _plan(spark, sf_dir, "llm_bpe_apply")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 0
+    assert "EvalPython" not in plan
+
+
+def test_graph_jaccard_no_cartesian_no_rescan(spark, sf_dir):
+    """graph_jaccard: every join is an equi-join over the checkpointed
+    edge table (no cartesian, no parquet re-scan — the 2-NN build is
+    memoized + pinned, shared with graph_triangles)."""
+    plan = _plan(spark, sf_dir, "graph_jaccard")
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "Scan parquet" not in tree
+
+
+def test_dsir_single_scan_broadcast_model(spark, sf_dir):
+    """llm_dsir: the (doc, lang, f) profile is checkpointed and the
+    64-row λ model re-aggregates FROM it — no parquet scan may appear
+    in the visible plan (without the pin Catalyst ran the scan+explode
+    three times, r8 census), and the λ join must be broadcast."""
+    plan = _plan(spark, sf_dir, "llm_dsir")
+    tree = _tree(plan)
+    assert "Scan parquet" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert "EvalPython" not in plan
