@@ -95,3 +95,55 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("probe_key", F.col("c_custkey").alias("match_key"), "edit_dist")
     )
+
+
+@query(
+    "fn_regexp",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_matches(text, 'table') AS has_table,
+           CAST(len(regexp_extract_all(text, '[a-z]+e')) AS BIGINT)
+             AS n_e_words,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+             AS n_ws_tokens,
+           regexp_extract_all(text, '[a-z]{5,}')[1] AS first_long_word
+    FROM documents
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface battery: rlike / extract (group 2) / extract_all
+    (+ count via size) / global replace / regex split / first-match
+    with NULL-on-no-match — the ETL-sanitization toolkit over the
+    documents corpus.
+
+    Dialect discipline: every pattern here ([a-z]+e, [aeiou], \\s+,
+    [a-z]{5,}) means the same thing to Java regex (Spark) and RE2
+    (DuckDB) — no backreferences, lookaround, or lazy quantifiers,
+    which is exactly the portable subset a cross-engine pipeline
+    should restrict itself to; the hash check enforces the match-set
+    equivalence including leftmost-first extraction order.
+    ``try_element_at`` spells the no-match→NULL contract under ANSI
+    mode (DuckDB's list[1] on an empty list is NULL for free).
+
+    Plan: map-only single codegen'd project over one pushed-down scan
+    — regex evaluation is JVM-side (never a Python UDF); at 100 TB
+    this runs at scan speed with zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike("table").alias("has_table"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+e"), F.lit(0)))
+        .cast("long")
+        .alias("n_e_words"),
+        F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias(
+            "second_word"
+        ),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.try_element_at(
+            F.regexp_extract_all("text", F.lit("[a-z]{5,}"), F.lit(0)),
+            F.lit(1),
+        ).alias("first_long_word"),
+    )
