@@ -657,3 +657,81 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slots.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("n_users")
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY token
+    )
+    SELECT token, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / n, 6) AS share
+    FROM c, tot WHERE cnt * 30 > n
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with frequency > n/30) via the two-phase
+    candidate-prune-then-recount pattern — the distributed spelling of
+    Misra-Gries that stays EXACT: by pigeonhole, any token with global
+    count > n/k must exceed n_p/k in at least one partition, so the
+    per-partition threshold pass yields a guaranteed candidate
+    SUPERSET; the exact recount + global threshold then makes the
+    output invariant to partitioning (false candidates die), which is
+    why a sketch-shaped plan can still be hash-checked against the
+    plain exact oracle.
+
+    Why not just groupBy(token): for a BOUNDED vocab (this fixture)
+    the plain agg is fine — llm_zipf does it.  Heavy hitters earn
+    their shape when the key domain is unbounded (user ids, URLs,
+    IPs): the first phase ships one row per (partition, distinct-key)
+    — completed map-side by partial aggregation since a partition's
+    rows all share its pid — and the global agg then runs ONLY over
+    keys surviving the per-partition threshold, so the wide shuffle
+    carries candidates instead of the whole key domain.
+
+    Plan: one scan → (pid, token) agg (map-side-complete by
+    construction), localCheckpoint-pinned because totals, candidates,
+    and the recount all fold from it; everything downstream is
+    candidate-sized.  ``spark_partition_id`` appears only in phase-1
+    grouping — the OUTPUT is partition-invariant by the superset
+    argument above."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    base = (
+        toks.groupBy(
+            F.spark_partition_id().alias("pid"), "token"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    ptot = base.groupBy("pid").agg(F.sum("cnt").alias("np"))
+    cand = (
+        base.join(ptot, "pid")
+        .filter(F.col("cnt") * 30 > F.col("np"))
+        .select("token")
+        .distinct()
+    )
+    tot = base.agg(F.sum("cnt").cast("long").alias("n"))
+    exact = (
+        base.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 30 > F.col("n"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+    )
