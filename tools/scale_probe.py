@@ -138,6 +138,18 @@ TIMED = {
     "agg_bitmap_distinct": "events",
     "events_cohort_ltv": "events",
     "llm_ngram_novelty": "documents",
+    # round-8 wave 4: the late-session keys — prefix-blocked containment
+    # (hot-prefix quadratic risk is the thing to measure), the BPE encode
+    # battery, the dense-grid lag join, gaps-and-islands windows, the
+    # two-path neighbor join, and the hashed-feature DSIR aggs
+    "llm_containment": "documents",
+    "llm_bpe_apply": "documents",
+    "ts_cross_corr": "events",
+    "win_streak": "events",
+    "graph_jaccard": "embeddings",
+    "llm_dsir": "documents",
+    "agg_heavy_hitters": "documents",
+    "fn_regexp": "documents",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
@@ -233,6 +245,12 @@ def main() -> None:
     QUERIES["agg_group"](spark, OUT).count()
 
     keys = args.keys if args.keys else sorted(TIMED)
+    unknown = [k for k in keys if k not in TIMED]
+    if unknown:
+        raise SystemExit(
+            f"keys not in scale_probe.TIMED (add them with their driving "
+            f"table first): {unknown}"
+        )
     report: dict[str, dict] = {}
     for key in keys:
         table = TIMED[key]
@@ -292,7 +310,9 @@ def main() -> None:
         print(f"ts_gapfill_10x_span: {entry}", flush=True)
 
     regimes: dict[str, dict] = {}
-    if not args.skip_regimes:
+    # regime folds are the most expensive section (~20 min of CC runs) —
+    # a --keys subset run is asking for the TIMED rows only
+    if not args.skip_regimes and not args.keys:
         emb = load_table(spark, OUT, "embeddings").select("vec_id", "embedding")
         n = emb.count()
 
