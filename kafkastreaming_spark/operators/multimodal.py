@@ -30,7 +30,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -654,3 +654,95 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("keep"),
     )
+
+
+@query(
+    "mm_audio_vad",
+    oracle=f"""
+    WITH amp AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''),
+                            ch -> (ascii(ch) - 64) * 256) AS a
+      FROM documents WHERE length(text) >= {_ENERGY_FRAME}
+    ),
+    frames AS (
+      SELECT doc_id, a,
+             unnest(generate_series(0, len(a) // {_ENERGY_FRAME} - 1))
+               AS frame_idx
+      FROM amp
+    ),
+    en AS (
+      SELECT doc_id, frame_idx,
+             CAST(list_aggregate(
+               list_transform(
+                 a[(frame_idx * {_ENERGY_FRAME} + 1):((frame_idx + 1) * {_ENERGY_FRAME})],
+                 x -> x * x), 'sum') AS BIGINT) AS energy
+      FROM frames
+    ),
+    stats AS (
+      SELECT doc_id, CAST(SUM(energy) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS nf
+      FROM en GROUP BY doc_id
+    ),
+    active AS (
+      SELECT e.doc_id, e.frame_idx, e.energy
+      FROM en e JOIN stats s ON s.doc_id = e.doc_id
+      WHERE e.energy * s.nf > s.tot
+    ),
+    islands AS (
+      SELECT doc_id, frame_idx, energy,
+             frame_idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS grp
+      FROM active
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS seg_start,
+           CAST(MAX(frame_idx) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM islands GROUP BY doc_id, grp
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold VOICE-ACTIVITY segments over the decoded WAV
+    frame stream — the silence-split step an audio training pipeline
+    runs between ingest and feature extraction: frames louder than
+    their clip's mean energy are "speech", and maximal consecutive
+    runs become segments (start/end frame, length, energy mass).
+
+    Layering: this CONSUMES ``mm_audio_energy``'s frame table (same
+    real wave-codec kernel — container write, header parse, PCM read —
+    executed, not mocked), then runs pure relational post-processing:
+    the per-doc mean threshold is the exact integer cross-multiply
+    energy·n_frames > total (no float division gates a row), and
+    segmentation is the gaps-and-islands window (``win_streak``'s
+    idiom at frame granularity).
+
+    Plan: map-only decode fanout → one doc-keyed agg for the
+    threshold + broadcast-sized join back → one doc-keyed window.
+    Per-doc frame counts are container-bounded, so window partitions
+    never funnel; at 100 TB every stage shuffles rows ∝ frames of
+    ACTIVE audio only."""
+    en = mm_audio_energy(spark, sf_dir).select(
+        "doc_id", "frame_idx", "energy"
+    )
+    stats = en.groupBy("doc_id").agg(
+        F.sum("energy").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nf"),
+    )
+    active = en.join(stats, "doc_id").filter(
+        F.col("energy") * F.col("nf") > F.col("tot")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    islands = active.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        (F.col("frame_idx") - F.row_number().over(w)).alias("grp"),
+    )
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("frame_idx").cast("long").alias("seg_start"),
+        F.max("frame_idx").cast("long").alias("seg_end"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("seg_energy"),
+    ).drop("grp")
