@@ -1018,3 +1018,77 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv"),
         )
     )
+
+
+@query(
+    "events_entropy",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    terms AS (
+      SELECT user_id, event_type, c,
+             CAST(ROUND(c * ln(c) * 1e9) AS BIGINT) AS clnc9
+      FROM c
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(clnc9) AS BIGINT) AS s9
+      FROM terms GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           ROUND((CAST(ROUND(ln(n_events) * 1e9) AS BIGINT)
+                  - CAST(s9 AS DOUBLE) / n_events) / 1e9, 6) AS entropy,
+           ROUND(((CAST(ROUND(ln(n_events) * 1e9) AS BIGINT)
+                   - CAST(s9 AS DOUBLE) / n_events) / 1e9)
+                 / NULLIF(ln(n_types), 0.0), 6) AS entropy_norm
+    FROM agg
+    """,
+)
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon ENTROPY of the event-type distribution — the
+    behavioral-diversity score (bots and single-purpose scripts sit
+    near 0; broad organic users near ln(n_types)) used for cohorting
+    and abuse triage.
+
+    Exactness: H = ln n − (Σ c·ln c)/n over exact integer counts;
+    every transcendental is snapped to the 1e-9 grid BEFORE entering a
+    reduction (c·ln c per (user, type) row, ln n once per user — the
+    llm_lm_score discipline), so the only cross-engine float ops after
+    snapping are one division and one subtraction in fixed order.
+    entropy_norm divides by ln(n_types) with a NULLIF guard: a
+    single-type user has zero entropy and an UNDEFINED normalization —
+    NULL, not a divide-by-zero Inf (the quality-ratios lesson).
+
+    Plan: one (user, type) hash-agg over raw events — map-side
+    combine-heavy since the type alphabet is tiny — then a per-user
+    re-aggregation of ≤|alphabet| rows.  At 100 TB both aggs shuffle
+    rows ∝ users × types, never ∝ events."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    terms = c.select(
+        "user_id",
+        F.round(F.col("c") * F.log("c") * 1e9).cast("long").alias("clnc9"),
+        "c",
+    )
+    agg = terms.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("clnc9").cast("long").alias("s9"),
+    )
+    ln_n9 = F.round(F.log("n_events") * 1e9).cast("long")
+    h = (ln_n9 - F.col("s9").cast("double") / F.col("n_events")) / 1e9
+    ln_t = F.log("n_types")
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(h, 6).alias("entropy"),
+        F.round(h / F.when(ln_t != 0.0, ln_t), 6).alias("entropy_norm"),
+    )
