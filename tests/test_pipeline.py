@@ -876,3 +876,89 @@ def test_minhash_lsh_ml_regime_still_runs(spark, sf_dir, monkeypatch):
     assert ml_pairs  # the banding path still executes end to end
     overlap = len(ml_pairs & exact_pairs) / len(ml_pairs)
     assert overlap >= 0.9
+
+
+def test_dsir_leans_toward_target_language(spark, sf_dir):
+    """llm_dsir semantics: the importance weight is trained to up-rank
+    the TARGET (English) slice, so English docs must be kept at a
+    strictly higher rate than every non-target language's docs."""
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.io import load_table
+
+    out = QUERIES["llm_dsir"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {
+        r["lang"]: r["rate"]
+        for r in out.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg(F.col("keep").cast("double")).alias("rate"))
+        .collect()
+    }
+    assert "en" in rates
+    for lang, rate in rates.items():
+        if lang != "en":
+            assert rates["en"] > rate, (lang, rates)
+
+
+def test_containment_pairs_are_real_and_ordered(spark, sf_dir):
+    """llm_containment semantics: recompute each reported pair's
+    intersection from the raw token sets — the blocked join must not
+    have manufactured or miscounted a pair — and doc_a < doc_b."""
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.io import load_table
+
+    pairs = QUERIES["llm_containment"](spark, sf_dir).collect()
+    toks = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert pairs, "fixture should produce containment candidates"
+    for p in pairs:
+        assert p["doc_a"] < p["doc_b"]
+        inter = len(toks[p["doc_a"]] & toks[p["doc_b"]])
+        assert inter == p["n_common"], p
+        assert 2 * inter >= min(p["n_a"], p["n_b"])
+
+
+def test_bpe_apply_round_trips_and_shortens(spark, sf_dir):
+    """llm_bpe_apply semantics: removing spaces from the encoding must
+    reproduce the original word (merges never drop or reorder chars)
+    and the token count can only shrink from the char count."""
+    rows = QUERIES["llm_bpe_apply"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["encoded"].replace(" ", "") == r["word"], r
+        assert 1 <= r["n_tokens"] <= len(r["word"])
+
+
+def test_audio_vad_segments_within_frame_range(spark, sf_dir):
+    """mm_audio_vad semantics: segments are non-empty frame runs with
+    consistent bounds (end - start + 1 == n_frames) and positive
+    energy mass."""
+    segs = QUERIES["mm_audio_vad"](spark, sf_dir).collect()
+    assert segs
+    for s in segs:
+        assert s["seg_end"] - s["seg_start"] + 1 == s["n_frames"], s
+        assert s["n_frames"] >= 1 and s["seg_energy"] > 0
+
+
+def test_heavy_hitters_partition_invariant(spark, sf_dir):
+    """agg_heavy_hitters: the pigeonhole candidate pass depends on
+    partitioning, the OUTPUT must not — rerun on a repartitioned input
+    path by lowering shuffle partitions and compare sets."""
+    out1 = {
+        (r["token"], r["cnt"])
+        for r in QUERIES["agg_heavy_hitters"](spark, sf_dir).collect()
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        out2 = {
+            (r["token"], r["cnt"])
+            for r in QUERIES["agg_heavy_hitters"](spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert out1 == out2 and out1
