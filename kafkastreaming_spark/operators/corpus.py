@@ -1486,3 +1486,130 @@ def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_logratio"),
         F.when(s > 0, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+def _e2e_oracle() -> str:
+    from kafkastreaming_spark.operators.pipeline import _SIMHASH_CTES
+
+    return f"""
+    WITH {_SIMHASH_CTES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ),
+    exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    surv AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN exact_keep k ON k.doc_id = d.doc_id
+      LEFT JOIN near_drop nd ON nd.doc_id = d.doc_id
+      WHERE nd.doc_id IS NULL
+    ),
+    qual AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS nd
+      FROM surv
+    ),
+    kept AS (
+      SELECT doc_id, text FROM qual
+      WHERE nt BETWEEN 20 AND 200 AND CAST(nd AS DOUBLE) / nt >= 0.2
+    ),
+    train AS (
+      SELECT doc_id, text FROM kept
+      WHERE {_SPLIT_H_DUCK.format(salt='split')} < 80
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM train),
+    chunks AS (
+      SELECT doc_id, CAST(c AS INTEGER) AS chunk_idx,
+             list_aggregate(tk[(1 + c * 48):(c * 48 + 64)],
+                            'string_agg', ' ') AS chunk_text,
+             LEAST(64, len(tk) - c * 48) AS n_tokens
+      FROM toks,
+           unnest(generate_series(0, GREATEST(0,
+             CAST(CEIL((len(tk) - 64) / 48.0) AS BIGINT)))) AS t(c)
+      WHERE len(tk) >= 1
+    )
+    SELECT doc_id, chunk_idx, CAST(n_tokens AS INTEGER) AS n_tokens,
+           {_H_DUCK.format(x='chunk_text')} AS chunk_hash,
+           {_H2_DUCK.format(x='chunk_text')} AS chunk_hash2
+    FROM chunks
+    """
+
+
+@query("llm_pipeline_e2e", oracle=_e2e_oracle())
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one hash-checked job —
+    documents → exact dedup (keep earliest per md5) → SimHash near-dup
+    drop (Hamming ≤ 6, banded join) → heuristic quality gate
+    (20 ≤ tokens ≤ 200, type-token ratio ≥ 0.2) → deterministic
+    80% train split (salted-hash) → 64/48 sliding-window chunking with
+    120-bit chunk identities.  Every stage is an already-verified
+    operator (llm_exact_dedup / llm_simhash_dedup / llm_quality_score /
+    llm_train_test_split / llm_chunk); this key pins that they COMPOSE
+    — same join spellings, same hash salts, same window grid — because
+    a real pipeline run is the composition, not the parts.
+
+    Output is the training-sequence manifest (doc_id, chunk_idx,
+    n_tokens, chunk_hash, chunk_hash2) — what a trainer's data loader
+    would consume, with the chunk-hash pair ready for chunk-level
+    dedup/repacking downstream.
+
+    Plan: md5 groupBy + banded simhash pair scan (shared cached
+    signatures) + two doc_id semi/anti joins + map-side quality/split
+    predicates + the sequence/slice chunk fanout — one shuffle per
+    dedup stage, everything after the joins map-only.  At 100 TB the
+    stages stream into each other without materialization barriers;
+    the split/chunk tail runs at scan speed on the surviving ~dedup'd
+    fraction."""
+    from kafkastreaming_spark.operators.pipeline import llm_simhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_keep = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = (
+        llm_simhash_dedup(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv = docs.join(exact_keep, "doc_id", "left_semi").join(
+        near_drop, "doc_id", "left_anti"
+    )
+    tk = F.split("text", " ")
+    nt = F.size(tk).cast("long")
+    nd = F.size(F.array_distinct(tk)).cast("long")
+    kept = surv.filter(
+        nt.between(20, 200) & (nd.cast("double") / nt >= 0.2)
+    )
+    train = kept.filter(
+        F.expr(_SPLIT_H_SPARK.format(salt="split")) < 80
+    ).select("doc_id", "text")
+    toks = train.select("doc_id", tk.alias("tk"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(0,"
+                " CAST(ceil((size(tk) - 64) / 48.0D) AS INT))),"
+                " c -> named_struct("
+                "  'chunk_idx', c,"
+                "  'chunk_text', concat_ws(' ', slice(tk, 1 + c * 48, 64)),"
+                "  'n_tokens', least(64, size(tk) - c * 48)))"
+            )
+        ).alias("ch"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.n_tokens").cast("int").alias("n_tokens"),
+        F.expr(_H_SPARK.format(x="ch.chunk_text")).alias("chunk_hash"),
+        F.expr(_H2_SPARK.format(x="ch.chunk_text")).alias("chunk_hash2"),
+    )
