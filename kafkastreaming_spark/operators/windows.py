@@ -227,14 +227,17 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT c_custkey, c_nationkey, c_acctbal,
-             percent_rank() OVER pw AS pr,
-             cume_dist() OVER pw AS cd,
+             row_number() OVER pw AS rn,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
              ntile(4) OVER pw AS quartile
       FROM customer
       WINDOW pw AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     )
     SELECT c_custkey, c_nationkey, c_acctbal,
-           ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume_dist,
+           CASE WHEN n = 1 THEN 0.0
+                ELSE CAST(ROUND((rn - 1) * 1000000.0 / (n - 1)) AS BIGINT)
+                     / 1e6 END AS pct_rank,
+           CAST(ROUND(rn * 1000000.0 / n) AS BIGINT) / 1e6 AS cume_dist,
            quartile
     FROM w
     """,
@@ -245,20 +248,38 @@ def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation — the quantile-bucketing triple behind scorecards and spend
     segmentation (events_rfm uses the same ntile machinery over events).
 
-    All three are rank arithmetic — exact integer ratios evaluated as
-    double by an identical tree in both engines, rounded 6dp; the
-    (c_acctbal, c_custkey) total order makes every tie deterministic.
+    The (c_acctbal, c_custkey) total order makes ordering unique, so
+    percent_rank ≡ (row_number−1)/(n−1) and cume_dist ≡ row_number/n —
+    spelled THAT way because ROUND(k/n, 6) is a cross-engine trap:
+    with n = 2^a·5^b (sf0.1 nations have n=640) the ratio is an exact
+    7-decimal half-tie that is NOT binary-representable, and Spark
+    (decimal-string HALF_UP) and DuckDB (multiply-then-round) resolve
+    it differently — caught by the r8 sf0.1 sweep, invisible at
+    sf0.01 where n=60 never terminates.  The snap k·10⁶/n → ROUND →
+    BIGINT → /1e6 keeps every tie on a binary-REPRESENTABLE .5, where
+    both engines round away from zero identically.  n=1 partitions
+    define pct_rank = 0 (the SQL-standard convention) instead of 0/0.
+
     One (nation) shuffle + one sort serves all three frames; at 100 TB
     this is a single window pass over the (bounded) entity table, not
     the fact table."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
     return cust.select(
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise(
+            F.round((rn - 1) * 1000000.0 / (n - 1)).cast("long") / 1e6
+        )
+        .alias("pct_rank"),
+        (F.round(rn * 1000000.0 / n).cast("long") / 1e6).alias(
+            "cume_dist"
+        ),
         F.ntile(4).over(w).alias("quartile"),
     )
 
