@@ -671,7 +671,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks GROUP BY token
     )
     SELECT token, cnt,
-           ROUND(CAST(cnt AS DOUBLE) / n, 6) AS share
+           CAST(ROUND(cnt * 1000000.0 / n) AS BIGINT) / 1e6 AS share
     FROM c, tot WHERE cnt * 30 > n
     """,
 )
@@ -730,8 +730,12 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias(
-                "share"
-            ),
+            # tie-safe 6dp ratio: snap k*1e6/n to an integer first so any
+            # rounding tie lands on a representable .5 (win_percentiles
+            # lesson, r8 sf0.1 sweep)
+            (
+                F.round(F.col("cnt") * 1000000.0 / F.col("n")).cast("long")
+                / 1e6
+            ).alias("share"),
         )
     )

@@ -280,7 +280,7 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY days.d
     )
     SELECT dau.d AS day, dau.dau, wau.wau,
-           ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+           CAST(ROUND(dau.dau * 1000000.0 / wau.wau) AS BIGINT) / 1e6
              AS stickiness
     FROM dau JOIN wau ON dau.d = wau.d
     """,
@@ -319,8 +319,11 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("day"),
             "dau",
             "wau",
-            F.round(
-                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            # tie-safe 6dp ratio (win_percentiles lesson, r8 sweep)
+            (
+                F.round(F.col("dau") * 1000000.0 / F.col("wau"))
+                .cast("long")
+                / 1e6
             ).alias("stickiness"),
         )
     )
@@ -587,8 +590,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT a.event_type,
              a.n AS n_a, b.n AS n_b,
-             ROUND(CAST(a.s1 AS DOUBLE) / a.n / 100.0, 6) AS mean_a,
-             ROUND(CAST(b.s1 AS DOUBLE) / b.n / 100.0, 6) AS mean_b,
+             CAST(ROUND(a.s1 * 10000.0 / a.n) AS BIGINT) / 1e6 AS mean_a,
+             CAST(ROUND(b.s1 * 10000.0 / b.n) AS BIGINT) / 1e6 AS mean_b,
              (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n)
                / (a.n - 1) / 10000.0 AS var_a,
              (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n)
@@ -662,8 +665,11 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_a",
         "n_b",
-        F.round(mean_a, 6).alias("mean_a"),
-        F.round(mean_b, 6).alias("mean_b"),
+        # tie-safe: cents*1e6/(n*100) == cents*1e4/n snapped to int
+        (F.round(F.col("s1_a") * 10000.0 / F.col("n_a")).cast("long") / 1e6)
+        .alias("mean_a"),
+        (F.round(F.col("s1_b") * 10000.0 / F.col("n_b")).cast("long") / 1e6)
+        .alias("mean_b"),
         F.round(
             (mean_a - mean_b)
             / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
@@ -764,8 +770,9 @@ def events_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM step WHERE prev IS NOT NULL GROUP BY prev, curr
     )
     SELECT prev, curr, n,
-           ROUND(CAST(n AS DOUBLE)
-                 / SUM(n) OVER (PARTITION BY prev), 6) AS prob
+           CAST(ROUND(n * 1000000.0
+                      / SUM(n) OVER (PARTITION BY prev)) AS BIGINT)
+             / 1e6 AS prob
     FROM pair
     """,
 )
@@ -797,10 +804,14 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev",
         "curr",
         "n",
-        F.round(
-            F.col("n").cast("double")
-            / F.sum("n").over(Window.partitionBy("prev")),
-            6,
+        # tie-safe 6dp ratio (win_percentiles lesson, r8 sweep)
+        (
+            F.round(
+                F.col("n")
+                * 1000000.0
+                / F.sum("n").over(Window.partitionBy("prev"))
+            ).cast("long")
+            / 1e6
         ).alias("prob"),
     )
 
@@ -924,11 +935,11 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY g.week_offset
                                          ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS cum_spend_cents,
-           ROUND(CAST(SUM(g.spend_cents)
+           CAST(ROUND(CAST(SUM(g.spend_cents)
                         OVER (PARTITION BY g.cohort_week
                               ORDER BY g.week_offset
                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                 / s.n_users / 100.0, 6) AS ltv
+                      * 10000.0 / s.n_users) AS BIGINT) / 1e6 AS ltv
     FROM g JOIN size_ s ON s.cohort_week = g.cohort_week
     """,
 )
@@ -1010,11 +1021,14 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active",
             "n_users",
             "cum_spend_cents",
-            F.round(
-                F.col("cum_spend_cents").cast("double")
-                / F.col("n_users")
-                / 100.0,
-                6,
+            # tie-safe: cents*1e6/(users*100) == cents*1e4/users snapped
+            (
+                F.round(
+                    F.col("cum_spend_cents").cast("double")
+                    * 10000.0
+                    / F.col("n_users")
+                ).cast("long")
+                / 1e6
             ).alias("ltv"),
         )
     )
@@ -1041,8 +1055,9 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM terms GROUP BY user_id
     )
     SELECT user_id, n_events, n_types,
-           ROUND((CAST(ROUND(ln(n_events) * 1e9) AS BIGINT)
-                  - CAST(s9 AS DOUBLE) / n_events) / 1e9, 6) AS entropy,
+           CAST(ROUND((CAST(ROUND(ln(n_events) * 1e9) AS BIGINT) * n_events
+                       - s9) / (n_events * 1000.0)) AS BIGINT) / 1e6
+             AS entropy,
            ROUND(((CAST(ROUND(ln(n_events) * 1e9) AS BIGINT)
                    - CAST(s9 AS DOUBLE) / n_events) / 1e9)
                  / NULLIF(ln(n_types), 0.0), 6) AS entropy_norm
@@ -1084,11 +1099,21 @@ def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ln_n9 = F.round(F.log("n_events") * 1e9).cast("long")
     h = (ln_n9 - F.col("s9").cast("double") / F.col("n_events")) / 1e9
+    # tie-safe entropy: H*1e6 = (ln_n9*n - s9)/(n*1000) is an integer
+    # ratio — snap it (win_percentiles lesson); entropy_norm's ln
+    # denominator is irrational, so exact 6dp ties cannot occur there
+    h6 = (
+        F.round(
+            (ln_n9 * F.col("n_events") - F.col("s9"))
+            / (F.col("n_events") * 1000.0)
+        ).cast("long")
+        / 1e6
+    )
     ln_t = F.log("n_types")
     return agg.select(
         "user_id",
         "n_events",
         "n_types",
-        F.round(h, 6).alias("entropy"),
+        h6.alias("entropy"),
         F.round(h / F.when(ln_t != 0.0, ln_t), 6).alias("entropy_norm"),
     )

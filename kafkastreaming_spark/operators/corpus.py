@@ -203,7 +203,8 @@ _LM_BROADCAST_MAX_BIGRAMS = 100_000
       JOIN vocab ON vocab.lang = b.lang
     )
     SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(SUM(nll9) / (COUNT(*) * 1e9), 6) AS avg_nll
+           CAST(ROUND(SUM(nll9) / (COUNT(*) * 1000.0)) AS BIGINT) / 1e6
+             AS avg_nll
     FROM scored GROUP BY doc_id, lang
     """,
 )
@@ -337,8 +338,12 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(
-            F.sum("nll9") / (F.count(F.lit(1)) * F.lit(1e9)), 6
+        # tie-safe: avg_nll*1e6 = SUM(nll9)/(n*1000) is an integer ratio
+        (
+            F.round(
+                F.sum("nll9") / (F.count(F.lit(1)) * F.lit(1000.0))
+            ).cast("long")
+            / 1e6
         ).alias("avg_nll"),
     )
 
@@ -380,7 +385,8 @@ _GRAM5_SPARK = (
     SELECT t.doc_id,
            COUNT(*) AS n_grams,
            COUNT(tr.g) AS n_hit,
-           ROUND(100.0 * COUNT(tr.g) / COUNT(*), 6) AS contamination_pct
+           CAST(ROUND(100000000.0 * COUNT(tr.g) / COUNT(*)) AS BIGINT)
+             / 1e6 AS contamination_pct
     FROM test_grams t
     LEFT JOIN train_grams tr ON t.g = tr.g AND t.g2 = tr.g2
     GROUP BY t.doc_id
@@ -439,8 +445,12 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count("tg").alias("n_hit"),
-            F.round(
-                F.lit(100.0) * F.count("tg") / F.count(F.lit(1)), 6
+            # tie-safe 6dp ratio (win_percentiles lesson, r8 sweep)
+            (
+                F.round(
+                    F.lit(100000000.0) * F.count("tg") / F.count(F.lit(1))
+                ).cast("long")
+                / 1e6
             ).alias("contamination_pct"),
         )
     )
@@ -475,9 +485,10 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT w.doc_id,
            CAST(w.n_words AS BIGINT) AS n_words,
-           ROUND(1.0 * w.top_word_n / w.n_words, 6) AS top_word_frac,
-           ROUND(1.0 - 1.0 * b.n_distinct_bigrams / b.n_bigrams, 6)
-             AS dup_bigram_frac,
+           CAST(ROUND(1000000.0 * w.top_word_n / w.n_words) AS BIGINT)
+             / 1e6 AS top_word_frac,
+           CAST(ROUND(1000000.0 * (b.n_bigrams - b.n_distinct_bigrams)
+                      / b.n_bigrams) AS BIGINT) / 1e6 AS dup_bigram_frac,
            (1.0 * w.top_word_n / w.n_words > 0.1
             OR 1.0 - 1.0 * b.n_distinct_bigrams / b.n_bigrams > 0.5)
              AS flagged
@@ -528,8 +539,21 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_words").cast("long").alias("n_words"),
-            F.round(top_frac, 6).alias("top_word_frac"),
-            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            # tie-safe: 1 - d/n spelled (n-d)*1e6/n snapped to int
+            (
+                F.round(
+                    F.lit(1000000.0) * F.col("top_word_n") / F.col("n_words")
+                ).cast("long")
+                / 1e6
+            ).alias("top_word_frac"),
+            (
+                F.round(
+                    F.lit(1000000.0)
+                    * (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                    / F.col("n_bigrams")
+                ).cast("long")
+                / 1e6
+            ).alias("dup_bigram_frac"),
             ((top_frac > 0.1) | (dup_frac > 0.5)).alias("flagged"),
         )
     )
@@ -553,8 +577,10 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_source
     )
     SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, rnk,
-           ROUND(100.0 * n_tokens / total_tokens, 6) AS token_share_pct,
-           ROUND(100.0 * cum_tokens / total_tokens, 6) AS cum_share_pct
+           CAST(ROUND(100000000.0 * n_tokens / total_tokens) AS BIGINT)
+             / 1e6 AS token_share_pct,
+           CAST(ROUND(100000000.0 * cum_tokens / total_tokens) AS BIGINT)
+             / 1e6 AS cum_share_pct
     FROM ranked
     """,
 )
@@ -581,12 +607,22 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.row_number().over(w_order).alias("rnk"),
-        F.round(
-            F.lit(100.0) * F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6
+        # tie-safe 6dp percentage (win_percentiles lesson, r8 sweep)
+        (
+            F.round(
+                F.lit(100000000.0)
+                * F.col("n_tokens")
+                / F.sum("n_tokens").over(w_all)
+            ).cast("long")
+            / 1e6
         ).alias("token_share_pct"),
-        F.round(
-            F.lit(100.0) * F.sum("n_tokens").over(w_cum) / F.sum("n_tokens").over(w_all),
-            6,
+        (
+            F.round(
+                F.lit(100000000.0)
+                * F.sum("n_tokens").over(w_cum)
+                / F.sum("n_tokens").over(w_all)
+            ).cast("long")
+            / 1e6
         ).alias("cum_share_pct"),
     )
 
@@ -673,7 +709,8 @@ def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT term, rnk, freq,
            CAST(rnk * freq AS BIGINT) AS zipf_c,
-           ROUND(100.0 * freq / total, 6) AS share_pct
+           CAST(ROUND(100000000.0 * freq / total) AS BIGINT) / 1e6
+             AS share_pct
     FROM ranked
     WHERE rnk <= 50
     """,
@@ -706,8 +743,13 @@ def llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             F.row_number().over(w_order).alias("rnk"),
             F.col("freq").cast("long").alias("freq"),
-            F.round(
-                F.lit(100.0) * F.col("freq") / F.sum("freq").over(w_all), 6
+            (
+                F.round(
+                    F.lit(100000000.0)
+                    * F.col("freq")
+                    / F.sum("freq").over(w_all)
+                ).cast("long")
+                / 1e6
             ).alias("share_pct"),
         )
         .filter(F.col("rnk") <= 50)
@@ -1031,9 +1073,9 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_novel,
-           ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id
-                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS novelty
+           CAST(ROUND(SUM(CASE WHEN f.first_doc = g.doc_id
+                               THEN 1 ELSE 0 END) * 1000000.0
+                      / COUNT(*)) AS BIGINT) / 1e6 AS novelty
     FROM grams g JOIN firsts f ON f.gram = g.gram
     GROUP BY g.doc_id
     """,
@@ -1077,14 +1119,18 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_novel"),
-        F.round(
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
-                    0
+        # tie-safe 6dp ratio (win_percentiles lesson, r8 sweep)
+        (
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
                 )
-            ).cast("double")
-            / F.count(F.lit(1)),
-            6,
+                * 1000000.0
+                / F.count(F.lit(1))
+            ).cast("long")
+            / 1e6
         ).alias("novelty"),
     )
 
@@ -1109,8 +1155,8 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, n_common, n_a, n_b,
-           ROUND(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b), 6)
-             AS containment,
+           CAST(ROUND(n_common * 1000000.0 / LEAST(n_a, n_b)) AS BIGINT)
+             / 1e6 AS containment,
            CAST(CASE WHEN n_common = LEAST(n_a, n_b) THEN 1 ELSE 0 END
                 AS INTEGER) AS full_containment
     FROM pairs WHERE 2 * n_common >= LEAST(n_a, n_b)
@@ -1177,9 +1223,11 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         "n_a",
         "n_b",
-        F.round(F.col("n_common").cast("double") / small, 6).alias(
-            "containment"
-        ),
+        # tie-safe 6dp ratio (win_percentiles lesson, r8 sweep)
+        (
+            F.round(F.col("n_common") * 1000000.0 / small).cast("long")
+            / 1e6
+        ).alias("containment"),
         F.when(F.col("n_common") == small, 1)
         .otherwise(0)
         .cast("int")
@@ -1391,8 +1439,9 @@ _DSIR_F_DUCK = (
     SELECT d.doc_id,
            CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
            CAST(SUM(d.cnt * l.lr9) AS BIGINT) AS sum_lr9,
-           ROUND(CAST(SUM(d.cnt * l.lr9) AS DOUBLE)
-                 / (SUM(d.cnt) * 1e9), 6) AS avg_logratio,
+           CAST(ROUND(CAST(SUM(d.cnt * l.lr9) AS DOUBLE)
+                      / (SUM(d.cnt) * 1000.0)) AS BIGINT) / 1e6
+             AS avg_logratio,
            CAST(CASE WHEN SUM(d.cnt * l.lr9) > 0 THEN 1 ELSE 0 END
                 AS INTEGER) AS keep
     FROM docfeat d JOIN lam l ON l.f = d.f
@@ -1481,8 +1530,11 @@ def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_bigrams"),
         s.cast("long").alias("sum_lr9"),
-        F.round(
-            s.cast("double") / (F.sum("cnt") * 1e9), 6
+        # tie-safe: weight*1e6 = sum_lr9/(n*1000) is an integer ratio
+        (
+            F.round(s.cast("double") / (F.sum("cnt") * 1000.0))
+            .cast("long")
+            / 1e6
         ).alias("avg_logratio"),
         F.when(s > 0, 1).otherwise(0).cast("int").alias("keep"),
     )

@@ -97,7 +97,8 @@ _JACCARD_ORACLE = """
        AND a.n * 4 <= b.n * 5 AND b.n * 4 <= a.n * 5
     )
     SELECT doc_a, doc_b, n_inter, n_union,
-           ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+           CAST(ROUND(n_inter * 1000000.0 / n_union) AS BIGINT) / 1e6
+             AS jaccard
     FROM pairs
     WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.8
 """
@@ -234,7 +235,12 @@ def llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "n_inter",
             "n_union",
-            F.round("jaccard_raw", 6).alias("jaccard"),
+            # tie-safe 6dp ratio (win_percentiles lesson, r8 sweep)
+            (
+                F.round(F.col("n_inter") * 1000000.0 / F.col("n_union"))
+                .cast("long")
+                / 1e6
+            ).alias("jaccard"),
         )
     )
 
@@ -440,8 +446,11 @@ def llm_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
-           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+           CAST(ROUND(SUM(CAST(len(string_split(text, ' ')) AS DOUBLE))
+                      * 1000000.0 / COUNT(*)) AS BIGINT) / 1e6
+             AS avg_tokens,
+           CAST(ROUND(SUM(CAST(n_chars AS DOUBLE)) * 1000000.0 / COUNT(*))
+                AS BIGINT) / 1e6 AS avg_chars
     FROM documents
     GROUP BY lang, source
     """,
@@ -453,8 +462,23 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 6).alias("avg_tokens"),
-        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        # tie-safe 6dp averages: SUM*1e6/COUNT snapped to an integer
+        (
+            F.round(
+                F.sum(F.size(F.split("text", " ")).cast("double"))
+                * 1000000.0
+                / F.count(F.lit(1))
+            ).cast("long")
+            / 1e6
+        ).alias("avg_tokens"),
+        (
+            F.round(
+                F.sum(F.col("n_chars").cast("double"))
+                * 1000000.0
+                / F.count(F.lit(1))
+            ).cast("long")
+            / 1e6
+        ).alias("avg_chars"),
     )
 
 
@@ -696,7 +720,8 @@ _MINHASH_DET_ORACLE = f"""
       WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.8
     )
     SELECT doc_id, rep_id AS keep_doc_id, n_inter, n_union,
-           ROUND(jac_raw, 6) AS jaccard
+           CAST(ROUND(n_inter * 1000000.0 / n_union) AS BIGINT) / 1e6
+             AS jaccard
     FROM dup WHERE rk = 1
 """
 
@@ -829,6 +854,10 @@ def llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep_id").alias("keep_doc_id"),
             "n_inter",
             "n_union",
-            F.round("jac_raw", 6).alias("jaccard"),
+            (
+                F.round(F.col("n_inter") * 1000000.0 / F.col("n_union"))
+                .cast("long")
+                / 1e6
+            ).alias("jaccard"),
         )
     )

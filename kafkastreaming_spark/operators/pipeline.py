@@ -1771,9 +1771,12 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_tokens, n_distinct,
-           ROUND(CAST(n_digits AS DOUBLE) / n_chars, 6) AS digit_ratio,
-           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
-           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           CAST(ROUND(n_digits * 1000000.0 / n_chars) AS BIGINT) / 1e6
+             AS digit_ratio,
+           CAST(ROUND(n_distinct * 1000000.0 / n_tokens) AS BIGINT) / 1e6
+             AS ttr,
+           CAST(ROUND(n_chars * 1000000.0 / n_tokens) AS BIGINT) / 1e6
+             AS avg_token_len,
            CASE WHEN n_tokens BETWEEN 20 AND 200
                  AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.2
                 THEN 1 ELSE 0 END AS keep
@@ -1801,13 +1804,22 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.round(F.col("n_digits").cast("double") / F.col("n_chars"), 6).alias(
-            "digit_ratio"
-        ),
-        F.round(ttr, 6).alias("ttr"),
-        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
-            "avg_token_len"
-        ),
+        # tie-safe 6dp ratios (win_percentiles lesson, r8 sweep)
+        (
+            F.round(F.col("n_digits") * 1000000.0 / F.col("n_chars"))
+            .cast("long")
+            / 1e6
+        ).alias("digit_ratio"),
+        (
+            F.round(F.col("n_distinct") * 1000000.0 / F.col("n_tokens"))
+            .cast("long")
+            / 1e6
+        ).alias("ttr"),
+        (
+            F.round(F.col("n_chars") * 1000000.0 / F.col("n_tokens"))
+            .cast("long")
+            / 1e6
+        ).alias("avg_token_len"),
         F.when(
             F.col("n_tokens").between(20, 200) & (ttr >= 0.2), F.lit(1)
         )
@@ -1841,11 +1853,14 @@ _SW_LIST = "'a', 'the', 'and', 'of', 'to', 'in', 'is'"
       FROM t
     )
     SELECT doc_id,
-           ROUND(CAST(sw_cnt AS DOUBLE) / n_tokens, 6) AS sw_ratio,
-           ROUND(CAST(short_cnt AS DOUBLE) / n_tokens, 6) AS short_ratio,
-           ROUND(CAST(long_cnt AS DOUBLE) / n_tokens, 6) AS long_ratio,
-           ROUND(CAST(punct_cnt AS DOUBLE) / NULLIF(n_chars, 0), 6)
-             AS punct_ratio,
+           CAST(ROUND(sw_cnt * 1000000.0 / n_tokens) AS BIGINT) / 1e6
+             AS sw_ratio,
+           CAST(ROUND(short_cnt * 1000000.0 / n_tokens) AS BIGINT) / 1e6
+             AS short_ratio,
+           CAST(ROUND(long_cnt * 1000000.0 / n_tokens) AS BIGINT) / 1e6
+             AS long_ratio,
+           CAST(ROUND(punct_cnt * 1000000.0 / NULLIF(n_chars, 0))
+                AS BIGINT) / 1e6 AS punct_ratio,
            CASE WHEN sw_cnt >= 2
                  AND CAST(punct_cnt AS DOUBLE) / NULLIF(n_chars, 0) <= 0.1
                 THEN 1 ELSE 0 END AS keep
@@ -1900,16 +1915,30 @@ def llm_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feat.select(
         "doc_id",
-        F.round(F.col("sw_cnt").cast("double") / F.col("n_tokens"), 6).alias(
-            "sw_ratio"
-        ),
-        F.round(
-            F.col("short_cnt").cast("double") / F.col("n_tokens"), 6
+        # tie-safe 6dp ratios (win_percentiles lesson, r8 sweep)
+        (
+            F.round(F.col("sw_cnt") * 1000000.0 / F.col("n_tokens"))
+            .cast("long")
+            / 1e6
+        ).alias("sw_ratio"),
+        (
+            F.round(F.col("short_cnt") * 1000000.0 / F.col("n_tokens"))
+            .cast("long")
+            / 1e6
         ).alias("short_ratio"),
-        F.round(
-            F.col("long_cnt").cast("double") / F.col("n_tokens"), 6
+        (
+            F.round(F.col("long_cnt") * 1000000.0 / F.col("n_tokens"))
+            .cast("long")
+            / 1e6
         ).alias("long_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
+        (
+            F.round(
+                F.col("punct_cnt")
+                * 1000000.0
+                / F.nullif(F.col("n_chars"), F.lit(0))
+            ).cast("long")
+            / 1e6
+        ).alias("punct_ratio"),
         F.when((F.col("sw_cnt") >= 2) & (punct_ratio <= 0.1), F.lit(1))
         .otherwise(F.lit(0))
         .alias("keep"),
@@ -1944,8 +1973,10 @@ def llm_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / len(string_split(text, ' ')), 6) AS ttr,
+             CAST(ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                             AS DOUBLE) * 1000000.0
+                        / len(string_split(text, ' '))) AS BIGINT) / 1e6
+               AS ttr,
              CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
                    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                        / len(string_split(text, ' ')) >= 0.2
@@ -2453,8 +2484,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.x AS a, c.y AS b, c.n_common,
            da.deg AS deg_a, db.deg AS deg_b,
-           ROUND(CAST(c.n_common AS DOUBLE)
-                 / (da.deg + db.deg - c.n_common), 6) AS jaccard,
+           CAST(ROUND(c.n_common * 1000000.0
+                      / (da.deg + db.deg - c.n_common)) AS BIGINT) / 1e6
+             AS jaccard,
            CAST(CASE WHEN ed.a IS NULL THEN 0 ELSE 1 END AS INTEGER)
              AS is_edge
     FROM cand c
@@ -2517,9 +2549,11 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         "deg_a",
         "deg_b",
-        F.round(F.col("n_common").cast("double") / denom, 6).alias(
-            "jaccard"
-        ),
+        # tie-safe 6dp ratio (win_percentiles lesson, r8 sweep)
+        (
+            F.round(F.col("n_common") * 1000000.0 / denom).cast("long")
+            / 1e6
+        ).alias("jaccard"),
         F.when(F.col("ind").isNull(), 0)
         .otherwise(1)
         .cast("int")
