@@ -150,6 +150,9 @@ TIMED = {
     "llm_dsir": "documents",
     "agg_heavy_hitters": "documents",
     "fn_regexp": "documents",
+    "mm_audio_vad": "documents",
+    "llm_pipeline_e2e": "documents",
+    "events_entropy": "events",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
