@@ -23,6 +23,7 @@ from kafkastreaming_spark.operators import (  # noqa: F401
     pipeline,
     pq,
     projections,
+    quality,
     relational_ext,
     scans,
     timeseries,

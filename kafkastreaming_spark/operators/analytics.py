@@ -1117,3 +1117,75 @@ def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         h6.alias("entropy"),
         F.round(h / F.when(ln_t != 0.0, ln_t), 6).alias("entropy_norm"),
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+    shared AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_shared
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT s.type_a, s.type_b, sa.n AS n_a, sb.n AS n_b, s.n_shared,
+           CAST(ROUND(s.n_shared * 1000000.0
+                      / (sa.n + sb.n - s.n_shared)) AS BIGINT) / 1e6
+             AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.event_type = s.type_a
+    JOIN sizes sb ON sb.event_type = s.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, how many
+    users did both, and the Jaccard of the two audiences — the
+    cross-sell / cannibalization question every growth team asks.
+
+    Shape: distinct (type, user) once — that dedup is the only pass
+    over raw events — then a self-equi-join ON user_id.  The fan-out is
+    bounded by the alphabet: each user contributes at most
+    |types|·(|types|−1)/2 pairs (≤10 here), so the join output is
+    O(users), never O(events²).  Audience sizes re-join via two
+    broadcast hash joins on the ≤|types|-row sizes table.  The Jaccard
+    ratio uses the tie-safe integer snap (k·10⁶/q → ROUND → BIGINT →
+    /1e6; the r8 systematic pass) since |A∪B| can hit 2^a·5^b.  At
+    100 TB the distinct is the cost center (one shuffle of the
+    (type,user) projection); everything after runs on user-cardinality
+    data."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    shared = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            (
+                F.round(
+                    F.col("n_shared")
+                    * 1000000.0
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+                ).cast("long")
+                / 1e6
+            ).alias("jaccard"),
+        )
+    )

@@ -620,3 +620,70 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_acctbal"
         )
     )
+
+
+@query(
+    "join_range_bucket",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    hours AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT h AS w_start, h + INTERVAL 90 MINUTE AS w_end
+      FROM hours ORDER BY n DESC, h LIMIT 20
+    )
+    SELECT w.w_start AS window_start, e.event_id, e.event_type
+    FROM events e JOIN win w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    """,
+)
+def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key) made shuffle-joinable by bucketing —
+    the classic range-join optimization (Databricks' RANGE_JOIN hint,
+    Flink's interval join internals): events falling inside any of the
+    20 busiest hours' [start, start+90min) campaign windows.
+
+    Naively `e.ts BETWEEN w.start AND w.end` has no equality condition,
+    so Spark plans BroadcastNestedLoopJoin — every event row tested
+    against every window, O(n·m), and a hard wall the moment the
+    interval side outgrows broadcast.  The rewrite: choose a bucket
+    width (30 min) no larger than the minimum window length, explode
+    each window to the 3 grid buckets it spans, map each event to its
+    single bucket (floor(epoch/1800)), and equi-join ON BUCKET with the
+    range predicate demoted to a residual filter.  Each (event, window)
+    candidate pair now meets at exactly one bucket — no post-join dedup
+    — and the join is a plain hash/SMJ equi join: at 100 TB with
+    millions of windows both sides shuffle on the bucket key and the
+    per-task work is |bucket| × |windows in bucket|, not n × m.
+    The window side here is derived (top-20 hours by volume, tie-broken
+    on the hour itself) to keep the key self-contained."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("w_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w_start")
+        .limit(20)
+        .select(
+            "w_start",
+            (F.col("w_start") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+        )
+    )
+    # 30-min bucket grid: a window spans exactly buckets b0..b0+2
+    # (90 min, hour-aligned start); an event lives in exactly one.
+    b0 = (F.unix_timestamp("w_start") / 1800).cast("long")
+    win_b = win.select(
+        "w_start", "w_end", F.explode(F.sequence(b0, b0 + 2)).alias("bucket")
+    )
+    ev_b = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (F.unix_timestamp("ts") / 1800).cast("long").alias("bucket"),
+    )
+    return (
+        ev_b.join(win_b, "bucket")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select(F.col("w_start").alias("window_start"), "event_id", "event_type")
+    )

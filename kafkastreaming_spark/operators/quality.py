@@ -1,0 +1,239 @@
+"""Data-quality operators (SURVEY.md §2.16): profiling + constraint
+checks — the Deequ/Great-Expectations layer a training-data pipeline
+runs BEFORE any model sees the data.
+
+Both keys are deliberately single-pass: ``dq_profile`` computes every
+per-column measure in ONE aggregate over the table (Spark's multi-
+distinct Expand), then unpivots the single result row driver-free with
+``inline`` — profiling 100 TB costs one scan, not one scan per column.
+``dq_constraints`` folds all row-local predicates into the same single
+aggregate and spends shuffles only on the two checks that genuinely
+need them (referential integrity = anti-joins on the key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.registry import query
+
+_NULL_D = "CAST(NULL AS DOUBLE)"
+_NULL_V = "CAST(NULL AS VARCHAR)"
+
+
+@query(
+    "dq_profile",
+    oracle=f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_custkey) AS c1, COUNT(DISTINCT o_custkey) AS d1,
+             MIN(o_custkey) AS mn1, MAX(o_custkey) AS mx1,
+             COUNT(o_totalprice) AS c2, COUNT(DISTINCT o_totalprice) AS d2,
+             MIN(o_totalprice) AS mn2, MAX(o_totalprice) AS mx2,
+             COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+             MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+             COUNT(o_orderpriority) AS c4,
+             COUNT(DISTINCT o_orderpriority) AS d4,
+             MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4,
+             COUNT(o_orderdate) AS c5, COUNT(DISTINCT o_orderdate) AS d5
+      FROM orders
+    )
+    SELECT 'o_custkey' AS col_name, n AS n_rows, n - c1 AS n_nulls,
+           d1 AS n_distinct, CAST(mn1 AS DOUBLE) AS min_num,
+           CAST(mx1 AS DOUBLE) AS max_num, {_NULL_V} AS min_str,
+           {_NULL_V} AS max_str FROM s
+    UNION ALL
+    SELECT 'o_totalprice', n, n - c2, d2, mn2, mx2, {_NULL_V}, {_NULL_V}
+    FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', n, n - c3, d3, {_NULL_D}, {_NULL_D}, mn3, mx3
+    FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n, n - c4, d4, {_NULL_D}, {_NULL_D}, mn4, mx4
+    FROM s
+    UNION ALL
+    SELECT 'o_orderdate', n, n - c5, d5, {_NULL_D}, {_NULL_D},
+           {_NULL_V}, {_NULL_V} FROM s
+    """,
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of the orders table — per column: row/null/exact-
+    distinct counts plus typed min/max (numeric columns fill min_num/
+    max_num, string columns min_str/max_str, the timestamp column counts
+    only — cross-engine timestamp-to-string formatting is a hash trap
+    this schema sidesteps by design).
+
+    One aggregate computes all 18 measures in a single scan (the five
+    exact ``count(distinct)``s share one Expand — the agg_multi_distinct
+    machinery), then ``inline`` unpivots the 1-row result into the
+    five-row long-format profile with zero extra jobs.  At 100 TB this
+    is the cheapest complete profile possible: scan once, map-side
+    partial everything except the distinct shuffles, output five rows.
+    Approximate profiling at higher column counts swaps the exact
+    distincts for HLL (``agg_approx_distinct``) with no shape change."""
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1)).alias("n")
+    agg = o.agg(
+        n,
+        F.count("o_custkey").alias("c1"),
+        F.count_distinct("o_custkey").alias("d1"),
+        F.min("o_custkey").alias("mn1"),
+        F.max("o_custkey").alias("mx1"),
+        F.count("o_totalprice").alias("c2"),
+        F.count_distinct("o_totalprice").alias("d2"),
+        F.min("o_totalprice").alias("mn2"),
+        F.max("o_totalprice").alias("mx2"),
+        F.count("o_orderstatus").alias("c3"),
+        F.count_distinct("o_orderstatus").alias("d3"),
+        F.min("o_orderstatus").alias("mn3"),
+        F.max("o_orderstatus").alias("mx3"),
+        F.count("o_orderpriority").alias("c4"),
+        F.count_distinct("o_orderpriority").alias("d4"),
+        F.min("o_orderpriority").alias("mn4"),
+        F.max("o_orderpriority").alias("mx4"),
+        F.count("o_orderdate").alias("c5"),
+        F.count_distinct("o_orderdate").alias("d5"),
+    )
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+
+    def prof(name, cnt, dist, mn_num, mx_num, mn_str, mx_str):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(cnt)).alias("n_nulls"),
+            F.col(dist).alias("n_distinct"),
+            mn_num.alias("min_num"),
+            mx_num.alias("max_num"),
+            mn_str.alias("min_str"),
+            mx_str.alias("max_str"),
+        )
+
+    d = F.col  # noqa: E741 — local shorthand
+    return agg.select(
+        F.inline(
+            F.array(
+                prof("o_custkey", "c1", "d1",
+                     d("mn1").cast("double"), d("mx1").cast("double"), ns, ns),
+                prof("o_totalprice", "c2", "d2", d("mn2"), d("mx2"), ns, ns),
+                prof("o_orderstatus", "c3", "d3", nd, nd, d("mn3"), d("mx3")),
+                prof("o_orderpriority", "c4", "d4", nd, nd,
+                     d("mn4"), d("mx4")),
+                prof("o_orderdate", "c5", "d5", nd, nd, ns, ns),
+            )
+        )
+    )
+
+
+@query(
+    "dq_constraints",
+    oracle="""
+    WITH row_checks AS (
+      SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+             COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                              OR o_totalprice <= 0) AS bad_price,
+             COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                              OR o_orderstatus NOT IN ('O','F','P'))
+               AS bad_status,
+             COUNT(*) FILTER (WHERE o_orderdate IS NULL
+                              OR o_orderdate <  TIMESTAMP '1992-01-01'
+                              OR o_orderdate >= TIMESTAMP '2031-01-01')
+               AS bad_date
+      FROM orders
+    ),
+    checks AS (
+      SELECT 'orders_pk_unique' AS check_name, pk_dup AS n_violations
+      FROM row_checks
+      UNION ALL
+      SELECT 'totalprice_positive', bad_price FROM row_checks
+      UNION ALL
+      SELECT 'status_accepted_values', bad_status FROM row_checks
+      UNION ALL
+      SELECT 'orderdate_in_range', bad_date FROM row_checks
+      UNION ALL
+      SELECT 'orders_fk_customer', COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT check_name, n_violations, n_violations = 0 AS passed
+    FROM checks
+    """,
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite over orders/lineitem/customer: key
+    uniqueness, two referential-integrity checks, and three row-local
+    validity rules — output one row per check with its violation count
+    and pass flag (a pipeline gates ingestion on ``min(passed)``).
+
+    Cost model, the part that matters at 100 TB: the four row-local
+    checks (PK duplicate count via exact ``count(distinct)``, price /
+    status / date validity via conditional counts) all fold into ONE
+    aggregate = one scan of orders; only the two FK checks pay a
+    shuffle, each the canonical LEFT ANTI join on the key (null-
+    producing side pruned by Catalyst to the join key column).  The
+    whole suite is declarative — one union'd plan, no driver-side
+    scalar collection, so a scheduler can run it as a single job."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cnt_if(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    row_checks = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("pk_dup"),
+        cnt_if(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("bad_price"),
+        cnt_if(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("bad_status"),
+        cnt_if(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2031-01-01").cast("timestamp"))
+        ).alias("bad_date"),
+    ).select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("orders_pk_unique").alias("check_name"),
+                    F.col("pk_dup").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("totalprice_positive").alias("check_name"),
+                    F.col("bad_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("status_accepted_values").alias("check_name"),
+                    F.col("bad_status").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orderdate_in_range").alias("check_name"),
+                    F.col("bad_date").alias("n_violations"),
+                ),
+            )
+        )
+    )
+    fk_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_fk_customer").alias("check_name"), "n_violations")
+    )
+    fk_ord = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("lineitem_fk_orders").alias("check_name"), "n_violations")
+    )
+    return (
+        row_checks.unionByName(fk_cust)
+        .unionByName(fk_ord)
+        .withColumn("passed", F.col("n_violations") == 0)
+    )

@@ -220,3 +220,54 @@ def sub_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "sub_any_all",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           c_acctbal > ALL (SELECT s_acctbal FROM supplier s
+                            WHERE s.s_nationkey = c.c_nationkey)
+             AS beats_all,
+           c_acctbal < ANY (SELECT s_acctbal FROM supplier s
+                            WHERE s.s_nationkey = c.c_nationkey)
+             AS cheaper_than_some
+    FROM customer c
+    """,
+)
+def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries — ``> ALL`` / ``< ANY`` against
+    a correlated set (each customer vs the supplier balances of their
+    own nation).
+
+    Spark SQL has no ALL/ANY quantifier syntax, so the Spark side IS
+    the rewrite every optimizer (including DuckDB, whose native syntax
+    the oracle keeps) performs under the hood: ``x > ALL (S)`` ≡
+    ``x > max(S)`` (vacuously TRUE on empty S), ``x < ANY (S)`` ≡
+    ``x < max(S)`` (FALSE on empty S) — one per-nation aggregate of the
+    supplier side, then a single broadcast join on the correlation key.
+    The aggregate collapses the subquery side to |nations| rows BEFORE
+    the join, so the fact side never shuffles: this is exactly why
+    quantified predicates cost one small agg + map-side join at 100 TB,
+    not a per-row subquery.  Caveat pinned in the docstring on purpose:
+    the max/min rewrite is only valid because s_acctbal is non-null —
+    with NULLs, ALL/ANY go three-valued and need the null-aware form
+    (see sub_not_in)."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("c_nationkey"))
+        .agg(F.max("s_acctbal").alias("max_bal"))
+    )
+    return cust.join(F.broadcast(sup), "c_nationkey", "left").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        (
+            F.col("max_bal").isNull() | (F.col("c_acctbal") > F.col("max_bal"))
+        ).alias("beats_all"),
+        (
+            F.col("max_bal").isNotNull()
+            & (F.col("c_acctbal") < F.col("max_bal"))
+        ).alias("cheaper_than_some"),
+    )

@@ -624,3 +624,52 @@ def test_dsir_single_scan_broadcast_model(spark, sf_dir):
     assert "Scan parquet" not in tree
     assert "BroadcastHashJoin" in tree
     assert "EvalPython" not in plan
+
+
+def test_range_bucket_join_is_equi_not_bnlj(spark, sf_dir):
+    """The whole point of join_range_bucket: the bucket key gives the
+    planner an equality condition, so NO BroadcastNestedLoopJoin may
+    appear — the range predicate must survive only as a residual
+    filter on an equi join."""
+    plan = _plan(spark, sf_dir, "join_range_bucket")
+    tree = _tree(plan)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in tree) or ("SortMergeJoin" in tree)
+
+
+def test_dq_profile_single_scan(spark, sf_dir):
+    """All 18 profile measures must come from ONE scan of orders (the
+    single-pass contract in the docstring); the five exact distincts
+    share one Expand."""
+    tree = _tree(_plan(spark, sf_dir, "dq_profile"))
+    assert tree.count("Scan parquet") == 1
+    assert "Expand" in tree
+
+
+def test_dq_constraints_row_checks_fold_into_one_scan(spark, sf_dir):
+    """orders appears once for the four row-local checks and once per
+    FK anti join (probe side of lineitem's check) — 3 orders scans +
+    customer + lineitem = 5 total, and both FK checks are genuine
+    LEFT ANTI joins."""
+    tree = _tree(_plan(spark, sf_dir, "dq_constraints"))
+    assert tree.count("Scan parquet") == 5
+    assert tree.count("LeftAnti") == 2 or tree.count("left_anti") == 2
+
+
+def test_audience_overlap_joins_after_distinct(spark, sf_dir):
+    """The self-join must run on the DISTINCT (type,user) projection —
+    post-join row count is bounded by users, so no events-scale
+    shuffle after the dedup; size re-joins broadcast."""
+    tree = _tree(_plan(spark, sf_dir, "events_audience_overlap"))
+    assert tree.count("BroadcastHashJoin") >= 2
+
+
+def test_sub_any_all_aggregates_before_broadcast_join(spark, sf_dir):
+    """The quantifier rewrite collapses supplier to |nations| rows via
+    an aggregate BEFORE a single broadcast join — no per-row subquery,
+    no supplier-side shuffle of customer."""
+    tree = _tree(_plan(spark, sf_dir, "sub_any_all"))
+    assert "BroadcastHashJoin" in tree
+    assert "HashAggregate" in tree
+    assert "SortMergeJoin" not in tree
