@@ -147,3 +147,34 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).alias("first_long_word"),
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           lower(sha256(text)) AS sha256_hex,
+           substring(md5(text), 1, 8) AS md5_prefix
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash function surface: md5 and sha-256 of every
+    document, hex-encoded — the primitives under every exact-dedup /
+    fingerprint key (llm_exact_dedup shards on exactly this md5).
+
+    Both engines emit lowercase hex for md5; sha2(text, 256) (Spark)
+    and sha256(text) (DuckDB) agree after a defensive lower().
+    Non-portable members of the family are documented rather than
+    smuggled in: Spark's xxhash64/murmur3 ``hash()`` have no DuckDB
+    twin (different algorithms), so they live in the rows-only sketch
+    keys (agg_sketch_partial) and the verifier's own fold, not here.
+    Map-only — hashing is embarrassingly parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.lower(F.sha2("text", 256)).alias("sha256_hex"),
+        F.substring(F.md5("text"), 1, 8).alias("md5_prefix"),
+    )

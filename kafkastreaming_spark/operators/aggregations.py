@@ -739,3 +739,104 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    WITH seg AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           string_agg(c_mktsegment || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY c_mktsegment) AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg GROUP BY c_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg) — per nation,
+    the comma-joined 'segment:count' roster of market segments, sorted
+    by segment name.
+
+    Spark has no ordered string_agg aggregate; the portable spelling is
+    ``array_join(array_sort(collect_list(...)))`` — collect_list's
+    arrival order is nondeterministic BY CONTRACT (partial aggregation
+    merges in task-completion order), so the array_sort is load-bearing:
+    it is what turns a nondeterministic aggregate into a hash-checkable
+    one (the events_cep fold uses the same trick).  Safe at scale only
+    because the list is bounded: the inner (nation, segment) agg
+    collapses to ≤ 25·5 rows before any list is built — never
+    collect_list over raw fact rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    seg = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = F.concat_ws(":", F.col("c_mktsegment"), F.col("n").cast("string"))
+    return seg.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list(item)), ",").alias("segments"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, price, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM li
+    )
+    SELECT l_returnflag, MIN(price) AS w_median,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median: per return flag, the smallest extended
+    price at which the running quantity-weight reaches half the total —
+    the quantity-weighted typical price, robust where the mean is not.
+
+    Spelling chosen for exactness and scale: weights cast to int64
+    (l_quantity is integral by TPC-H construction) so the cumulative
+    sum is exact integer arithmetic in both engines — no float
+    accumulation order to disagree on — and the half-point test is the
+    division-free ``2·cw ≥ tw``.  Price ties are harmless by
+    construction: the qualifying set is a suffix of the price order, so
+    MIN(price) lands on the crossing run's value no matter how either
+    engine orders rows within the run.  One shuffle+sort on the group
+    key serves both windows and the final agg; at 100 TB this is the
+    standard exact-median discipline (sort within group), with
+    approx_percentile as the documented sketch alternative when one
+    pass must do."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    from pyspark.sql import Window as W
+
+    cw = F.sum("w").over(
+        W.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tw = F.sum("w").over(W.partitionBy("l_returnflag"))
+    return (
+        li.withColumn("cw", cw)
+        .withColumn("tw", tw)
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("w_median"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )

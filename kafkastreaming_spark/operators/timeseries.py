@@ -698,3 +698,53 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # when() without otherwise == NULLIF: zero-variance -> NULL r
         F.round(num / F.when(den != 0.0, den), 6).alias("r"),
     )
+
+
+@query(
+    "ts_seasonality",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    slot AS (
+      SELECT CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+             COUNT(*) AS n_events,
+             {oracle_dsum('value', 'sum_value')}
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hour, n_events, sum_value,
+           CAST(ROUND(n_events * 1000000.0
+                      / SUM(n_events) OVER ()) AS BIGINT) / 1e6 AS share
+    FROM slot
+    """,
+)
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile: event volume and exact-decimal spend by
+    (day-of-week × hour-of-day) slot, plus each slot's tie-safe 6dp
+    share of total traffic — the 168-cell heatmap behind capacity
+    planning and the seasonal term of any forecast
+    (``events_forecast`` models the trend; this is its seasonal
+    complement).
+
+    Dialect trap pinned here: Spark's ``dayofweek`` is 1=Sunday..7,
+    DuckDB's is 0=Sunday..6 — the Spark side ships ``dayofweek − 1`` so
+    both emit the 0-based ISO-ish slot.  One (dow, hour) hash-agg with
+    map-side combine over a 168-slot alphabet — shuffle volume is the
+    alphabet, never the events; the share window runs over the ≤168-row
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    slot = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    total = F.sum("n_events").over(W.partitionBy())
+    return slot.select(
+        "dow",
+        "hour",
+        "n_events",
+        "sum_value",
+        (F.round(F.col("n_events") * 1000000.0 / total).cast("long") / 1e6).alias(
+            "share"
+        ),
+    )

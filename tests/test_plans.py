@@ -673,3 +673,36 @@ def test_sub_any_all_aggregates_before_broadcast_join(spark, sf_dir):
     assert "BroadcastHashJoin" in tree
     assert "HashAggregate" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_weighted_median_single_exchange(spark, sf_dir):
+    """Both windows (cumulative + total weight) and the final group agg
+    must share ONE hash partitioning on l_returnflag — the whole key is
+    one shuffle+sort."""
+    tree = _tree(_plan(spark, sf_dir, "agg_weighted_median"))
+    assert tree.count("Exchange") == 1
+    assert tree.count("Scan parquet") == 1
+
+
+def test_listagg_collects_after_inner_agg(spark, sf_dir):
+    """collect_list must run over the (nation, segment) aggregate, never
+    raw customer rows: one scan, inner HashAggregate below the
+    ObjectHashAggregate that builds the bounded list."""
+    tree = _tree(_plan(spark, sf_dir, "agg_listagg"))
+    assert tree.count("Scan parquet") == 1
+    assert "ObjectHashAggregate" in tree
+    assert "HashAggregate" in tree
+
+
+def test_fn_hash_map_only(spark, sf_dir):
+    tree = _tree(_plan(spark, sf_dir, "fn_hash"))
+    assert "Exchange" not in tree
+
+
+def test_seasonality_share_window_after_agg(spark, sf_dir):
+    """The global share window must run over the ≤168-row (dow, hour)
+    aggregate — one scan, one group shuffle, one single-partition
+    exchange for the tiny window."""
+    tree = _tree(_plan(spark, sf_dir, "ts_seasonality"))
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 2
