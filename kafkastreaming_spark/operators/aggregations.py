@@ -840,3 +840,25 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("long").alias("total_weight"),
         )
     )
+
+
+@query("agg_approx_percentile")  # sketch ≠ oracle → rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quartiles per event_type via Greenwald–Khanna
+    (``approx_percentile``, accuracy=10_000 → rank error ≤ n/10⁴) next
+    to the exact count — the 100 TB substitute for exact percentiles:
+    GK partials are bounded-size mergeable summaries, so the shuffle
+    carries sketches, not value lists (exact ``percentile`` ships every
+    value through the aggregate).
+
+    Rows-only by the same contract as agg_approx_distinct: the sketch's
+    exact output is engine-specific.  tests/test_aggregations.py pins
+    each approximate quartile inside the exact [p−0.02, p+0.02]
+    quantile bracket — the GK guarantee with 10× margin."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("quartiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -2559,3 +2559,99 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_edge"),
     )
+
+
+@query(
+    "graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, ve, {_bucket_expr_duck('ve')} AS bucket FROM e),
+    scored AS (
+      SELECT s.vec_id AS src, t.vec_id AS dst,
+             ROUND(list_dot_product(s.ve, t.ve)
+                   / (sqrt(list_dot_product(s.ve, s.ve))
+                      * sqrt(list_dot_product(t.ve, t.ve))), 6) AS cos_sim
+      FROM b s JOIN b t USING (bucket)
+      WHERE s.vec_id <> t.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos_sim DESC, dst) AS rn
+      FROM scored
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ranked WHERE rn <= 2
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    bfs(vec_id, dist) AS (
+      SELECT vec_id, 0 FROM e WHERE vec_id % 500 = 0
+      UNION
+      SELECT g.dst, bfs.dist + 1
+      FROM bfs JOIN edges g ON g.src = bfs.vec_id
+      WHERE bfs.dist < 6
+    )
+    SELECT vec_id, CAST(MIN(dist) AS INT) AS dist
+    FROM bfs GROUP BY vec_id
+    """,
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (hop distance ≤ 6 from the vec_id % 500 = 0
+    seed set) over the shared deterministic 2-NN similarity graph —
+    the iterative-traversal class (reachability, blast radius,
+    labeled-neighborhood expansion) that recursive SQL expresses and
+    Spark must UNROLL.
+
+    The oracle is a genuine ``WITH RECURSIVE`` CTE (DuckDB); the Spark
+    side is the textbook frontier loop — level d's unvisited neighbors
+    become level d+1, the anti-join against the visited set making
+    first-touch = MIN(dist) by construction.  The unroll is FIXED at
+    the 6-hop contract bound with no per-iteration driver emptiness
+    probe: each probe would be an extra job per level, and six is the
+    documented horizon, not a convergence guess (an early-exit variant
+    would check a cheap ``limit(1)`` count — the CC statistics-gate
+    discipline).  Each frontier is localCheckpoint-pinned: it is
+    consumed twice (expand + union) and feeds the next level, so
+    unpinned lineage would re-run the whole prefix per level —
+    pagerank's lesson.  At 100 TB this is vertex-partitioned label
+    propagation: one shuffle per level on the edge key, frontier
+    bounded by the graph's expansion, exactly GraphFrames' BFS shape."""
+    edges_und = _two_nn_und_edges(spark, sf_dir)
+    edges = memo(
+        spark,
+        sf_dir,
+        "bfs_bi_edges",
+        lambda: edges_und.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        .unionByName(
+            edges_und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint(eager=False),
+    )
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 500 == 0)
+        .select("vec_id", F.lit(0).cast("int").alias("dist"))
+    )
+    dist = seeds.localCheckpoint(eager=False)
+    frontier = dist
+    for d in range(1, 7):
+        reached = (
+            frontier.join(edges, frontier["vec_id"] == edges["src"])
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        new = reached.join(dist, "vec_id", "left_anti").select(
+            "vec_id", F.lit(d).cast("int").alias("dist")
+        ).localCheckpoint(eager=False)
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    return dist

@@ -75,3 +75,37 @@ def test_linreg_degenerate_group_yields_null_both_engines(spark, tmp_path):
 
     assert pd.isna(odf["slope_per_day"].iloc[0])
     assert pd.isna(odf["intercept"].iloc[0])
+
+
+def test_approx_percentile_within_exact_bracket(spark, sf_dir):
+    """GK sketch pin: every approximate quartile must land inside the
+    exact [p-0.02, p+0.02] quantile bracket of its group (rank error
+    <= n/10_000 guaranteed; bracket gives 10x margin)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.io import load_table
+
+    approx = {
+        r["event_type"]: r["quartiles"]
+        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    brackets = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.23, 0.48, 0.73))"
+            ).alias("lo"),
+            F.expr(
+                "percentile(value, array(0.27, 0.52, 0.77))"
+            ).alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(brackets)
+    for et, qs in approx.items():
+        lo, hi = brackets[et]
+        for q, lo_q, hi_q in zip(qs, lo, hi):
+            assert lo_q <= q <= hi_q, (et, q, lo_q, hi_q)

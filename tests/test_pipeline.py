@@ -962,3 +962,41 @@ def test_heavy_hitters_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert out1 == out2 and out1
+
+
+def test_graph_bfs_levels_consistent(spark, sf_dir):
+    """BFS invariants on the shared 2-NN graph: seeds are exactly the
+    dist-0 set, and every dist-d node (d>0) has at least one neighbor
+    at dist d-1 (triangle inequality of hop distance)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.operators.pipeline import _two_nn_und_edges
+
+    dist = QUERIES["graph_bfs"](spark, sf_dir)
+    seeds = {r["vec_id"] for r in dist.filter("dist = 0").collect()}
+    assert seeds, "seed set must be non-empty"
+    assert all(v % 500 == 0 for v in seeds)
+
+    und = _two_nn_und_edges(spark, sf_dir)
+    edges = und.selectExpr("a AS src", "b AS dst").unionByName(
+        und.selectExpr("b AS src", "a AS dst")
+    )
+    d = dist.alias("d")
+    nb = dist.alias("nb")
+    # every non-seed reached node must have a neighbor one level up
+    bad = (
+        d.filter("dist > 0")
+        .join(edges, F.col("d.vec_id") == F.col("src"), "left")
+        .join(
+            nb,
+            (F.col("dst") == F.col("nb.vec_id"))
+            & (F.col("nb.dist") == F.col("d.dist") - 1),
+            "left",
+        )
+        .groupBy("d.vec_id", "d.dist")
+        .agg(F.max(F.col("nb.vec_id").isNotNull().cast("int")).alias("ok"))
+        .filter("ok = 0 OR ok IS NULL")
+        .count()
+    )
+    assert bad == 0
