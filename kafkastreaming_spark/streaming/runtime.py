@@ -320,3 +320,104 @@ def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id", "c_user", "click_ts", "purchase_id", "purchase_ts"
     )
     return run_to_memory(joined, "append")
+
+
+_SESS_GAP_US = 30 * 60 * 1_000_000
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+_SESS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _session_ttl_fn(key, pdf_iter, state: GroupState):
+    """Per-user gap sessionization with EVICTION: closed sessions emit
+    immediately; the open tail lives in state with an event-time timeout
+    at last_seen + 30 min — when the watermark passes it, the session is
+    emitted and its state REMOVED (hasTimedOut branch)."""
+    uid = key[0]
+    if state.hasTimedOut:
+        s, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "session_start_us": [s],
+                "session_end_us": [last],
+                "n_events": [n],
+            }
+        )
+        return
+    batches = [pdf for pdf in pdf_iter if len(pdf)]
+    rows = pd.concat(batches) if batches else pd.DataFrame(columns=["ts", "event_id"])
+    rows = rows.sort_values(["ts", "event_id"])
+    ts_us = (rows["ts"].astype("int64") // 1000).to_list()
+    cur = tuple(state.get) if state.exists else None
+    closed = []
+    for t in ts_us:
+        if cur is None:
+            cur = (t, t, 1)
+        elif t - cur[1] > _SESS_GAP_US:
+            closed.append(cur)
+            cur = (t, t, 1)
+        else:
+            cur = (cur[0], t, cur[2] + 1)
+    if cur is not None:
+        state.update(cur)
+        # EventTimeTimeout takes epoch MILLIS; fires when the watermark
+        # passes the open session's gap horizon
+        state.setTimeoutTimestamp(cur[1] // 1000 + 30 * 60 * 1000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(closed),
+                "session_start_us": [c[0] for c in closed],
+                "session_end_us": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+@query("stream_session_ttl")
+def stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization WITH STATE EVICTION — the §2.9
+    surface the plain ``stream_stateful`` key (NoTimeout, state grows
+    with the key space) deliberately does not show: per-user gap
+    sessions (30-min idle) via ``applyInPandasWithState`` +
+    ``EventTimeTimeout``, where the open session's state carries a
+    timeout at last_seen + 30 min and the watermark passing it both
+    EMITS the closed session and REMOVES the state.
+
+    This eviction is the whole reason custom stateful ops survive
+    100 TB: without timeouts every user ever seen stays in the state
+    store forever; with them, state size is bounded by the number of
+    users active inside one watermark horizon.  Batch twin:
+    ``events_sessionize`` — every emitted row must equal one of its
+    sessions exactly (pytest pins the subset AND that the eviction
+    horizon's sessions all arrived; the open tails at end-of-stream are
+    the documented remainder).  Rows-only: emission timing is streaming
+    semantics with no SQL oracle."""
+    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="sess_ttl")
+    closed = (
+        sdf.withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_ttl_fn,
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return run_to_memory(closed, "append")

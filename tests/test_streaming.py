@@ -252,3 +252,50 @@ def test_stream_stream_outer_matches_batch_twin(spark, sf_dir):
     got_clicks = {r.click_id for r in rows}
     assert finalized <= got_clicks
     assert got_clicks <= {r.click_id for r in twin}
+
+
+def test_stream_session_ttl_matches_batch_sessions(spark, sf_dir):
+    """Eviction-based sessionization twin pin: every emitted closed
+    session must EXACTLY equal one of events_sessionize's batch
+    sessions (same user, bounds, count), and every batch session whose
+    gap horizon provably fell inside the final watermark must have been
+    emitted — state eviction may not lose or invent sessions."""
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.io import load_table
+
+    emitted = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in QUERIES["stream_session_ttl"](spark, sf_dir).collect()
+    }
+    assert emitted, "no sessions closed — harness regression"
+
+    batch = {
+        (
+            r["user_id"],
+            r["session_start_us"],
+            r["session_end_us"],
+            r["n_events"],
+        )
+        for r in QUERIES["events_sessionize"](spark, sf_dir)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert emitted <= batch, f"invented sessions: {sorted(emitted - batch)[:3]}"
+
+    # final watermark = max event time - 10 min delay; sessions whose
+    # last event + 30 min gap precedes it MUST have timed out and emitted
+    max_us = load_table(spark, sf_dir, "events").agg(
+        F.max(F.unix_micros("ts"))
+    ).collect()[0][0]
+    horizon = max_us - 10 * 60 * 1_000_000
+    must_emit = {
+        s for s in batch if s[2] + 30 * 60 * 1_000_000 < horizon
+    }
+    missing = must_emit - emitted
+    assert not missing, f"evicted-but-unemitted sessions: {sorted(missing)[:3]}"

@@ -153,6 +153,18 @@ TIMED = {
     "mm_audio_vad": "documents",
     "llm_pipeline_e2e": "documents",
     "events_entropy": "events",
+    # wave 6 (late-r8 session 4): dims-driven keys (sub_any_all,
+    # agg_listagg) excluded — the blowup byte-copies dimensions, so
+    # their ratio would be vacuous.
+    "dq_profile": "orders",
+    "dq_constraints": "lineitem",
+    "join_range_bucket": "events",
+    "events_audience_overlap": "events",
+    "agg_weighted_median": "lineitem",
+    "fn_hash": "documents",
+    "ts_seasonality": "events",
+    "graph_bfs": "embeddings",
+    "agg_approx_percentile": "events",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
