@@ -195,3 +195,45 @@ def test_local_union_find_labels_are_component_minima(edges):
     out = _cc_local(_FakeSpark(), pdf)
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.01, max_value=1e5, allow_nan=False),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_median_suffix_crossing_matches_reference(rows):
+    """agg_weighted_median's spelling (smallest value whose running int
+    weight satisfies 2·cw ≥ total) must equal the direct lower weighted
+    median for ANY weighted multiset — including duplicate values, where
+    the qualifying set's suffix property is what makes the answer
+    engine-order-independent."""
+    srt = sorted(rows)
+    total = sum(w for _, w in srt)
+    cum = 0
+    for price, w in srt:
+        cum += w
+        if 2 * cum >= total:
+            expect = price
+            break
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (price DOUBLE, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = con.execute(
+        """
+        WITH cum AS (
+          SELECT price,
+                 SUM(w) OVER (ORDER BY price ROWS UNBOUNDED PRECEDING) AS cw,
+                 SUM(w) OVER () AS tw
+          FROM t
+        )
+        SELECT MIN(price) FROM cum WHERE 2 * cw >= tw
+        """
+    ).fetchone()[0]
+    assert got == expect
