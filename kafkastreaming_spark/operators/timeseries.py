@@ -748,3 +748,84 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@query(
+    "ts_cusum",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    hourly AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 3600000000
+               AS xh,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, xh,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY xh
+                              ROWS UNBOUNDED PRECEDING) AS pre,
+             row_number() OVER (PARTITION BY event_type ORDER BY xh) AS i,
+             SUM(cents) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ),
+    scored AS (
+      SELECT event_type, xh, n * pre - i * s AS c, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * pre - i * s) DESC, xh) AS rk
+      FROM cum
+    )
+    SELECT event_type, xh AS cp_hour,
+           CAST(abs(c) AS BIGINT) AS cusum_abs,
+           CAST(n AS BIGINT) AS n_hours
+    FROM scored WHERE rk = 1
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event_type on the hourly spend
+    series: the hour where the cumulative deviation from the series
+    mean peaks — the classic single-changepoint estimator (Page 1954's
+    cumulative-sum chart, argmax |Σ(xᵢ−x̄)| form).
+
+    Exactness trick: the mean is a ratio, so the textbook Σ(xᵢ−x̄)
+    would float — instead the deviation is SCALED BY n:
+    n·Σᵢxⱼ − i·S (prefix, index, total all exact int64 cents), which
+    has the same argmax and keeps every compared value exact integer —
+    ties broken to the earliest hour.  Magnitudes: |n·pre| ≤
+    hours × total-cents ≈ 10³·10⁹ at sf0.1, ~2^50 — int64 headroom to
+    ~10⁵× this fixture.  One hourly hash-agg is the only events-scale
+    pass; windows and the argmax rank run over the ≤ types×hours
+    aggregate, all sharing the (event_type) shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01'))"
+            " div 3600000000"
+        ).alias("xh"),
+    ).agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("xh")
+    cum = (
+        hourly.withColumn(
+            "pre", F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("i", F.row_number().over(wo))
+        .withColumn("s", F.sum("cents").over(wt))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+    )
+    scored = cum.withColumn(
+        "c", F.col("n") * F.col("pre") - F.col("i") * F.col("s")
+    ).withColumn(
+        "rk",
+        F.row_number().over(wt.orderBy(F.abs("c").desc(), "xh")),
+    )
+    return scored.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("xh").alias("cp_hour"),
+        F.abs("c").alias("cusum_abs"),
+        F.col("n").cast("long").alias("n_hours"),
+    )

@@ -706,3 +706,12 @@ def test_seasonality_share_window_after_agg(spark, sf_dir):
     tree = _tree(_plan(spark, sf_dir, "ts_seasonality"))
     assert tree.count("Scan parquet") == 1
     assert tree.count("Exchange") == 2
+
+
+def test_cusum_windows_over_hourly_aggregate(spark, sf_dir):
+    """The CUSUM windows and argmax rank must run over the hourly
+    aggregate, not raw events: one scan, the (event_type) exchange
+    shared by every window phase."""
+    tree = _tree(_plan(spark, sf_dir, "ts_cusum"))
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") <= 2
