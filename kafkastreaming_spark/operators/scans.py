@@ -472,3 +472,42 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _sink_path("ks_spark_sink_jsonl", sf_dir)
     agg.write.mode("overwrite").json(path)
     return spark.read.schema(agg.schema).json(path)
+
+
+@query(
+    "sink_clustered",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-CLUSTERED layout round trip — the Z-order/liquid-clustering
+    analog buildable from first principles: ``repartitionByRange`` on
+    user_id (contiguous, non-overlapping key ranges per output file) +
+    ``sortWithinPartitions(user_id, ts)`` so each file is internally
+    ordered too, then a full-fidelity read-back (hash-checked against
+    the plain projection — clustering must never change CONTENT).
+
+    Why this layout earns its extra shuffle at 100 TB: parquet keeps
+    per-file/per-row-group min-max stats, so a point or range predicate
+    on the cluster key prunes to the ONE file whose range covers it —
+    the same effect partition directories give coarse keys, but for
+    high-cardinality keys where one-directory-per-value is untenable.
+    tests/test_plans.py pins the property itself: per-file user_id
+    ranges are pairwise disjoint.  RangePartitioning samples the key
+    distribution, so file sizes stay balanced under skew (hash
+    bucketing's fixed modulo cannot adapt)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _sink_path("ks_spark_sink_clustered", sf_dir)
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

@@ -20,9 +20,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from kafkastreaming_spark.io import EVENTS_ORACLE_CTE
 from kafkastreaming_spark.functions.numeric import dsum, oracle_dsum
 from kafkastreaming_spark.registry import query
+from kafkastreaming_spark.sources.factory import file_event_stream
 from kafkastreaming_spark.streaming.harness import (
     console_sink,
     foreach_batch_collect,
+    replay_chunks,
     run_to_memory,
     stream_events,
 )
@@ -421,3 +423,79 @@ def stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(closed, "append")
+
+
+@query(
+    "stream_checkpoint_restart",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value', 'sum_value')}
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-recovery contract: the SAME streaming query run as TWO
+    separate query lifetimes against one checkpoint — first over half
+    the replay chunks, then restarted after more chunks arrive — must
+    produce exactly the batch answer, no rows lost (offsets resume
+    where the first run committed) and none double-counted (committed
+    batches replay idempotently via the per-batch overwrite sink).
+
+    This is the sink_exactly_once discipline under an actual RESTART:
+    run 1 sees a source directory holding chunks 0–1 (AvailableNow
+    drains it and stops — a planned shutdown); chunks 2–3 are then
+    dropped in, and run 2 starts from the same checkpointLocation.
+    The file-source offset log records which files run 1 committed, so
+    run 2 processes ONLY the new arrivals.  Hash-checked: the read-back
+    of every batch directory must aggregate to the exact batch-table
+    answer — a lost offset, a re-read file, or a dropped batch all
+    break the oracle.  At 100 TB this is the nightly-restart /
+    crash-recovery path every production stream exercises; checkpoint
+    to object storage, same semantics."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src_all = replay_chunks(spark, sf_dir, n_chunks=4, tag="ckptr")
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), f"ks_ckptr_{run_id}")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    chunks = sorted(f for f in os.listdir(src_all) if f.endswith(".parquet"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+
+    def drain() -> None:
+        q = (
+            file_event_stream(spark, src)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError("restart-harness run did not finish in 120s")
+        finally:
+            if q.isActive:
+                q.stop()
+
+    try:
+        for f in chunks[:2]:
+            shutil.copy(os.path.join(src_all, f), os.path.join(src, f))
+        drain()  # run 1: commits offsets for chunks 0-1, then stops
+        for f in chunks[2:]:
+            shutil.copy(os.path.join(src_all, f), os.path.join(src, f))
+        drain()  # run 2: same checkpoint -> processes ONLY new files
+        back = spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+        )
+        return back.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -715,3 +715,22 @@ def test_cusum_windows_over_hourly_aggregate(spark, sf_dir):
     tree = _tree(_plan(spark, sf_dir, "ts_cusum"))
     assert tree.count("Scan parquet") == 1
     assert tree.count("Exchange") <= 2
+
+
+def test_sink_clustered_file_ranges_disjoint(spark, sf_dir):
+    """The clustering property itself: after repartitionByRange +
+    sortWithinPartitions, per-file user_id [min,max] ranges must be
+    pairwise disjoint — that disjointness is what lets parquet min-max
+    stats prune a point lookup to one file."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["sink_clustered"](spark, sf_dir)
+    ranges = sorted(
+        (r["lo"], r["hi"])
+        for r in df.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) > 1, "clustering needs multiple files to mean anything"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
