@@ -165,6 +165,11 @@ TIMED = {
     "ts_seasonality": "events",
     "graph_bfs": "embeddings",
     "agg_approx_percentile": "events",
+    # wave 7: the restart harness + clustered sink pay real I/O by
+    # design; their ratio proves the rewrite cost stays linear too.
+    "ts_cusum": "events",
+    "sink_clustered": "events",
+    "stream_checkpoint_restart": "events",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
