@@ -687,3 +687,61 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
         .select(F.col("w_start").alias("window_start"), "event_id", "event_type")
     )
+
+
+@query(
+    "join_fuzzy",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS name, COUNT(*) AS n_parts,
+             regexp_extract(p_name, '([^ ]+)$', 1) AS block
+      FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS lev,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): near-duplicate product
+    names within edit distance 4 — the record-linkage shape (Fellegi-
+    Sunter blocking + string-distance verify) behind catalog matching
+    and customer-record merge.
+
+    Two scale disciplines compose: (1) DISTINCT-SHRINK first — the join
+    runs on the name VOCABULARY (grouped with its part count), which is
+    bounded by the generator's adjective×noun grammar, not the part
+    count, so corpus growth leaves the pair scan unchanged (the
+    llm_contamination trick); (2) BLOCKING — pairs form only within a
+    cheap deterministic block key (the trailing noun token), turning
+    the all-pairs O(V²) Levenshtein battery into Σ block² with the
+    equality condition carrying the join.  An unblocked fuzzy join has
+    NO equi key and degenerates to a nested loop — exactly the failure
+    join_range_bucket pins for ranges, here solved by a semantic key
+    instead of a grid."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("block", F.regexp_extract("name", "([^ ]+)$", 1))
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "block",
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "block",
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("lev") <= 4)
+        .select("name_a", "name_b", "lev", "n_parts_a", "n_parts_b")
+    )
