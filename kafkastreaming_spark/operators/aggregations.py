@@ -862,3 +862,71 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quartiles"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    pts AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 3600000000
+               AS xh,
+             CAST(ROUND(value * 100) AS BIGINT) AS yc
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(xh) AS sx, SUM(yc) AS sy, SUM(xh * yc) AS sxy,
+             SUM(xh * xh) AS sxx, SUM(yc * yc) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+                 6) AS corr_xy
+    FROM sums
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation per event_type between spend and time
+    (hour index × value cents) — the normalized companion of
+    ``agg_linreg``'s slope, and the reason the built-in ``corr`` is
+    rejected here: Spark's and DuckDB's corr both accumulate FLOAT
+    co-moments in merge order, so their last ulps differ per run.
+
+    Spelling: five exact int64 sums (the only fact-table pass), then
+    r = (n·Σxy − ΣxΣy) / √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²) with every
+    numerator/denominator term an EXACT integer before one double
+    cast — both engines round the same mathematical integer to the
+    same double (exact below 2^53, correctly-rounded same value above),
+    then run the identical IEEE sqrt/divide tree, 6dp-rounded.
+    Zero-variance groups NULL via NULLIF.  One map-combined shuffle on
+    the 5-value key; DuckDB's HUGEINT sum promotion is cast back at
+    the term level (the ts_cusum lesson)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01'))"
+            " div 3600000000"
+        ).alias("xh"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("yc"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xh").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.expr("xh * yc")).alias("sxy"),
+        F.sum(F.expr("xh * xh")).alias("sxx"),
+        F.sum(F.expr("yc * yc")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("corr_xy"),
+    )

@@ -1189,3 +1189,75 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_ab_srm",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    du AS (
+      SELECT DISTINCT event_type, user_id,
+             {_H_DUCK.format(x="concat('ab:', CAST(user_id AS VARCHAR))")} % 2
+               AS variant
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS users_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS users_b
+      FROM du GROUP BY event_type
+    )
+    SELECT event_type, users_a, users_b,
+           CAST(ROUND((users_a - users_b) * (users_a - users_b) * 1000000.0
+                      / (users_a + users_b)) AS BIGINT) / 1e6 AS chi2,
+           (users_a - users_b) * (users_a - users_b) * 1000000.0
+             / (users_a + users_b) > 3841438.0 AS srm
+    FROM g
+    """,
+)
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the ``events_ab_test``
+    experiment: per event_type, the DISTINCT-USER counts landing in
+    each arm of the same salted-hash 50/50 split, the 1-dof chi-square
+    (nₐ−n_b)²/(nₐ+n_b) against the expected equal split, and the
+    srm flag at the conventional p<0.05 critical value 3.8415 — the
+    first sanity check any experimentation platform runs, because a
+    mismatched split invalidates the readout before any metric is
+    looked at.
+
+    Exactness: arm counts are exact int64 (distinct users, same hash
+    assignment as the readout key — SRM guards THAT experiment); the
+    chi-square is an integer-ratio, so it uses the tie-safe 10⁶ snap,
+    and the flag compares the UNSNAPPED scaled integers (d²·10⁶ vs
+    3 841 438·(nₐ+n_b) — exact, no boundary ambiguity).  One distinct
+    shrink of (type, user) is the only events-scale pass."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type",
+        "user_id",
+        (
+            F.expr(_H_SPARK.format(x="concat('ab:', CAST(user_id AS STRING))"))
+            % 2
+        ).alias("variant"),
+    ).distinct()
+    g = du.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("users_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("users_b"),
+    )
+    d2 = (F.col("users_a") - F.col("users_b")) * (
+        F.col("users_a") - F.col("users_b")
+    )
+    tot = F.col("users_a") + F.col("users_b")
+    return g.select(
+        "event_type",
+        "users_a",
+        "users_b",
+        (F.round(d2 * 1000000.0 / tot).cast("long") / 1e6).alias("chi2"),
+        (d2 * 1000000.0 / tot > 3841438.0).alias("srm"),
+    )
