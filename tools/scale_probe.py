@@ -170,6 +170,12 @@ TIMED = {
     "ts_cusum": "events",
     "sink_clustered": "events",
     "stream_checkpoint_restart": "events",
+    # wave 8: exact-moment statistics keys (join_fuzzy excluded — part
+    # is a byte-copied dimension in the blowup, ratio vacuous; its
+    # scale argument is the vocabulary bound, verified by the equal
+    # pair count at sf0.01 vs sf0.1)
+    "agg_corr": "events",
+    "events_ab_srm": "events",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
