@@ -1261,3 +1261,233 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(d2 * 1000000.0 / tot).cast("long") / 1e6).alias("chi2"),
         (d2 * 1000000.0 / tot > 3841438.0).alias("srm"),
     )
+
+
+# CUPED shared float fragments: every double-producing expression is ONE
+# string evaluated verbatim by both engines (Spark F.expr / DuckDB CTE),
+# so the float trees are identical by construction — the inputs are exact
+# per-variant int64 sums, so cross-engine equality reduces to identical
+# association, which sharing the string guarantees.  Stages because later
+# expressions reference earlier ones by column name.
+_CUPED_S1 = {
+    "theta": (
+        "(CAST(sxy_a + sxy_b AS DOUBLE)"
+        " - CAST(sx_a + sx_b AS DOUBLE) * (sy_a + sy_b) / (n_a + n_b))"
+        " / (CAST(sx2_a + sx2_b AS DOUBLE)"
+        " - CAST(sx_a + sx_b AS DOUBLE) * (sx_a + sx_b) / (n_a + n_b))"
+    ),
+    "mxg": "CAST(sx_a + sx_b AS DOUBLE) / (n_a + n_b)",
+}
+_CUPED_S2 = {
+    "my_a": "CAST(sy_a AS DOUBLE) / n_a",
+    "my_b": "CAST(sy_b AS DOUBLE) / n_b",
+    "madj_a": (
+        "CAST(sy_a AS DOUBLE) / n_a"
+        " - theta * (CAST(sx_a AS DOUBLE) / n_a - mxg)"
+    ),
+    "madj_b": (
+        "CAST(sy_b AS DOUBLE) / n_b"
+        " - theta * (CAST(sx_b AS DOUBLE) / n_b - mxg)"
+    ),
+    "var_y_a": (
+        "(CAST(sy2_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * sy_a / n_a)"
+        " / (n_a - 1)"
+    ),
+    "var_y_b": (
+        "(CAST(sy2_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * sy_b / n_b)"
+        " / (n_b - 1)"
+    ),
+    "cov_a": (
+        "(CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * sy_a / n_a)"
+        " / (n_a - 1)"
+    ),
+    "cov_b": (
+        "(CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * sy_b / n_b)"
+        " / (n_b - 1)"
+    ),
+    "var_x_a": (
+        "(CAST(sx2_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * sx_a / n_a)"
+        " / (n_a - 1)"
+    ),
+    "var_x_b": (
+        "(CAST(sx2_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * sx_b / n_b)"
+        " / (n_b - 1)"
+    ),
+}
+_CUPED_S3 = {
+    "var_adj_a": "var_y_a - 2 * theta * cov_a + theta * theta * var_x_a",
+    "var_adj_b": "var_y_b - 2 * theta * cov_b + theta * theta * var_x_b",
+}
+_CUPED_OUT = {
+    "theta_hat": "ROUND(theta, 6)",
+    "diff_raw": "ROUND((my_a - my_b) / 100.0, 6)",
+    "diff_cuped": "ROUND((madj_a - madj_b) / 100.0, 6)",
+    "z_raw": "ROUND((my_a - my_b) / sqrt(var_y_a / n_a + var_y_b / n_b), 6)",
+    "z_cuped": (
+        "ROUND((madj_a - madj_b)"
+        " / sqrt(var_adj_a / n_a + var_adj_b / n_b), 6)"
+    ),
+    "var_reduction": (
+        "ROUND(1.0 - (var_adj_a + var_adj_b) / (var_y_a + var_y_b), 6)"
+    ),
+}
+
+
+def _cuped_stage_sql(stage: dict[str, str], carry: list[str]) -> str:
+    keep = ", ".join(carry)
+    new = ", ".join(f"{e} AS {k}" for k, e in stage.items())
+    return f"SELECT {keep}, {new}"
+
+
+_CUPED_INTS = [
+    "n_a", "n_b", "sx_a", "sx_b", "sy_a", "sy_b",
+    "sxy_a", "sxy_b", "sx2_a", "sx2_b", "sy2_a", "sy2_b",
+]
+
+
+@query(
+    "events_ab_cuped",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    b AS (
+      SELECT (CAST(epoch_us(MIN(ts)) AS BIGINT)
+              + CAST(epoch_us(MAX(ts)) AS BIGINT)) // 2 AS mid
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             {_H_DUCK.format(x="concat('ab:', CAST(user_id AS VARCHAR))")} % 2
+               AS variant,
+             CAST(SUM(CASE WHEN epoch_us(ts) < b.mid
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exp
+      FROM events, b
+      GROUP BY user_id, b.mid
+      HAVING SUM(CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END) > 0
+    ),
+    g AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM u GROUP BY variant
+    ),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.sx AS sx_a, b.sx AS sx_b,
+             a.sy AS sy_a, b.sy AS sy_b,
+             a.sxy AS sxy_a, b.sxy AS sxy_b,
+             a.sx2 AS sx2_a, b.sx2 AS sx2_b,
+             a.sy2 AS sy2_a, b.sy2 AS sy2_b
+      FROM g a JOIN g b ON a.variant = 0 AND b.variant = 1
+    ),
+    s1 AS ({_cuped_stage_sql(_CUPED_S1, _CUPED_INTS)} FROM w),
+    s2 AS ({_cuped_stage_sql(_CUPED_S2, _CUPED_INTS + ["theta", "mxg"])}
+           FROM s1),
+    s3 AS ({_cuped_stage_sql(
+        _CUPED_S3,
+        _CUPED_INTS + ["theta", "my_a", "my_b", "madj_a", "madj_b",
+                       "var_y_a", "var_y_b"])} FROM s2)
+    {_cuped_stage_sql(_CUPED_OUT, ["n_a", "n_b"])} FROM s3
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced readout of the ``events_ab_test``
+    experiment (Deng et al., WSDM'13): the event span is cut at its
+    midpoint into a pre-period and an experiment period; each user's
+    pre-period spend X becomes the control covariate for their
+    experiment spend Y.  theta = cov(X,Y)/var(X) is fitted pooled
+    across both arms (the unbiased-under-randomization choice), and
+    the readout reports the raw and the CUPED-adjusted treatment
+    effect, both z-scores, and the achieved variance reduction —
+    the standard way an experimentation platform doubles its
+    effective sample size without running longer.
+
+    Exactness: per-user X/Y are exact int64 cent sums; per-arm
+    (n, ΣX, ΣY, ΣXY, ΣX², ΣY²) are exact int64; every downstream
+    double (theta, adjusted means, variances, z) is produced by ONE
+    expression string shared verbatim between the Spark plan and the
+    DuckDB oracle (`_CUPED_S1..S3/_CUPED_OUT`), so both engines run
+    the identical float tree over identical integers and round 6dp.
+
+    Plan/scale: one events-scan aggregate keyed on user_id (map-side
+    combined), one 2-row aggregate on variant, then scalar algebra on
+    a single row — the adjustment never materializes per-user adjusted
+    values, so the CUPED pass costs exactly what the plain readout
+    costs.  The midpoint bound is a 1-row broadcast.  At fixture
+    scales the int products are bounded (max per-user cents ~5.4e5 →
+    Σxy ≲ 1e15 « 2^63); at 100 TB route the moment sums through
+    DECIMAL(38,0) (functions/numeric.dsum discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            / F.lit(2)
+        ).cast("long").alias("mid")
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    us = F.unix_micros(F.col("ts"))
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "mid")
+        .agg(
+            F.sum(F.when(us < F.col("mid"), vc).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(us >= F.col("mid"), vc).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y"),
+            F.sum(F.when(us >= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exp"),
+        )
+        .filter(F.col("n_exp") > 0)
+        .select(
+            (
+                F.expr(
+                    _H_SPARK.format(x="concat('ab:', CAST(user_id AS STRING))")
+                )
+                % 2
+            ).alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        *[F.col(c).alias(f"{c}_a") for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")]
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        *[F.col(c).alias(f"{c}_b") for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")]
+    )
+    w = a.crossJoin(F.broadcast(b))
+    s1 = w.selectExpr(
+        *_CUPED_INTS, *[f"{e} AS {k}" for k, e in _CUPED_S1.items()]
+    )
+    s2 = s1.selectExpr(
+        *_CUPED_INTS, "theta", "mxg",
+        *[f"{e} AS {k}" for k, e in _CUPED_S2.items()],
+    )
+    s3 = s2.selectExpr(
+        *_CUPED_INTS, "theta", "my_a", "my_b", "madj_a", "madj_b",
+        "var_y_a", "var_y_b",
+        *[f"{e} AS {k}" for k, e in _CUPED_S3.items()],
+    )
+    return s3.selectExpr(
+        "n_a", "n_b", *[f"{e} AS {k}" for k, e in _CUPED_OUT.items()]
+    )

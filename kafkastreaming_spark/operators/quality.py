@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
 from kafkastreaming_spark.registry import query
 
 _NULL_D = "CAST(NULL AS DOUBLE)"
@@ -236,4 +236,147 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_checks.unionByName(fk_cust)
         .unionByName(fk_ord)
         .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+# PSI per-bin term: ONE string shared verbatim between the Spark plan and
+# the DuckDB oracle (the events_ab_cuped discipline).  Inputs are exact
+# int64 bin/total counts with +1/+10 Laplace smoothing over the fixed
+# 10-bin grid (so no bin probability is ever 0); the double term is
+# snapped to int NANOS before the cross-bin sum (events_entropy ln
+# discipline), so the per-type PSI is an exact int64 reduction.
+# NOTE the explicit DOUBLE casts: a bare `+ 1.0` literal is DECIMAL(2,1)
+# in Spark SQL (not DOUBLE), silently flipping the whole ratio into
+# decimal arithmetic with different rounding than DuckDB's — the
+# divisions below must start from a DOUBLE numerator in both engines.
+_PSI_TERM9 = (
+    "CAST(ROUND((CAST(n_ref + 1 AS DOUBLE) / (nt_ref + 10)"
+    " - CAST(n_cur + 1 AS DOUBLE) / (nt_cur + 10))"
+    " * ln((CAST(n_ref + 1 AS DOUBLE) / (nt_ref + 10))"
+    " / (CAST(n_cur + 1 AS DOUBLE) / (nt_cur + 10))) * 1e9) AS BIGINT)"
+)
+
+
+@query(
+    "dq_drift",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    b AS (
+      SELECT (CAST(epoch_us(MIN(ts)) AS BIGINT)
+              + CAST(epoch_us(MAX(ts)) AS BIGINT)) // 2 AS mid
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             LEAST(CAST(ROUND(value * 100) AS BIGINT) // 5000, 9) AS bin,
+             CASE WHEN epoch_us(ts) < b.mid THEN 1 ELSE 0 END AS is_ref
+      FROM events, b
+    ),
+    counts AS (
+      SELECT event_type, bin,
+             CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+      FROM binned GROUP BY event_type, bin
+    ),
+    grid AS (
+      SELECT et.event_type, t.range AS bin
+      FROM (SELECT DISTINCT event_type FROM binned) et
+      CROSS JOIN range(10) t
+    ),
+    filled AS (
+      SELECT g.event_type, g.bin,
+             COALESCE(c.n_ref, 0) AS n_ref,
+             COALESCE(c.n_cur, 0) AS n_cur,
+             CAST(SUM(COALESCE(c.n_ref, 0)) OVER (PARTITION BY g.event_type)
+                  AS BIGINT) AS nt_ref,
+             CAST(SUM(COALESCE(c.n_cur, 0)) OVER (PARTITION BY g.event_type)
+                  AS BIGINT) AS nt_cur
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.bin = c.bin
+    ),
+    terms AS (
+      SELECT event_type, n_ref, n_cur, nt_ref, nt_cur,
+             {_PSI_TERM9} AS term9
+      FROM filled
+    )
+    SELECT event_type,
+           CAST(MAX(nt_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(nt_cur) AS BIGINT) AS n_cur,
+           CAST(SUM(term9) AS BIGINT) / 1e9 AS psi,
+           CAST(SUM(term9) AS BIGINT) > 200000000 AS drifted
+    FROM terms GROUP BY event_type
+    """,
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per event_type, the PSI
+    of the value distribution between the first and second half of the
+    event span (the midpoint discipline of events_ab_cuped), over a
+    FIXED 10-bin cent grid (50-unit buckets, top bucket open) with
+    +1/+10 Laplace smoothing so empty bins stay defined.  PSI > 0.2 is
+    the conventional "significant drift — retrain / investigate" line;
+    this is the check a feature store runs before every training run.
+
+    Exactness: bin membership is integer math on exact cents; per-bin
+    PSI terms are doubles from ONE shared expression string snapped to
+    int nanos BEFORE the cross-bin sum (events_entropy discipline), so
+    the per-type PSI is an exact int64 reduction and the drift flag
+    compares unrounded scaled integers.
+
+    Plan/scale: one events-scan aggregate on (event_type, bin) —
+    map-side combined to ≤ types×10 rows — then grid fill + window
+    totals on a table whose size is the type count, not the event
+    count.  At 100 TB this is a single pruned scan; the grid is fixed,
+    so the shuffle is bounded by cardinality(event_type)×10."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            / F.lit(2)
+        ).cast("long").alias("mid")
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(F.expr("CAST(ROUND(value * 100) AS BIGINT) div 5000"), F.lit(9))
+        .alias("bin"),
+        F.when(F.unix_micros("ts") < F.col("mid"), 1).otherwise(0).alias("is_ref"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("bin"))))
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    filled = (
+        grid.join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.sum("n_ref").over(wt).cast("long").alias("nt_ref"),
+            F.sum("n_cur").over(wt).cast("long").alias("nt_cur"),
+        )
+    )
+    terms = filled.selectExpr(
+        "event_type", "n_ref", "n_cur", "nt_ref", "nt_cur",
+        f"{_PSI_TERM9} AS term9",
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("nt_ref").cast("long").alias("n_ref"),
+        F.max("nt_cur").cast("long").alias("n_cur"),
+        (F.sum("term9").cast("long") / F.lit(1e9)).alias("psi"),
+        (F.sum("term9").cast("long") > 200000000).alias("drifted"),
     )

@@ -437,3 +437,87 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("streak_start").alias("best_start"),
         F.col("streak_end").alias("best_end"),
     )
+
+
+@query(
+    "win_ntile",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    v AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, event_type, value_cents,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY value_cents, event_id) AS quartile,
+             RANK() OVER (PARTITION BY event_type
+                          ORDER BY value_cents) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type
+                            ORDER BY value_cents) AS cnt_le,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_id, event_type, value_cents,
+           CAST(quartile AS BIGINT) AS quartile,
+           CAST(ROUND((rk - 1) * 1000000.0 / (n - 1)) AS BIGINT) / 1e6
+             AS pct_rank,
+           CAST(ROUND(cnt_le * 1000000.0 / n) AS BIGINT) / 1e6
+             AS cume_dist
+    FROM r
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows per event_type: NTILE(4) quartile
+    assignment (total order: value then event_id, so the bucket split is
+    deterministic), percent_rank, and cume_dist — the standard scoring
+    trio for percentile features and outlier capping.
+
+    percent_rank/cume_dist are NOT taken from the engines' built-ins:
+    both are integer ratios ((rank-1)/(n-1), |rows ≤ current|/n) whose
+    double spellings can disagree at exact 7-decimal half-ties (the r8
+    ratio-snap sweep), so both are computed from exact int64 rank/count
+    windows and snapped through the tie-safe 10⁶ grid.  cnt_le uses the
+    SQL-standard default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW),
+    which counts tied peers — exactly cume_dist's numerator.
+
+    Plan: ONE shuffle on event_type serves all four windows (same
+    partition key; Spark plans a single Exchange with chained sorts).
+    At 100 TB a 5-type partition key would funnel — the production
+    spelling salts the partition into (event_type, range-bucket) and
+    merges bucket offsets, the win_percentiles pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    w_order = wt.orderBy("value_cents", "event_id")
+    w_rank = wt.orderBy("value_cents")
+    r = v.select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        F.ntile(4).over(w_order).cast("long").alias("quartile"),
+        F.rank().over(w_rank).alias("rk"),
+        # default frame over an ORDER BY window = RANGE ..CURRENT ROW:
+        # counts all tied peers, the cume_dist numerator
+        F.count(F.lit(1)).over(w_rank).alias("cnt_le"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    return r.select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        "quartile",
+        (
+            F.round((F.col("rk") - 1) * 1000000.0 / (F.col("n") - 1))
+            .cast("long") / 1e6
+        ).alias("pct_rank"),
+        (
+            F.round(F.col("cnt_le") * 1000000.0 / F.col("n"))
+            .cast("long") / 1e6
+        ).alias("cume_dist"),
+    )
