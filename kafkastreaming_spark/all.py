@@ -11,6 +11,7 @@ from kafkastreaming_spark.functions import (  # noqa: F401
     datetimes,
     math_cond,
     strings,
+    urls,
 )
 from kafkastreaming_spark.operators import (  # noqa: F401
     aggregations,
