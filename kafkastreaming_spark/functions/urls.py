@@ -5,9 +5,9 @@ Web-corpus curation lives and dies on URL handling: parse → normalize →
 canonicalize → dedup is the first pass every crawl pipeline (CCNet,
 RefinedWeb, Dolma) runs before any content-level dedup.  The fixture has
 no URL column, so both keys synthesize a deterministic URL per document
-from (source, lang, doc_id) — three spelling variants (scheme case, www
-prefix, explicit default port, tracking params, trailing slash) per
-canonical target, giving the normalizer real work and the dedup real
+from doc_id alone — three spelling variants (scheme case, www prefix,
+explicit default port, tracking params, trailing slash) per canonical
+target gid = doc_id/3, giving the normalizer real work and the dedup real
 duplicate groups (~3 docs per canonical URL by construction).
 
 Dialect discipline: every parse/normalize expression is ONE string
@@ -33,17 +33,23 @@ from kafkastreaming_spark.io import load_table
 from kafkastreaming_spark.registry import query
 
 # Deterministic URL synthesis: three surface variants per canonical
-# target gid = floor(doc_id / 3).  Portable: `div`/`//` differ between
-# engines, CAST(floor(x / 3) AS BIGINT) does not (exact for doc_id « 2^52).
+# target gid = floor(doc_id / 3).  Every URL component derives from gid
+# ALONE (not per-doc source/lang, which differ within a gid triplet and
+# would make the variants point at different hosts — caught by a
+# collapse-rate check, not the hash: both engines agree on a vacuous
+# dedup too).  Portable: `div`/`//` differ between engines,
+# CAST(floor(x / 3) AS BIGINT) does not (exact for doc_id « 2^52).
+_URL_GID = "CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING)"
+_URL_SITE = "CAST(CAST(floor(doc_id / 3) AS BIGINT) % 97 AS STRING)"
 _URL_SYNTH = (
     "CASE CAST(doc_id % 3 AS INTEGER) "
-    "WHEN 0 THEN 'https://' || source || '.example.com/' || lang "
-    "|| '/doc-' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING) "
-    "WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/' || lang "
-    "|| '/doc-' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING) "
+    f"WHEN 0 THEN 'https://crawl-' || {_URL_SITE} || '.example.com/posts"
+    f"/doc-' || {_URL_GID} "
+    f"WHEN 1 THEN 'HTTPS://WWW.CRAWL-' || {_URL_SITE} || '.EXAMPLE.COM"
+    f"/posts/doc-' || {_URL_GID} "
     "|| '/?utm_source=feed&utm_campaign=crawl' "
-    "ELSE 'https://www.' || source || '.example.com:443/' || lang "
-    "|| '/doc-' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING) "
+    f"ELSE 'https://www.crawl-' || {_URL_SITE} || '.example.com:443/posts"
+    f"/doc-' || {_URL_GID} "
     "|| '?ref=social&utm_medium=share' END"
 )
 

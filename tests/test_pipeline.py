@@ -1000,3 +1000,20 @@ def test_graph_bfs_levels_consistent(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_url_dedup_collapses_variant_groups(spark, sf_dir):
+    """llm_url_dedup must do real work: the three synthesized surface
+    variants of every full gid triplet normalize to ONE canonical URL
+    (a vacuous normalizer would still hash-match the oracle, since both
+    engines would agree on doing nothing)."""
+    from kafkastreaming_spark.functions.urls import llm_url_dedup
+
+    out = llm_url_dedup(spark, sf_dir).toPandas()
+    n_docs_total = int(out["n_docs"].sum())
+    # every group except possibly the trailing partial one has exactly 3
+    full = out[out["n_docs"] == 3]
+    assert len(full) >= n_docs_total // 3 - 1, (
+        f"expected ~{n_docs_total // 3} collapsed triplets, got {len(full)}"
+    )
+    assert int(out["n_dropped"].sum()) == n_docs_total - len(out)
