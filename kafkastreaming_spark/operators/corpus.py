@@ -1665,3 +1665,93 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_H_SPARK.format(x="ch.chunk_text")).alias("chunk_hash"),
         F.expr(_H2_SPARK.format(x="ch.chunk_text")).alias("chunk_hash2"),
     )
+
+
+@query(
+    "llm_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             {_H_DUCK.format(x="array_to_string(tk[i:i+7], ' ')")} AS g,
+             {_H2_DUCK.format(x="array_to_string(tk[i:i+7], ' ')")} AS g2
+      FROM toks, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+    ),
+    dup AS (
+      SELECT g, g2 FROM spans
+      GROUP BY g, g2 HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(d.g) AS BIGINT) AS n_dup_spans,
+           CAST(COUNT(DISTINCT CASE WHEN d.g IS NOT NULL THEN s.g END)
+                AS BIGINT) AS n_distinct_dup,
+           CAST(ROUND(1000000.0 * COUNT(d.g) / COUNT(*)) AS BIGINT) / 1e6
+             AS dup_span_frac
+    FROM spans s LEFT JOIN dup d ON s.g = d.g AND s.g2 = d.g2
+    GROUP BY s.doc_id
+    """,
+)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span audit — the distributed signal behind exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): for every document, how many of its
+    8-token spans occur verbatim in at least one OTHER document, as a
+    count and a fraction.  A doc with a high dup_span_frac is boilerplate
+    / syndicated content; the production policy drops or trims those
+    spans before training (the suffix-array pass this approximates finds
+    maximal repeats — the fixed-width span lattice finds the same
+    regions, since any repeat ≥ 8 tokens contains a repeated 8-span).
+
+    Spans are hashed to the portable 120-bit identity (two md5 halves)
+    BEFORE any shuffle (llm_contamination discipline): join keys are 16
+    bytes, collision-safe past 10^12 distinct spans.  The dup set is
+    vocabulary-bounded (DISTINCT spans seen in ≥2 docs), never
+    broadcast; both shuffles key on the uniform span hash and the final
+    aggregate keys on doc_id.  Docs shorter than 8 tokens have no spans
+    and no row (grain documented).
+
+    Oracle note: n_distinct_dup counts single-60-bit g (not the pair) —
+    inside one doc's ≤300-span set the birthday bound is ~2e-5, and
+    BOTH engines count the same g column, so the check stays exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    span_txt = (
+        "CASE WHEN size(tk) < 8 THEN array() "
+        "ELSE transform(sequence(1, size(tk) - 7),"
+        " i -> concat_ws(' ', slice(tk, i, 8))) END"
+    )
+    spans = toks.select(
+        "doc_id", F.explode(F.expr(span_txt)).alias("span")
+    ).select(
+        "doc_id",
+        F.expr(_H_SPARK.format(x="span")).alias("g"),
+        F.expr(_H2_SPARK.format(x="span")).alias("g2"),
+    )
+    dup = (
+        spans.groupBy("g", "g2")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select(F.col("g").alias("dg"), F.col("g2").alias("dg2"))
+    )
+    return (
+        spans.join(
+            dup,
+            (spans["g"] == dup["dg"]) & (spans["g2"] == dup["dg2"]),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.count("dg").cast("long").alias("n_dup_spans"),
+            F.countDistinct(
+                F.when(F.col("dg").isNotNull(), F.col("g"))
+            ).cast("long").alias("n_distinct_dup"),
+            (
+                F.round(F.lit(1000000.0) * F.count("dg") / F.count(F.lit(1)))
+                .cast("long") / 1e6
+            ).alias("dup_span_frac"),
+        )
+    )

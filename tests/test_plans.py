@@ -734,3 +734,21 @@ def test_sink_clustered_file_ranges_disjoint(spark, sf_dir):
     assert len(ranges) > 1, "clustering needs multiple files to mean anything"
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_pit_multi_one_exchange_one_sort(spark, sf_dir):
+    """join_pit_multi: N as-of features must cost ONE user_id exchange
+    and ONE sort over the unioned stream — a second exchange or sort
+    means the plan degenerated into per-feature as-of joins."""
+    plan = _plan(spark, sf_dir, "join_pit_multi")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
+    assert tree.count("Window") == 1  # all three last() in one Window op
+
+
+def test_win_ntile_single_exchange(spark, sf_dir):
+    """win_ntile: ntile + rank + cnt_le + n over the same partition key
+    must share ONE event_type exchange (chained sorts are fine)."""
+    tree = _tree(_plan(spark, sf_dir, "win_ntile"))
+    assert tree.count("Exchange") == 1
