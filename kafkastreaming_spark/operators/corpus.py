@@ -1755,3 +1755,104 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_frac"),
         )
     )
+
+
+# PII patterns, shared constants (Java-regex ∩ RE2 portable subset, no
+# backslash escapes — fn_url discipline).  The replace spellings differ
+# per engine only in DuckDB's explicit 'g' flag (Spark replaces globally
+# by default); the PATTERNS are char-identical.
+_PII_EMAIL = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[.][a-z]+"
+_PII_PHONE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN text
+                  WHEN doc_id % 4 = 1 THEN text || ' contact user'
+                    || CAST(doc_id AS STRING) || '@mail.example.com now'
+                  WHEN doc_id % 4 = 2 THEN text || ' call +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+                    || ' or mail a.b' || CAST(doc_id AS STRING)
+                    || '@corp.example.org'
+                  ELSE text || ' from 10.' || CAST(doc_id % 256 AS STRING)
+                    || '.0.1'
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)
+             AS n_ips,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))
+             + len(regexp_extract_all(text, '{_PII_PHONE}'))
+             + len(regexp_extract_all(text, '{_PII_IP}')) > 0 AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — a mandatory pre-training scrub pass:
+    per document, count email / phone / IPv4 matches and emit the text
+    with every match replaced by a typed placeholder.  The fixture text
+    carries no PII, so the key deterministically injects one of three
+    PII shapes into 3/4 of the docs (doc_id mod 4; the clean quarter
+    pins the no-op path) — the redactor then has real work whose effect
+    the hash check verifies character-exactly, including the
+    two-PII-kinds-in-one-doc case (mod 2).
+
+    Patterns are shared constants in the portable Java∩RE2 subset; the
+    only per-engine difference is DuckDB's explicit 'g' flag (Spark
+    regexp_replace is global by default — an ANCHORED-pattern rule
+    can't apply here, so the flag difference is load-bearing and
+    documented).  Counts via regexp_extract_all size, exact ints.
+
+    Plan: map-only codegen'd projection, zero shuffle — JVM-side regex
+    at scan speed; at 100 TB PII scrubbing is exactly this shape (the
+    expensive NER-based pass would be a mapInPandas stage downstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 4 = 0 THEN text "
+        "WHEN doc_id % 4 = 1 THEN text || ' contact user' "
+        "|| CAST(doc_id AS STRING) || '@mail.example.com now' "
+        "WHEN doc_id % 4 = 2 THEN text || ' call +1-555-' "
+        "|| lpad(CAST(doc_id % 10000 AS STRING), 4, '0') "
+        "|| ' or mail a.b' || CAST(doc_id AS STRING) || '@corp.example.org' "
+        "ELSE text || ' from 10.' || CAST(doc_id % 256 AS STRING) "
+        "|| '.0.1' END AS text",
+    )
+    n_emails = F.size(
+        F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))
+    ).cast("long")
+    n_phones = F.size(
+        F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))
+    ).cast("long")
+    n_ips = F.size(
+        F.regexp_extract_all("text", F.lit(_PII_IP), F.lit(0))
+    ).cast("long")
+    return aug.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            ),
+            _PII_IP,
+            "<IP>",
+        ).alias("redacted"),
+    )
