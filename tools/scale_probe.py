@@ -176,6 +176,19 @@ TIMED = {
     # pair count at sf0.01 vs sf0.1)
     "agg_corr": "events",
     "events_ab_srm": "events",
+    # wave 9 (late-r8 session 5): the A/B-CUPED moment aggregate, the
+    # PSI drift grid, the single-exchange window battery, the URL
+    # map-only pair, the 8-span repeated-gram audit (contamination
+    # shape — the gram shuffle is the thing to measure), the
+    # one-exchange multi-feature as-of, and the PII regex scrub.
+    "events_ab_cuped": "events",
+    "dq_drift": "events",
+    "win_ntile": "events",
+    "fn_url": "documents",
+    "llm_url_dedup": "documents",
+    "llm_span_dedup": "documents",
+    "join_pit_multi": "events",
+    "llm_pii_redact": "documents",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
