@@ -846,3 +846,126 @@ def join_pit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.unix_micros("last_error_ts"))
         .alias("error_recency_us"),
     )
+
+
+# Spatial-join synthesis (join_spatial_grid): integer point coords and
+# rectangle bounds derived from the portable md5 hash (hashing.py) — all
+# containment math is exact int64, so the join hash-checks exactly.
+from kafkastreaming_spark.hashing import H2_DUCK as _SP_H2_DUCK
+from kafkastreaming_spark.hashing import H2_SPARK as _SP_H2_SPARK
+from kafkastreaming_spark.hashing import H_DUCK as _SP_H_DUCK
+from kafkastreaming_spark.hashing import H_SPARK as _SP_H_SPARK
+
+_SP_PT_X = "{h} % 10000"
+_SP_CELL = 2000  # grid cell edge; rect max edge < cell ⇒ ≤ 2 cells/axis
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    pts AS (
+      SELECT event_id,
+             {_SP_H_DUCK.format(x="concat('px:', CAST(event_id AS VARCHAR))")}
+               % 10000 AS x,
+             {_SP_H2_DUCK.format(x="concat('px:', CAST(event_id AS VARCHAR))")}
+               % 10000 AS y
+      FROM events
+    ),
+    zones AS (
+      SELECT n_nationkey AS zone_key,
+             {_SP_H_DUCK.format(x="concat('zx:', CAST(n_nationkey AS VARCHAR))")}
+               % 8000 AS xmin,
+             {_SP_H_DUCK.format(x="concat('zx:', CAST(n_nationkey AS VARCHAR))")}
+               % 8000
+             + 500 +
+             {_SP_H2_DUCK.format(x="concat('zx:', CAST(n_nationkey AS VARCHAR))")}
+               % 1500 AS xmax,
+             {_SP_H_DUCK.format(x="concat('zy:', CAST(n_nationkey AS VARCHAR))")}
+               % 8000 AS ymin,
+             {_SP_H_DUCK.format(x="concat('zy:', CAST(n_nationkey AS VARCHAR))")}
+               % 8000
+             + 500 +
+             {_SP_H2_DUCK.format(x="concat('zy:', CAST(n_nationkey AS VARCHAR))")}
+               % 1500 AS ymax
+      FROM nation
+    )
+    SELECT p.event_id, z.zone_key, p.x, p.y
+    FROM pts p JOIN zones z
+      ON p.x BETWEEN z.xmin AND z.xmax
+     AND p.y BETWEEN z.ymin AND z.ymax
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join (point-in-rectangle / geofencing): which events fall
+    inside which of 25 synthesized zones.  Coordinates are exact int64
+    grid units hashed from the row keys (portable md5), zone edges 500–
+    2000 units on a 10000² plane — deterministic, so the whole join
+    hash-checks.
+
+    The oracle is the naive theta join (per-pair BETWEEN).  The Spark
+    plan is the scalable GRID-BUCKET spelling every distributed spatial
+    engine uses (Sedona/GeoMesa): the plane is cut into 2000-unit cells;
+    each zone replicates into the ≤4 cells its bounding box covers
+    (edge < cell size ⇒ ≤2 per axis), each point maps to EXACTLY ONE
+    cell, and the join becomes an equi-join on cell_id with the exact
+    containment test as a residual predicate — no nested-loop, no
+    quadratic pair scan, and a point can never match the same zone via
+    two cells (one cell per point ⇒ no post-join dedup needed).
+
+    At this dim size Catalyst broadcasts the ~60-row replicated zone
+    table (the right call); with millions of geofences the identical
+    plan flips to a shuffled hash join on cell_id, which is exactly the
+    partition-by-space layout a 100 TB spatial workload wants — skew
+    from a hot cell salts like any hot key (join_skew_salted)."""
+    ev = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    h_pt = _SP_H_SPARK.format(x="concat('px:', CAST(event_id AS STRING))")
+    h2_pt = _SP_H2_SPARK.format(x="concat('px:', CAST(event_id AS STRING))")
+    pts = ev.selectExpr(
+        "event_id",
+        f"{h_pt} % 10000 AS x",
+        f"{h2_pt} % 10000 AS y",
+    ).withColumn(
+        "cell",
+        (F.col("x") / _SP_CELL).cast("long") * 5
+        + (F.col("y") / _SP_CELL).cast("long"),
+    )
+    hx = _SP_H_SPARK.format(x="concat('zx:', CAST(n_nationkey AS STRING))")
+    h2x = _SP_H2_SPARK.format(x="concat('zx:', CAST(n_nationkey AS STRING))")
+    hy = _SP_H_SPARK.format(x="concat('zy:', CAST(n_nationkey AS STRING))")
+    h2y = _SP_H2_SPARK.format(x="concat('zy:', CAST(n_nationkey AS STRING))")
+    zones = nation.selectExpr(
+        "n_nationkey AS zone_key",
+        f"{hx} % 8000 AS xmin",
+        f"{hx} % 8000 + 500 + {h2x} % 1500 AS xmax",
+        f"{hy} % 8000 AS ymin",
+        f"{hy} % 8000 + 500 + {h2y} % 1500 AS ymax",
+    )
+    # replicate each zone into the grid cells its bbox covers (≤ 4)
+    zcells = zones.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("xmin") / _SP_CELL).cast("long"),
+                (F.col("xmax") / _SP_CELL).cast("long"),
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("ymin") / _SP_CELL).cast("long"),
+                (F.col("ymax") / _SP_CELL).cast("long"),
+            )
+        ).alias("cy"),
+    ).withColumn("cell", F.col("cx") * 5 + F.col("cy"))
+    joined = pts.join(
+        broadcast(zcells),
+        (pts["cell"] == zcells["cell"])
+        & (pts["x"] >= zcells["xmin"])
+        & (pts["x"] <= zcells["xmax"])
+        & (pts["y"] >= zcells["ymin"])
+        & (pts["y"] <= zcells["ymax"]),
+    )
+    return joined.select("event_id", "zone_key", "x", "y")

@@ -752,3 +752,13 @@ def test_win_ntile_single_exchange(spark, sf_dir):
     must share ONE event_type exchange (chained sorts are fine)."""
     tree = _tree(_plan(spark, sf_dir, "win_ntile"))
     assert tree.count("Exchange") == 1
+
+
+def test_spatial_grid_is_hash_join_not_nested_loop(spark, sf_dir):
+    """join_spatial_grid: the grid-cell key must make this a HASH join
+    (equi on cell_id, containment as residual) — a BroadcastNestedLoop
+    means the grid bucketing fell out of the plan and the join went
+    quadratic, which is exactly what the spelling exists to prevent."""
+    tree = _tree(_plan(spark, sf_dir, "join_spatial_grid"))
+    assert "BroadcastHashJoin" in tree
+    assert "NestedLoop" not in tree
