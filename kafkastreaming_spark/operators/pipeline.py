@@ -2655,3 +2655,58 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return dist
+
+
+@query(
+    "graph_tree_rollup",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
+      UNION ALL
+      SELECT node, (ancestor - 1) // 2 FROM anc WHERE ancestor > 0
+    )
+    SELECT a.ancestor AS node,
+           CAST(COUNT(*) AS BIGINT) AS subtree_size,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS subtree_bal_cents,
+           CAST(MAX(a.node) AS BIGINT) AS max_desc_key
+    FROM anc a JOIN customer c ON c.c_custkey = a.node
+    GROUP BY a.ancestor
+    """,
+)
+def graph_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup — the org-chart / category-tree / BOM
+    aggregation: every customer is a node of the implicit binary heap
+    tree (parent(k) = (k−1)/2), and each node reports its SUBTREE size,
+    exact balance-cents total, and max descendant key.
+
+    The oracle is a genuine recursive CTE (transitive ancestor closure,
+    then one aggregate) — the SQL-standard spelling of hierarchy
+    rollup.  The Spark plan needs NO iteration: heap ancestors have the
+    closed form ((k+1) >> j) − 1 for j = 0..⌊log2(k+1)⌋, so the
+    closure is a map-side sequence+shift explode (≤ ⌈log2 n⌉ rows per
+    node) followed by ONE aggregate on the ancestor key.  This is the
+    general scale pattern for FIXED hierarchies (paths materialize as
+    arithmetic or as a path-id dimension): O(n log n) exploded rows,
+    one shuffle, no iterative self-joins — reachability over ARBITRARY
+    graphs is the different problem graph_bfs solves iteratively.
+
+    Exactness: keys and depths are pure int64; balances snap to cents
+    before the sum.  At 100 TB the explode factor is the tree depth
+    (~40 for 10^12 nodes) and the ancestor-key shuffle is uniform —
+    no hot ancestor until the root levels, whose partial sums combine
+    map-side first (the same reason agg_group scales)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = cust.selectExpr(
+        "c_custkey AS node",
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents",
+        "explode(sequence(0,"
+        " CAST(floor(log2(CAST(c_custkey + 1 AS DOUBLE))) AS INT))) AS j",
+    ).selectExpr(
+        "node", "bal_cents", "shiftright(node + 1, j) - 1 AS ancestor"
+    )
+    return pairs.groupBy("ancestor").agg(
+        F.count(F.lit(1)).cast("long").alias("subtree_size"),
+        F.sum("bal_cents").cast("long").alias("subtree_bal_cents"),
+        F.max("node").cast("long").alias("max_desc_key"),
+    ).withColumnRenamed("ancestor", "node")
