@@ -511,3 +511,60 @@ def sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "source_xml",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+             AS text_hash_xor,
+           bit_xor(CAST('0x' || substr(md5(lang), 1, 15) AS BIGINT))
+             AS lang_hash_xor
+    FROM documents GROUP BY source
+    """,
+)
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source roundtrip (Spark 4's NATIVE xml data source — the
+    spark-xml package folded into core): write documents as one
+    <row>-per-record XML tree, read it back with an explicit schema,
+    and prove byte-exact fidelity of both free text and a second
+    string column per source group with the xor-of-60-bit-hash scheme
+    (source_csv/jsonl/orc discipline).  XML survives entity escaping
+    (&amp;/&lt;) round-trip — exactly what the hash would catch.
+
+    XML is the classic enterprise feed format (SEC filings, PubMed,
+    Wikipedia dumps, SOAP exports); the scale rules match JSONL: an
+    explicit schema skips the inference pass, one file per partition,
+    and the rowTag streaming parser keeps memory bounded per record —
+    at 100 TB ingestion parallelizes per file split like any text
+    source.  DuckDB has no XML reader, so the oracle recomputes the
+    same aggregate from the original parquet — the check pins that
+    the XML hop changed NOTHING."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _sink_path("ks_spark_source_xml", sf_dir)
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(docs.schema)
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(path)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr(
+            "bit_xor(CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("text_hash_xor"),
+        F.expr(
+            "bit_xor(CAST(conv(substr(md5(lang), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("lang_hash_xor"),
+    )
