@@ -380,3 +380,106 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("term9").cast("long") / F.lit(1e9)).alias("psi"),
         (F.sum("term9").cast("long") > 200000000).alias("drifted"),
     )
+
+
+# dq_table_diff's synthesized "v2" snapshot: deterministic mutations of
+# orders — drops, two kinds of column edits, and inserts — shared as one
+# SQL string (pure int/string ops, both dialects).
+_DIFF_V2 = (
+    "SELECT o_orderkey,"
+    " CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END"
+    "   AS o_orderstatus,"
+    " CASE WHEN o_orderkey % 11 = 0"
+    "      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100"
+    "      ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS price_cents"
+    " FROM orders WHERE o_orderkey % 13 <> 0"
+    " UNION ALL "
+    "SELECT o_orderkey + 1000000000 AS o_orderkey,"
+    " o_orderstatus,"
+    " CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents"
+    " FROM orders WHERE o_orderkey % 17 = 0"
+)
+
+
+@query(
+    "dq_table_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    v2 AS ({_DIFF_V2}),
+    j AS (
+      SELECT v1.o_orderkey AS k1, v2.o_orderkey AS k2,
+             v1.o_orderstatus AS s1, v2.o_orderstatus AS s2,
+             v1.price_cents AS p1, v2.price_cents AS p2
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT
+      CAST(SUM(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      CAST(SUM(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      CAST(SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                     AND (s1 <> s2 OR p1 <> p2) THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_changed,
+      CAST(SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                     AND s1 = s2 AND p1 = p2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unchanged,
+      CAST(SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL AND s1 <> s2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_status_changed,
+      CAST(SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL AND p1 <> p2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changed
+    FROM j
+    """,
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the data-diff every ingestion/backfill review
+    runs): classify every key of two table versions as added / removed
+    / changed / unchanged, with per-column change counts.  v2 is a
+    deterministic mutation of orders (drop keys %13, flip status %7,
+    bump price %11, insert cloned keys %17 shifted past the key space)
+    so every class is non-empty and the expected counts are checkable
+    arithmetic, not fixture trivia.
+
+    Exactness: prices compare as cent ints (double equality across
+    engines is the trap); all outputs are exact conditional int sums.
+
+    Plan: ONE full outer sort-merge join on the key, then a single
+    map-side-combined aggregate — the canonical diff shape.  At 100 TB
+    both snapshots bucket by the key so the SMJ needs no exchange
+    (sink_bucketed layout); per-column drill-down reuses the same join
+    with a CASE per column, still one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    v1 = orders.selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents",
+    )
+    v2 = spark.sql(_DIFF_V2)
+    j = v1.selectExpr(
+        "o_orderkey AS k1", "o_orderstatus AS s1", "price_cents AS p1"
+    ).join(
+        v2.selectExpr(
+            "o_orderkey AS k2", "o_orderstatus AS s2", "price_cents AS p2"
+        ),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    both = F.col("k1").isNotNull() & F.col("k2").isNotNull()
+    s_diff = F.col("s1") != F.col("s2")
+    p_diff = F.col("p1") != F.col("p2")
+    return j.agg(
+        F.sum(F.when(F.col("k1").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_added"),
+        F.sum(F.when(F.col("k2").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+        F.sum(F.when(both & (s_diff | p_diff), 1).otherwise(0))
+        .cast("long").alias("n_changed"),
+        F.sum(F.when(both & ~s_diff & ~p_diff, 1).otherwise(0))
+        .cast("long").alias("n_unchanged"),
+        F.sum(F.when(both & s_diff, 1).otherwise(0))
+        .cast("long").alias("n_status_changed"),
+        F.sum(F.when(both & p_diff, 1).otherwise(0))
+        .cast("long").alias("n_price_changed"),
+    )
