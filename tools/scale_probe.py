@@ -189,6 +189,13 @@ TIMED = {
     "llm_span_dedup": "documents",
     "join_pit_multi": "events",
     "llm_pii_redact": "documents",
+    # wave 10: the grid-bucketed spatial join, the XML roundtrip, and
+    # the full-outer snapshot diff (graph_tree_rollup excluded — its
+    # driving table customer is byte-copied in the blowup, ratio
+    # vacuous; its scale argument is the closed-form log-depth explode).
+    "join_spatial_grid": "events",
+    "source_xml": "documents",
+    "dq_table_diff": "orders",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
