@@ -1491,3 +1491,86 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s3.selectExpr(
         "n_a", "n_b", *[f"{e} AS {k}" for k, e in _CUPED_OUT.items()]
     )
+
+
+@query(
+    "events_conversion_lag",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    vp AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS fv
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    u AS (
+      SELECT user_id, MIN(fv) AS fv,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > fv
+                      THEN ts END) AS fp
+      FROM vp GROUP BY 1
+    )
+    SELECT CAST(date_trunc('day', fv) AS TIMESTAMP) AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(COUNT(fp) AS BIGINT) AS n_converted,
+           CAST(quantile_cont(epoch_us(fp) - epoch_us(fv), 0.5) * 2
+                AS BIGINT) AS p50_lag2_us,
+           MAX(epoch_us(fp) - epoch_us(fv)) AS max_lag_us,
+           MIN(epoch_us(fp) - epoch_us(fv)) AS min_lag_us
+    FROM u WHERE fv IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion LATENCY by acquisition cohort — the
+    question events_funnel's step counts don't answer: of the users
+    who first viewed on day D, how many converted and how long did
+    conversion take (median / min / max lag)?  This is the
+    time-to-value readout every growth dashboard pairs with retention.
+
+    Semantics pinned precisely: fv = the user's FIRST view, fp = the
+    first purchase STRICTLY AFTER fv (a purchase before any view is
+    pre-attribution noise and doesn't count — the same first-touch
+    rule events_attribution uses).  Lags are exact epoch microseconds
+    (int64); the median ships DOUBLED (2·quantile, the ts_outlier_mad
+    discipline) so even-n interpolation midpoints stay exact int64
+    cross-engine.
+
+    Plan shape: the fv window and the per-user aggregate share ONE
+    (user_id) hash shuffle — Catalyst reuses the window's exchange for
+    the groupBy because the keys match; the cohort rollup then reduces
+    users → days (tiny).  At 100 TB this is the canonical two-level
+    funnel reduction: events → one row per user (shuffle on the entity
+    key, skew-free since per-user event counts are bounded) → one row
+    per day; no join ever touches the raw event stream."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = Window.partitionBy("user_id")
+    vp = ev.withColumn(
+        "fv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    u = vp.groupBy("user_id").agg(
+        F.min("fv").alias("fv"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fv")),
+                F.col("ts"),
+            )
+        ).alias("fp"),
+    )
+    lag = F.unix_micros(F.col("fp")) - F.unix_micros(F.col("fv"))
+    return (
+        u.filter(F.col("fv").isNotNull())
+        .withColumn("lag_us", lag)
+        .groupBy(F.date_trunc("day", F.col("fv")).alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_viewers"),
+            F.count("lag_us").cast("long").alias("n_converted"),
+            F.expr("CAST(percentile(lag_us, 0.5) * 2 AS BIGINT)").alias(
+                "p50_lag2_us"
+            ),
+            F.max("lag_us").alias("max_lag_us"),
+            F.min("lag_us").alias("min_lag_us"),
+        )
+    )

@@ -829,3 +829,87 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs("c").alias("cusum_abs"),
         F.col("n").cast("long").alias("n_hours"),
     )
+
+
+@query(
+    "ts_outlier_mad",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    base AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(quantile_cont(vc, 0.5) * 2 AS BIGINT) AS med2_cents
+      FROM base GROUP BY 1
+    ),
+    dev AS (
+      SELECT b.event_type, vc, med2_cents,
+             abs(2 * vc - med2_cents) AS dev2
+      FROM base b JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4_cents
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(med2_cents) AS med2_cents,
+           MAX(mad4_cents) AS mad4_cents,
+           CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           MAX(CASE WHEN 2 * dev2 > 3 * mad4_cents THEN dev2 END)
+             AS max_out_dev2
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median / MAD (median
+    absolute deviation) with the classic |v − median| > 3·MAD cut —
+    the monitoring primitive that survives the heavy tails that break
+    mean/stddev z-scores (one whale purchase doubles a mean; it moves
+    a median not at all).
+
+    INTEGER-EXACT SPELLING (the cross-engine percentile discipline):
+    values snap to cents (exact 2dp fixture), and every statistic is
+    carried DOUBLED so the even-n interpolation midpoint (a+b)/2 stays
+    an exact int64 — med2 = 2·median(cents), dev2 = |2·v − med2| =
+    2·|v − median|, mad4 = 2·median(dev2) = 4·MAD.  The outlier
+    predicate |v−med| > 3·MAD becomes 2·dev2 > 3·mad4, a pure int64
+    comparison with no float boundary for the engines to disagree on.
+
+    Plan: two exact-percentile hash-aggs (5-row results) broadcast
+    back onto the fact scan — the joins never shuffle the events side.
+    Exact percentile sorts within each type partition; at 100 TB you'd
+    swap approx_percentile (t-digest, one pass, map-side combine) and
+    keep the same doubled-integer cut — this key is the exact oracle
+    that variant is graded against (same relationship as
+    agg_percentile → agg_approx_percentile)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("vc"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(vc, 0.5) * 2 AS BIGINT)").alias("med2_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.expr("abs(2 * vc - med2_cents)")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(dev2, 0.5) * 2 AS BIGINT)").alias("mad4_cents")
+    )
+    is_out = F.expr("2 * dev2 > 3 * mad4_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("med2_cents").alias("med2_cents"),
+            F.max("mad4_cents").alias("mad4_cents"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.max(F.when(is_out, F.col("dev2"))).alias("max_out_dev2"),
+        )
+    )

@@ -1017,3 +1017,89 @@ def test_url_dedup_collapses_variant_groups(spark, sf_dir):
         f"expected ~{n_docs_total // 3} collapsed triplets, got {len(full)}"
     )
     assert int(out["n_dropped"].sum()) == n_docs_total - len(out)
+
+
+def test_outlier_mad_matches_numpy_and_fires(spark, sf_dir):
+    """ts_outlier_mad: the doubled-integer median/MAD spelling must
+    equal a straight numpy recomputation per type, and the 3-MAD cut
+    must actually fire on the fixture (effect pin — a vacuous detector
+    would still hash-match a vacuous oracle)."""
+    import numpy as np
+
+    from kafkastreaming_spark.io import load_table
+
+    rows = {r.event_type: r for r in QUERIES["ts_outlier_mad"](spark, sf_dir).collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    ).collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.vc)
+    total_out = 0
+    for t, vals in by_type.items():
+        v = np.sort(np.array(vals, dtype=np.int64))
+        med2 = int(round(np.percentile(v, 50) * 2))
+        dev2 = np.abs(2 * v - med2)
+        mad4 = int(round(np.percentile(np.sort(dev2), 50) * 2))
+        n_out = int((2 * dev2 > 3 * mad4).sum())
+        r = rows[t]
+        assert r.med2_cents == med2
+        assert r.mad4_cents == mad4
+        assert r.n_outliers == n_out
+        assert r.n_events == len(vals)
+        total_out += n_out
+    assert total_out > 0  # the cut fires on the fixture
+
+
+def test_conversion_lag_bounds_and_strictly_after(spark, sf_dir):
+    """events_conversion_lag: converted <= viewers, every lag strictly
+    positive (the strictly-after-first-view rule), the doubled median
+    sits inside [2*min, 2*max], and cohorts partition the first-view
+    user set exactly."""
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["events_conversion_lag"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_viewers
+        assert 0 <= r.n_converted <= r.n_viewers
+        if r.n_converted:
+            assert 0 < r.min_lag_us <= r.max_lag_us
+            assert 2 * r.min_lag_us <= r.p50_lag2_us <= 2 * r.max_lag_us
+        else:
+            assert r.p50_lag2_us is None and r.max_lag_us is None
+    n_viewers_total = sum(r.n_viewers for r in rows)
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n_viewers_total == expected
+
+
+def test_graph_components_labels_consistent_with_edges(spark, sf_dir):
+    """graph_components: both endpoints of every 2-NN edge share a
+    component, each component's id is its minimum member vec_id, and
+    component_size equals the actual member count."""
+    from collections import Counter
+
+    from kafkastreaming_spark.operators.pipeline import _two_nn_und_edges
+
+    rows = QUERIES["graph_components"](spark, sf_dir).collect()
+    assert rows
+    comp = {r.vec_id: r.component_id for r in rows}
+    sizes = {r.vec_id: r.component_size for r in rows}
+    members = Counter(comp.values())
+    for v, c in comp.items():
+        assert c <= v  # label is a min over the component
+        assert sizes[v] == members[c]
+    by_comp_min = {}
+    for v, c in comp.items():
+        by_comp_min[c] = min(by_comp_min.get(c, v), v)
+    for c, m in by_comp_min.items():
+        assert c == m  # the id IS the min member
+    for e in _two_nn_und_edges(spark, sf_dir).collect():
+        assert comp[e.a] == comp[e.b]

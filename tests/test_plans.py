@@ -762,3 +762,25 @@ def test_spatial_grid_is_hash_join_not_nested_loop(spark, sf_dir):
     tree = _tree(_plan(spark, sf_dir, "join_spatial_grid"))
     assert "BroadcastHashJoin" in tree
     assert "NestedLoop" not in tree
+
+
+def test_outlier_mad_all_joins_broadcast(spark, sf_dir):
+    """ts_outlier_mad: the two tiny percentile tables must come back as
+    broadcast joins — a sort-merge join here would shuffle the full
+    fact table three times at 100 TB."""
+    tree = _tree(_plan(spark, sf_dir, "ts_outlier_mad"))
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") == 3
+
+
+def test_conversion_lag_single_user_shuffle_no_join(spark, sf_dir):
+    """events_conversion_lag: the first-view window and the per-user
+    aggregate share one (user_id) exchange (Catalyst exchange reuse),
+    the cohort rollup adds its own; no join anywhere — the two-level
+    reduction never touches the raw stream twice."""
+    tree = _tree(_plan(spark, sf_dir, "events_conversion_lag"))
+    assert "Join" not in tree
+    assert tree.count("Window") == 1
+    assert tree.count("Scan parquet") == 1
+    # window shuffle + cohort-agg shuffle only
+    assert tree.count("Exchange") <= 2
