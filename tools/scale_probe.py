@@ -196,6 +196,13 @@ TIMED = {
     "join_spatial_grid": "events",
     "source_xml": "documents",
     "dq_table_diff": "orders",
+    # wave 11: MAD outlier cut (two exact percentile passes), the
+    # conversion-lag funnel reduction, and standalone CC over the 60×
+    # embeddings' 2-NN graph (120k nodes, still far below the 10M-edge
+    # gate — the local union-find regime IS the probe subject).
+    "ts_outlier_mad": "events",
+    "events_conversion_lag": "events",
+    "graph_components": "embeddings",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
@@ -428,11 +435,9 @@ def main() -> None:
                 P._CC_LOCAL_MAX_EDGES = saved
             print(f"{key}:", regimes[key], flush=True)
 
-    if args.keys:
-        return
-
     from bench import current_round
 
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
     artifact = {
         "base": BASE,
         "probe": OUT,
@@ -446,7 +451,16 @@ def main() -> None:
             "order-free, no driver collect."
         ),
     }
-    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    if args.keys and os.path.exists(path):
+        # subset run: MERGE the new rows into the round artifact — a
+        # wholesale overwrite would silently drop every previously
+        # probed key from the round's evidence.
+        with open(path) as f:
+            prev = json.load(f)
+        prev.setdefault("timed", {}).update(report)
+        if regimes:
+            prev.setdefault("regimes", {}).update(regimes)
+        artifact = prev
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print("wrote", path, flush=True)
