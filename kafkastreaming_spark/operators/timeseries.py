@@ -913,3 +913,123 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(is_out, F.col("dev2"))).alias("max_out_dev2"),
         )
     )
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t,
+           (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                          (SELECT h1 FROM bounds),
+                                          INTERVAL 1 HOUR)) AS h) g
+    ),
+    dense AS (
+      SELECT g.event_type, g.h, COALESCE(hy.cents, 0) AS c
+      FROM grid g LEFT JOIN hourly hy
+        ON hy.event_type = g.event_type AND hy.h = g.h
+    ),
+    lags AS (SELECT unnest(generate_series(1, 24)) AS lag_h),
+    joined AS (
+      SELECT a.event_type, l.lag_h, a.c AS x, b.c AS y
+      FROM dense a
+      JOIN lags l ON TRUE
+      JOIN dense b
+        ON b.event_type = a.event_type
+       AND b.h = a.h + l.lag_h * INTERVAL 1 HOUR
+    ),
+    sums AS (
+      SELECT event_type, lag_h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM joined GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag_h AS BIGINT) AS lag_h, n,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0), 6)
+             AS r
+    FROM sums
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function per event type: Pearson r between each
+    type's dense hourly-spend series and itself at lags 1..24 h — the
+    seasonality detector (a daily cycle shows as the lag-24 peak) and
+    the model-order diagnostic (AR terms) behind every forecasting
+    pass; the same-series complement of ts_cross_corr's pair sweep.
+
+    Identical exactness discipline as ts_cross_corr: series gap-filled
+    onto the global hour grid (zero-spend hours are real observations —
+    sparse-series bias otherwise), money snapped to cents at the
+    aggregate, Pearson assembled from six exact int64 sums so the only
+    floats are two sqrts and one rounded division, zero-variance
+    windows NULL via NULLIF.
+
+    Plan: ONE (type,hour) hash-agg touches raw events; the dense grid
+    is localCheckpoint-pinned because the lag self-join consumes it
+    twice.  The 24-lag fan-out runs on the types×hours table — at
+    100 TB everything after the map-side-combined hourly agg is
+    constant-sized in the input volume and linear in the time span."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    dense = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("cents", F.lit(0)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(1, 25).select(F.col("id").cast("int").alias("lag_h"))
+    b = dense.select(
+        F.col("event_type"), F.col("h").alias("hb"), F.col("c").alias("y")
+    )
+    joined = (
+        dense.crossJoin(F.broadcast(lags))
+        .withColumn(
+            "hb",
+            F.col("h")
+            + F.col("lag_h") * F.expr("INTERVAL 1 HOUR"),
+        )
+        .join(b, ["event_type", "hb"])
+    )
+    sums = joined.groupBy("event_type", "lag_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("c") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select(
+        "event_type",
+        F.col("lag_h").cast("long").alias("lag_h"),
+        "n",
+        # when() without otherwise == NULLIF: zero-variance -> NULL r
+        F.round(num / F.when(den != 0.0, den), 6).alias("r"),
+    )

@@ -1103,3 +1103,37 @@ def test_graph_components_labels_consistent_with_edges(spark, sf_dir):
         assert c == m  # the id IS the min member
     for e in _two_nn_und_edges(spark, sf_dir).collect():
         assert comp[e.a] == comp[e.b]
+
+
+def test_acf_matches_numpy(spark, sf_dir):
+    """ts_acf: Pearson r per (type, lag) must equal a direct numpy
+    recomputation on the gap-filled hourly cents series, n must shrink
+    by exactly one row per extra lag hour, and |r| <= 1."""
+    import numpy as np
+
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["ts_acf"](spark, sf_dir).collect()
+    assert rows
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+        .collect()
+    )
+    h_all = [r.h for r in hourly]
+    h0, h1 = min(h_all), max(h_all)
+    n_hours = int((h1 - h0).total_seconds() // 3600) + 1
+    series = {}
+    for r in hourly:
+        series.setdefault(r.event_type, np.zeros(n_hours, dtype=np.int64))[
+            int((r.h - h0).total_seconds() // 3600)
+        ] = r.c
+    for row in rows:
+        s = series[row.event_type]
+        x, y = s[: len(s) - row.lag_h].astype(float), s[row.lag_h :].astype(float)
+        assert row.n == len(x) == n_hours - row.lag_h
+        if row.r is not None:
+            assert abs(row.r) <= 1.0 + 1e-9
+            expect = np.corrcoef(x, y)[0, 1]
+            assert abs(row.r - expect) < 1e-4
