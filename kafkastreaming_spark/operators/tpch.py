@@ -842,8 +842,13 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(F.expr(_REV), "total_revenue")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.expr(_REV), "total_revenue"))
+        # the revenue view feeds BOTH the scalar MAX and the equality
+        # join; without this pin each consumer re-runs the lineitem
+        # scan + aggregate (r8 plan audit found exactly that drift)
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
