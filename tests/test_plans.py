@@ -833,3 +833,53 @@ _AUDIT_PINS = [
 @pytest.mark.parametrize("key,check", _AUDIT_PINS, ids=[k for k, _ in _AUDIT_PINS])
 def test_survey_claim_audit(spark, sf_dir, key, check):
     assert check(_tree(_plan(spark, sf_dir, key)))
+
+
+# r8 plan audit, batch 2 — same discipline, llm/mm/graph claims.
+# llm_repetition's two branches (word / bigram) shuffle on DIFFERENT
+# keys by design, so the honest pin is <=4 exchanges + the broadcast
+# doc-stats join, not a single-shuffle claim.
+_AUDIT_PINS_2 = [
+    (
+        "graph_tree_rollup",
+        lambda t: "Join" not in t and t.count("Exchange") <= 2,
+    ),
+    (
+        "llm_url_dedup",
+        lambda t: "Window" not in t and t.count("Exchange") <= 2,
+    ),
+    ("llm_corpus_clean", lambda t: "Semi" in t and "Anti" in t),
+    (
+        "mm_dedup_binary",
+        lambda t: "Python" not in t and "InPandas" not in t,
+    ),
+    ("llm_bigram_stats", lambda t: "Window" in t),
+    ("llm_vocab_growth", lambda t: t.count("Window") == 1),
+    (
+        "sort_nulls",
+        lambda t: t.count("Scan parquet") == 1 and t.count("Window") == 2,
+    ),
+    ("agg_heavy_hitters", lambda t: t.count("Scan parquet") <= 1),
+    ("llm_span_dedup", lambda t: "NestedLoop" not in t),
+    ("llm_semdedup", lambda t: "InPandas" in t),
+    ("mm_phash_dedup", lambda t: "Broadcast" in t),
+    ("mm_audio_vad", lambda t: t.count("Window") == 1),
+    ("events_sessionize", lambda t: t.count("Exchange") == 1),
+    ("ts_ewma", lambda t: t.count("Scan parquet") == 1),
+    ("llm_winnow", lambda t: t.count("Exchange") == 0),
+    ("llm_fingerprint", lambda t: t.count("Exchange") == 0),
+    (
+        # 4 SHUFFLE exchanges (two per branch); "Exchange".count also
+        # matches BroadcastExchange, so subtract it
+        "llm_repetition",
+        lambda t: (t.count("Exchange") - t.count("BroadcastExchange")) <= 4
+        and "BroadcastHashJoin" in t,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "key,check", _AUDIT_PINS_2, ids=[k for k, _ in _AUDIT_PINS_2]
+)
+def test_survey_claim_audit_2(spark, sf_dir, key, check):
+    assert check(_tree(_plan(spark, sf_dir, key)))
