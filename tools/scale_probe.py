@@ -203,6 +203,11 @@ TIMED = {
     "ts_outlier_mad": "events",
     "events_conversion_lag": "events",
     "graph_components": "embeddings",
+    # wave 12: ACF's lag fan-out lives on the types×hours grid (span
+    # constant in the row blowup — the probe checks the hourly agg
+    # dominates), and q15 after the r8 revenue-view checkpoint pin.
+    "ts_acf": "events",
+    "tpch_q15": "lineitem",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
