@@ -35,4 +35,5 @@ from kafkastreaming_spark.operators import (  # noqa: F401
     sorts,
 )
 from kafkastreaming_spark.registry import ORACLES, QUERIES  # noqa: F401
+from kafkastreaming_spark.sources import python_ds  # noqa: F401
 from kafkastreaming_spark.streaming import batch_twins, runtime  # noqa: F401

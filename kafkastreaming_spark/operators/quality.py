@@ -483,3 +483,67 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(both & p_diff, 1).otherwise(0))
         .cast("long").alias("n_price_changed"),
     )
+
+
+@query(
+    "dq_observe",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT) > 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+           CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+           CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem WHERE l_quantity >= 10
+    """,
+)
+def dq_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline metrics via the Observation API
+    (``df.observe``) — the Deequ/"metrics repository" pattern Spark
+    ships natively: the five data-quality measures are computed DURING
+    the write pass (a ``noop`` v2 sink here, the standard
+    measure-without-landing harness), not by a second scan.  This is
+    the production shape for "count what you wrote and alert on it":
+    at 100 TB a separate metrics query would double the I/O bill; an
+    observation is free — it piggybacks accumulator-style on the rows
+    already flowing to the sink.
+
+    The observed row is a ONE-row driver value by construction (that
+    is the Observation contract, not a collect of data), re-emitted as
+    the result DataFrame so the key stays hash-checked against the
+    plain aggregate oracle.  Money snaps to cents and the discount cut
+    compares cent ints — never raw doubles — per the cross-engine
+    ratio discipline."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 10)
+    obs = Observation("dq_observe")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+        F.sum(
+            F.when(F.round(F.col("l_discount") * 100).cast("long") > 5, 1)
+            .otherwise(0)
+        ).cast("long").alias("n_discounted"),
+        F.min("l_quantity").cast("long").alias("min_qty"),
+        F.max("l_quantity").cast("long").alias("max_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["price_cents"],
+                m["n_discounted"],
+                m["min_qty"],
+                m["max_qty"],
+            )
+        ],
+        "n_rows long, price_cents long, n_discounted long, "
+        "min_qty long, max_qty long",
+    )

@@ -1137,3 +1137,51 @@ def test_acf_matches_numpy(spark, sf_dir):
             assert abs(row.r) <= 1.0 + 1e-9
             expect = np.corrcoef(x, y)[0, 1]
             assert abs(row.r - expect) < 1e-4
+
+
+def test_observe_metrics_single_scan(spark, sf_dir):
+    """dq_observe: the metrics ride the write pass as a CollectMetrics
+    node over ONE scan — a second metrics scan would defeat the point
+    of the Observation API — and the emitted row must equal a plain
+    recomputation."""
+    from pyspark.sql import Observation
+
+    from kafkastreaming_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 10)
+    obs = Observation("pin")
+    observed = li.observe(obs, F.count(F.lit(1)).alias("n"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = observed._jdf.queryExecution().explainString(mode)
+    tree = plan[: plan.find("\n\n(1)")]
+    assert "CollectMetrics" in tree
+    assert tree.count("Scan parquet") == 1
+    row = QUERIES["dq_observe"](spark, sf_dir).collect()[0]
+    assert row.n_rows == li.count()
+    expect = li.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert row.price_cents == expect
+    assert row.min_qty >= 10
+
+
+def test_python_datasource_parallel_and_deterministic(spark, sf_dir):
+    """source_python_ds: the connector must expose 8 input partitions
+    (cluster-parallel scan, not a driver iterator), scan as a v2
+    BatchScan, and produce bit-identical results across two reads."""
+    from kafkastreaming_spark.sources.python_ds import SensorDataSource
+
+    spark.dataSource.register(SensorDataSource)
+    raw = spark.read.format("ks_sensor").load()
+    assert raw.rdd.getNumPartitions() == 8
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    assert "BatchScan ks_sensor" in raw._jdf.queryExecution().explainString(mode)
+    a = sorted(map(tuple, QUERIES["source_python_ds"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["source_python_ds"](spark, sf_dir).collect()))
+    assert a == b
+    assert len(a) == 64
+    assert all(n == 1000 for _, n, *_ in a)
