@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from kafkastreaming_spark.registry import query
 
@@ -107,4 +112,126 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("temp_milli") > 20000, 1).otherwise(0))
         .cast("long")
         .alias("n_hot"),
+    )
+
+
+_FEED_MAX = 5000
+_FEED_BATCH = 2500
+
+
+class _FeedReader(SimpleDataSourceStreamReader):
+    """Offset-based micro-batch reader: the Kafka shape (monotone
+    integer offsets, bounded fetch per poll, replayable range reads)
+    without the Kafka jar this environment lacks."""
+
+    def __init__(self, options):
+        self.max_offset = int(options.get("max_offset", _FEED_MAX))
+        self.batch = int(options.get("batch", _FEED_BATCH))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    @staticmethod
+    def _rows(s: int, e: int):
+        return iter(
+            [(i, i % 8, (i * 7919 + 13) % 100000) for i in range(s, e)]
+        )
+
+    def read(self, start):
+        s = start["offset"]
+        e = min(s + self.batch, self.max_offset)
+        if s >= e:
+            return iter([]), start
+        return self._rows(s, e), {"offset": e}
+
+    def readBetweenOffsets(self, start, end):
+        # failure replay: a committed-but-unprocessed range must be
+        # reproducible exactly — same contract as Kafka offset ranges
+        return self._rows(start["offset"], end["offset"])
+
+
+class FeedDataSource(DataSource):
+    """spark.readStream.format("ks_feed") — deterministic offset feed."""
+
+    @classmethod
+    def name(cls):
+        return "ks_feed"
+
+    def schema(self):
+        return "seq bigint, bucket bigint, payload bigint"
+
+    def simpleStreamReader(self, schema):
+        return _FeedReader(self.options)
+
+
+@query(
+    "source_python_stream",
+    oracle=f"""
+    WITH raw AS (
+      SELECT g AS seq, g % 8 AS bucket,
+             (g * 7919 + 13) % 100000 AS payload
+      FROM (SELECT unnest(generate_series(0, {_FEED_MAX - 1})) AS g)
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(payload) AS BIGINT) AS sum_payload,
+           MIN(seq) AS min_seq,
+           MAX(seq) AS max_seq
+    FROM raw GROUP BY bucket
+    """,
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING CONNECTOR through the Python DataSource
+    streaming API (SimpleDataSourceStreamReader) — the offset-based
+    source shape Kafka ingestion needs, hosted entirely in Python
+    because this environment has no Kafka jar (SURVEY §7.5): monotone
+    offsets, bounded fetch per micro-batch, replayable
+    ``readBetweenOffsets`` for failure recovery.
+
+    The key drives the full exactly-once loop, not just one poll: each
+    ``availableNow`` run consumes the one prefetched batch, then the
+    query RESTARTS on the same checkpoint and resumes from the
+    committed offset — the drain loop stops when the parquet sink's
+    row count stops moving (an aggregate probe, never a row fetch).
+    Rows land exactly once across restarts (pytest-pinned: no seq
+    duplicates), so the final per-bucket rollup is hash-checked
+    against the closed-form oracle — a dropped batch, re-read range,
+    or lost offset all break the hash.  At 100 TB this is precisely
+    the Kafka→lake ingestion contract: offsets in the checkpoint, the
+    sink idempotent per batch, restart-safe by construction."""
+    import os
+    import tempfile
+    import uuid
+
+    del sf_dir
+    spark.dataSource.register(FeedDataSource)
+    base = os.path.join(
+        tempfile.gettempdir(), f"ks_feed_{uuid.uuid4().hex[:12]}"
+    )
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for _ in range(8):  # bounded: ceil(MAX/BATCH) data runs + 1 drain proof
+        q = (
+            spark.readStream.format("ks_feed")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        # drain proof from the query's own progress metrics — a sink
+        # re-count would cost one extra job per restart
+        lp = q.lastProgress
+        if lp is None or lp["numInputRows"] == 0:
+            break
+    df = spark.read.parquet(out)
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum("payload").cast("long").alias("sum_payload"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
     )

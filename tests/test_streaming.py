@@ -299,3 +299,21 @@ def test_stream_session_ttl_matches_batch_sessions(spark, sf_dir):
     }
     missing = must_emit - emitted
     assert not missing, f"evicted-but-unemitted sessions: {sorted(missing)[:3]}"
+
+
+def test_python_stream_source_exactly_once(spark, sf_dir):
+    """source_python_stream: across the availableNow restart loop every
+    offset lands exactly once — no seq duplicated by a replayed batch,
+    none dropped by a lost offset — and the bucket rollup conserves the
+    full offset range."""
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.sources.python_ds import _FEED_MAX
+
+    rows = QUERIES["source_python_stream"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert sum(r.n_msgs for r in rows) == _FEED_MAX
+    assert min(r.min_seq for r in rows) == 0
+    assert max(r.max_seq for r in rows) == _FEED_MAX - 1
+    # conservation of the arithmetic series = no dup, no drop
+    got = {r.bucket: r.n_msgs for r in rows}
+    assert all(got[b] == _FEED_MAX // 8 for b in range(8))
