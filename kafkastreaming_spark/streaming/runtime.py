@@ -499,3 +499,66 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         return back.localCheckpoint(eager=True)  # materialize before cleanup
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "stream_state_reader",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE STATE-STORE AUDIT via the State Data Source
+    (``spark.read.format("statestore")``, Spark 3.5+): run a stateful
+    per-type count+cents aggregation stream to completion over the
+    chunked replay, then read the query's checkpoint STATE FILES —
+    not its sink — and hash-check the recovered state against the
+    batch aggregate oracle.
+
+    This is the production debugging surface for "what does my
+    streaming job believe right now": state rows are (grouping key,
+    aggregation buffer, partition_id) read straight from the HDFS
+    state store, the thing you inspect when a running aggregation
+    drifts or a checkpoint must be audited before a risky restart.
+    Equality with the batch oracle proves end-to-end state integrity:
+    every replay chunk incorporated exactly once, no partial buffer
+    lost, the buffer encoding round-tripping through the store.  All
+    state values are exact ints (count + cents).  At 100 TB the state
+    source reads each store shard in parallel, one task per state
+    partition — the same layout the stream itself maintains."""
+    import os
+    import tempfile
+    import uuid
+
+    from kafkastreaming_spark.streaming.harness import stream_events
+
+    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="streader")
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    name = f"streader_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    # state value fields carry the INTERNAL aggregation-buffer names
+    # (count/sum), not the query aliases — part of what this key pins
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+        F.col("value.sum").cast("long").alias("cents"),
+    )

@@ -317,3 +317,26 @@ def test_python_stream_source_exactly_once(spark, sf_dir):
     # conservation of the arithmetic series = no dup, no drop
     got = {r.bucket: r.n_msgs for r in rows}
     assert all(got[b] == _FEED_MAX // 8 for b in range(8))
+
+
+def test_state_reader_matches_batch_and_partitioning(spark, sf_dir):
+    """stream_state_reader: the state rows recovered from the checkpoint
+    must equal the straight batch aggregate (state integrity), and the
+    store must hold exactly one row per grouping key."""
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["stream_state_reader"](spark, sf_dir).collect()
+    got = {r.event_type: (r.n_events, r.cents) for r in rows}
+    assert len(rows) == len(got)  # one state row per key
+    expect = {
+        r.event_type: (r.n, r.c)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == expect
