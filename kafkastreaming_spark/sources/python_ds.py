@@ -21,10 +21,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE
 from kafkastreaming_spark.registry import query
 
 _N_SENSORS = 64
@@ -234,4 +237,138 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("payload").cast("long").alias("sum_payload"),
         F.min("seq").alias("min_seq"),
         F.max("seq").alias("max_seq"),
+    )
+
+
+class _JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Two-phase-commit JSONL sink: each task writes a TEMP file and
+    returns its path as the commit message; the driver's ``commit``
+    renames winners into place (atomic on a POSIX dir) and ``abort``
+    deletes losers — so a failed/retried task can never leave a
+    half-visible file.  This is the same staging-then-rename protocol
+    every object-store committer implements."""
+
+    def __init__(self, options):
+        self.outdir = options.get("outdir")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid as _uuid
+
+        n = 0
+        tmp = os.path.join(self.outdir, f"_tmp_{_uuid.uuid4().hex}.jsonl")
+        with open(tmp, "w") as f:
+            for r in iterator:
+                f.write(
+                    json.dumps({"event_id": r.event_id, "cents": r.cents})
+                    + "\n"
+                )
+                n += 1
+        return _JsonlCommitMessage(tmp, n)
+
+    def commit(self, messages, batchId):
+        import os
+
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            if m.n:
+                os.rename(
+                    m.path,
+                    os.path.join(
+                        self.outdir, f"batch_{batchId:05d}_{i:04d}.jsonl"
+                    ),
+                )
+            else:
+                os.remove(m.path)
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """writeStream.format("ks_jsonl_sink") — Python custom sink."""
+
+    @classmethod
+    def name(cls):
+        return "ks_jsonl_sink"
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonlStreamWriter(self.options)
+
+
+@query(
+    "sink_python_stream",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    """,
+)
+def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING SINK through the Python DataSource writer API
+    (DataSourceStreamWriter) — the other half of the connector story
+    source_python_stream tells: per-task staged writes, driver-side
+    ``commit`` renaming winners into place, ``abort`` deleting losers —
+    the two-phase protocol that makes a JDBC/object-store/webhook sink
+    exactly-once under task retries.
+
+    The full events replay streams through the sink (4 chunks,
+    availableNow), the committed JSONL files are read BACK, and the
+    global rollup is hash-checked against the raw events oracle — a
+    torn file, double-committed task, or dropped batch all break the
+    hash.  Values are exact ints (event_id, cents).  At 100 TB the
+    staged-rename pattern is exactly what DBIO/magic committers do;
+    per-batch output visibility is atomic at the driver commit."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    base = os.path.join(
+        tempfile.gettempdir(), f"ks_pysink_{uuid.uuid4().hex[:12]}"
+    )
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(outdir)
+    from kafkastreaming_spark.streaming.harness import stream_events
+
+    # 2 chunks: multi-batch commit protocol demonstrated at half the
+    # micro-batch scheduling cost of the default 4-chunk replay
+    sdf = stream_events(spark, sf_dir, n_chunks=2, tag="pysink").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    q = (
+        sdf.writeStream.format("ks_jsonl_sink")
+        .option("outdir", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    back = spark.read.schema("event_id long, cents long").json(
+        os.path.join(outdir, "batch_*.jsonl")
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
     )

@@ -340,3 +340,32 @@ def test_state_reader_matches_batch_and_partitioning(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_python_sink_two_phase_commit_clean(spark, sf_dir):
+    """sink_python_stream: after the run the sink directory holds ONLY
+    committed batch files (no _tmp_ stragglers — abort/commit cleaned
+    up), and the landed rows equal the events table exactly."""
+    import glob
+    import os
+    import tempfile
+
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.io import load_table
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "ks_pysink_*")))
+    row = QUERIES["sink_python_stream"](spark, sf_dir).collect()[0]
+    newdirs = (
+        set(glob.glob(os.path.join(tempfile.gettempdir(), "ks_pysink_*")))
+        - before
+    )
+    assert len(newdirs) == 1
+    out = os.path.join(newdirs.pop(), "out")
+    assert not glob.glob(os.path.join(out, "_tmp_*"))  # staging cleaned
+    assert glob.glob(os.path.join(out, "batch_*.jsonl"))
+    ev = load_table(spark, sf_dir, "events")
+    assert row.n_rows == ev.count()
+    expect = ev.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+    ).collect()[0][0]
+    assert row.sum_cents == expect
