@@ -1856,3 +1856,137 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<IP>",
         ).alias("redacted"),
     )
+
+
+_BM25_QUERIES = [
+    (1, "hash"), (1, "join"),
+    (2, "window", ), (2, "sort"), (2, "merge"),
+    (3, "stream"), (3, "batch"),
+    (4, "vector"), (4, "scan"), (4, "filter"),
+]
+_BM25_TERMS = sorted({t for _, t in _BM25_QUERIES})
+_BM25_Q_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+_BM25_T_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "llm_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE w IN ({_BM25_T_SQL}) GROUP BY 1, 2
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    idf AS (
+      SELECT w, CAST(ROUND(ln((c.n - df + 0.5) / (df + 0.5)) * 1e9) AS BIGINT)
+               AS idf_nano
+      FROM df, corpus c
+    ),
+    q(query_id, w) AS (VALUES {_BM25_Q_SQL}),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(ROUND(
+               (CAST(idf_nano AS DOUBLE) * (22 * tf.tf * c.s))
+               / ((10 * c.s * tf.tf + 3 * c.s + 9 * dl.dl * c.n) * 1000.0)
+             ) AS BIGINT) AS c_micro
+      FROM q JOIN tf ON tf.w = q.w
+      JOIN idf ON idf.w = q.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus c
+    ),
+    scored AS (
+      SELECT query_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, doc_id, score_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval over the documents table for a fixed
+    4-query battery — the lexical-search scorer (Robertson/Spärck
+    Jones, k1=1.2, b=0.75) every RAG pipeline pairs with the ANN keys'
+    dense retrieval.
+
+    Exactness discipline (the lm_score/dsir ln pattern + a new
+    rational-saturation spelling): idf snaps to the 1e-9 grid
+    (ROUND(ln((N−df+.5)/(df+.5))·1e9) — the single cross-engine float
+    op per DISTINCT term); the tf saturation term with k1=6/5, b=3/4
+    multiplies out to the exact int64 rational 22·tf·S /
+    (10·S·tf + 3·S + 9·dl·N) (S=total tokens, N=docs), so each
+    (term, doc) contribution is ONE double multiply+divide snapped to
+    micro-units, and the per-(query, doc) score is an ORDER-FREE int64
+    sum.  Ranking sorts exact ints with doc_id tiebreak — no float
+    comparison anywhere in the ordering.
+
+    Plan: one token explode feeds dl (doc lengths) and tf; the tf agg
+    filters to the 10-term query vocabulary BEFORE the shuffle, so the
+    wide aggregate carries query-relevant tokens only — at 100 TB the
+    explode is the scan-bound pass and everything joined after (df,
+    idf, corpus stats, the query battery) is broadcast-sized.  The
+    top-10 window runs per query over the scored subset, not the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = dl.localCheckpoint(eager=False)  # feeds corpus stats AND contrib
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = df.crossJoin(F.broadcast(corpus)).select(
+        "w",
+        F.expr(
+            "CAST(ROUND(ln((n - df + 0.5) / (df + 0.5)) * 1e9) AS BIGINT)"
+        ).alias("idf_nano"),
+    )
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, w string")
+    contrib = (
+        q.join(tf, "w")
+        .join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "CAST(ROUND((CAST(idf_nano AS DOUBLE) * (22 * tf * s))"
+                " / ((10 * s * tf + 3 * s + 9 * dl * n) * 1000.0))"
+                " AS BIGINT)"
+            ).alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_micro").cast("long").alias("score_micro")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "score_micro", "rnk")
+    )

@@ -1185,3 +1185,53 @@ def test_python_datasource_parallel_and_deterministic(spark, sf_dir):
     assert a == b
     assert len(a) == 64
     assert all(n == 1000 for _, n, *_ in a)
+
+
+def test_bm25_against_pure_python(spark, sf_dir):
+    """llm_bm25: the top-10 table must equal a from-scratch pure-Python
+    BM25 (k1=1.2, b=0.75, same micro-snap) computed off the raw texts —
+    formula, idf snap, rational saturation, ranking and tiebreak."""
+    import math
+    from collections import Counter, defaultdict
+
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.operators.corpus import _BM25_QUERIES
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    N = len(texts)
+    S = sum(len(t) for t in texts.values())
+    terms = {t for _, t in _BM25_QUERIES}
+    tf = {d: Counter(w for w in ws if w in terms) for d, ws in texts.items()}
+    dfc = Counter(t for d in tf.values() for t in d)
+    idf = {
+        t: round(math.log((N - dfc[t] + 0.5) / (dfc[t] + 0.5)) * 1e9)
+        for t in dfc
+    }
+    scores = defaultdict(int)
+    for qid, t in _BM25_QUERIES:
+        for d, c in tf.items():
+            if c.get(t):
+                dl = len(texts[d])
+                contrib = round(
+                    (float(idf[t]) * (22 * c[t] * S))
+                    / ((10 * S * c[t] + 3 * S + 9 * dl * N) * 1000.0)
+                )
+                scores[(qid, d)] += contrib
+    by_q = defaultdict(list)
+    for (qid, d), s in scores.items():
+        by_q[qid].append((-s, d))
+    want = {
+        (qid, d, -negs, r + 1)
+        for qid, lst in by_q.items()
+        for r, (negs, d) in enumerate(sorted(lst)[:10])
+    }
+    got = {
+        (r.query_id, r.doc_id, r.score_micro, r.rnk)
+        for r in QUERIES["llm_bm25"](spark, sf_dir).collect()
+    }
+    assert got == want
