@@ -208,6 +208,14 @@ TIMED = {
     # dominates), and q15 after the r8 revenue-view checkpoint pin.
     "ts_acf": "events",
     "tpch_q15": "lineitem",
+    # wave 13: the API-surface keys — BM25's query-filtered explode,
+    # the observe-on-write pass, and the two streaming-lifecycle keys
+    # (their fixed micro-batch scheduling cost should dominate, i.e.
+    # strongly sub-linear per-row ratios).
+    "llm_bm25": "documents",
+    "dq_observe": "lineitem",
+    "stream_state_reader": "events",
+    "sink_python_stream": "events",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
