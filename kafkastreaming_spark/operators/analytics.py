@@ -1461,13 +1461,20 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
-    g = u.groupBy("variant").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    g = (
+        u.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+        )
+        # the 2-row moment table feeds BOTH variant branches; unpinned,
+        # each branch re-ran the full scan + user aggregate (r8 plan
+        # audit batch 3 — the tpch_q15 disease)
+        .localCheckpoint(eager=False)
     )
     a = g.filter(F.col("variant") == 0).select(
         *[F.col(c).alias(f"{c}_a") for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")]

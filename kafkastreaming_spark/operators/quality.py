@@ -341,12 +341,19 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         F.when(F.unix_micros("ts") < F.col("mid"), 1).otherwise(0).alias("is_ref"),
     )
-    counts = binned.groupBy("event_type", "bin").agg(
-        F.sum("is_ref").cast("long").alias("n_ref"),
-        F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("n_cur"),
+    counts = (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.sum("is_ref").cast("long").alias("n_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("n_cur"),
+        )
+        # ≤ types×10 rows, consumed by the grid-fill join AND (via the
+        # distinct below) the type list; unpinned, both re-ran the
+        # events scan + bin aggregate (r8 plan audit batch 3)
+        .localCheckpoint(eager=False)
     )
     grid = (
-        binned.select("event_type")
+        counts.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("bin"))))
     )

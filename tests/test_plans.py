@@ -883,3 +883,67 @@ _AUDIT_PINS_2 = [
 )
 def test_survey_claim_audit_2(spark, sf_dir, key, check):
     assert check(_tree(_plan(spark, sf_dir, key)))
+
+
+def _shuffles(t: str) -> int:
+    """Shuffle exchanges only — "Exchange" also substring-matches
+    BroadcastExchange."""
+    return t.count("Exchange") - t.count("BroadcastExchange")
+
+
+# r8 plan audit, batch 3.  Two real drifts found and fixed with
+# localCheckpoint pins (the tpch_q15 disease — a tiny aggregate feeding
+# two consumers re-ran its whole upstream pipeline per consumer):
+# events_ab_cuped's 2-row moment table (6 shuffles/4 scans → 0/0 visible,
+# one checkpointed pass) and dq_drift's types×10 count table (4 scans →
+# the single checkpointed bin aggregate).
+_AUDIT_PINS_3 = [
+    ("tpch_q17", lambda t: "BroadcastHashJoin" in t),
+    ("fn_url", lambda t: _shuffles(t) == 0),
+    (
+        "llm_text_normalize",
+        lambda t: _shuffles(t) == 0 and "Python" not in t,
+    ),
+    ("llm_quality_ratios", lambda t: _shuffles(t) == 0),
+    (
+        "llm_pq_encode",
+        lambda t: _shuffles(t) == 0 and "BatchEvalPython" not in t,
+    ),
+    ("llm_pii_redact", lambda t: _shuffles(t) == 0),
+    (
+        "llm_chunk",
+        lambda t: _shuffles(t) == 0 and "BatchEvalPython" not in t,
+    ),
+    # unpivot's Expand adds ZERO shuffles of its own — the one exchange
+    # belongs to the pre-aggregate it unpivots
+    ("agg_unpivot", lambda t: "Expand" in t and _shuffles(t) == 1),
+    (
+        "sub_not_in",
+        lambda t: "LeftAnti" in t and "BroadcastHashJoin" in t,
+    ),
+    ("ts_ohlc", lambda t: _shuffles(t) <= 2 and t.count("Window") == 2),
+    ("events_ab_srm", lambda t: _shuffles(t) <= 3),
+    # post-fix: the moment table is checkpointed, so the visible plan is
+    # pure single-row scalar algebra over it
+    ("events_ab_cuped", lambda t: _shuffles(t) == 0),
+    # post-fix: grid fill + window totals over the checkpointed
+    # types×10 aggregate; no events re-scan in the visible plan
+    (
+        "dq_drift",
+        lambda t: t.count("Scan parquet") == 0 and _shuffles(t) <= 1,
+    ),
+    (
+        "dq_table_diff",
+        lambda t: "SortMergeJoin" in t and "FullOuter" in t,
+    ),
+    ("llm_bm25", lambda t: "Generate" in t),
+    ("graph_bfs", lambda t: t.count("Scan parquet") <= 1),
+    ("agg_bitmap_distinct", lambda t: _shuffles(t) <= 2),
+]
+
+
+@pytest.mark.parametrize(
+    "key,check", _AUDIT_PINS_3, ids=[k for k, _ in _AUDIT_PINS_3]
+)
+def test_survey_claim_audit_3(spark, sf_dir, key, check):
+    assert check(_tree(_plan(spark, sf_dir, key)))
