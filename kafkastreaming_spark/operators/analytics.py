@@ -1158,7 +1158,14 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type,user) projection); everything after runs on user-cardinality
     data."""
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select("event_type", "user_id").distinct()
+    # user-cardinality table feeds sizes AND both self-join sides;
+    # unpinned, each consumer re-ran the events scan + distinct (r8
+    # multi-scan sweep — the tpch_q15 disease)
+    du = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = du.select(F.col("event_type").alias("type_a"), "user_id")
     b = du.select(F.col("event_type").alias("type_b"), "user_id")

@@ -895,8 +895,15 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ev.groupBy("event_type").agg(
         F.expr("CAST(percentile(vc, 0.5) * 2 AS BIGINT)").alias("med2_cents")
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "dev2", F.expr("abs(2 * vc - med2_cents)")
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("dev2", F.expr("abs(2 * vc - med2_cents)"))
+        # dev feeds the MAD percentile AND the outlier aggregate;
+        # unpinned, each consumer re-ran the events scan + median
+        # join (r8 multi-scan sweep).  Materializing the 3-int
+        # projection once IS the scale-right answer — it replaces two
+        # further raw-table passes.
+        .localCheckpoint(eager=False)
     )
     mad = dev.groupBy("event_type").agg(
         F.expr("CAST(percentile(dev2, 0.5) * 2 AS BIGINT)").alias("mad4_cents")

@@ -765,12 +765,15 @@ def test_spatial_grid_is_hash_join_not_nested_loop(spark, sf_dir):
 
 
 def test_outlier_mad_all_joins_broadcast(spark, sf_dir):
-    """ts_outlier_mad: the two tiny percentile tables must come back as
-    broadcast joins — a sort-merge join here would shuffle the full
-    fact table three times at 100 TB."""
+    """ts_outlier_mad: the tiny MAD percentile table must come back as a
+    broadcast join (the median join lives inside the checkpointed dev
+    pass — the r8 multi-scan sweep moved it there), never a sort-merge
+    join that would shuffle the fact side, and the visible plan must
+    not re-scan raw parquet (dev is the single materialized pass)."""
     tree = _tree(_plan(spark, sf_dir, "ts_outlier_mad"))
     assert "SortMergeJoin" not in tree
-    assert tree.count("BroadcastHashJoin") == 3
+    assert tree.count("BroadcastHashJoin") == 1
+    assert "Scan parquet" not in tree
 
 
 def test_conversion_lag_single_user_shuffle_no_join(spark, sf_dir):
