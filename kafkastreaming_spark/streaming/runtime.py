@@ -562,3 +562,88 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("long").alias("n_events"),
         F.col("value.sum").cast("long").alias("cents"),
     )
+
+
+@query(
+    "stream_listener_metrics",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    n AS (SELECT COUNT(*) AS n FROM events),
+    b AS (SELECT unnest(generate_series(0, 3)) AS batch_id)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(LEAST(n // 4 + 1, n - batch_id * (n // 4 + 1)) AS BIGINT)
+             AS num_input_rows
+    FROM b, n
+    WHERE n - batch_id * (n // 4 + 1) > 0
+    """,
+)
+def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY via StreamingQueryListener — the hook
+    every lag/throughput dashboard and SLO alert hangs off: a Python
+    listener receives QueryProgress events asynchronously and this key
+    re-emits the per-micro-batch (batch_id, numInputRows) trail as a
+    DataFrame.
+
+    Hash-checkable because the replay harness makes batch boundaries
+    deterministic: maxFilesPerTrigger=1 over 4 arrival-ordered chunks
+    of ceil-division size, so the oracle recomputes the batch sizes in
+    closed form from COUNT(*) alone — a dropped batch, a merged
+    trigger, or listener event loss all break the hash.  The listener
+    is registered for exactly this query's lifetime and removed in a
+    finally block (listeners are session-global; leaking one would
+    double-count every later streaming key).  At 100 TB this listener
+    is the backpressure signal: numInputRows vs trigger interval IS
+    the consumer-lag metric Kafka dashboards chart."""
+    import time
+    import uuid
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from kafkastreaming_spark.streaming.harness import stream_events
+
+    got: list[tuple[int, int]] = []
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            got.append((p.batchId, p.numInputRows))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    try:
+        sdf = stream_events(spark, sf_dir, n_chunks=4, tag="listener")
+        name = f"listener_{uuid.uuid4().hex[:8]}"
+        import os
+        import tempfile
+
+        ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        # progress events are ASYNC; poll briefly for the full trail
+        for _ in range(40):
+            if len({b for b, _ in got}) >= 4:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    rows = sorted({(int(b), int(r)) for b, r in got if r > 0})
+    return spark.createDataFrame(
+        rows, "batch_id long, num_input_rows long"
+    )

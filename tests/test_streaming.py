@@ -369,3 +369,22 @@ def test_python_sink_two_phase_commit_clean(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("long"))
     ).collect()[0][0]
     assert row.sum_cents == expect
+
+
+def test_listener_metrics_conserve_and_order(spark, sf_dir):
+    """stream_listener_metrics: the per-batch trail must partition the
+    events table exactly (conservation), with contiguous batch ids from
+    0 and arrival-ordered non-increasing tail sizes (ceil-division
+    chunking)."""
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.io import load_table
+
+    rows = sorted(
+        QUERIES["stream_listener_metrics"](spark, sf_dir).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert [r.batch_id for r in rows] == list(range(len(rows)))
+    n = load_table(spark, sf_dir, "events").count()
+    assert sum(r.num_input_rows for r in rows) == n
+    sizes = [r.num_input_rows for r in rows]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:]))
