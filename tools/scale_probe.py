@@ -216,6 +216,8 @@ TIMED = {
     "dq_observe": "lineitem",
     "stream_state_reader": "events",
     "sink_python_stream": "events",
+    # wave 14: listener-metrics key — per-batch scheduling cost fixed
+    "stream_listener_metrics": "events",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
