@@ -950,3 +950,46 @@ _AUDIT_PINS_3 = [
 )
 def test_survey_claim_audit_3(spark, sf_dir, key, check):
     assert check(_tree(_plan(spark, sf_dir, key)))
+
+
+def test_plan_hygiene_sweep(spark, sf_dir):
+    """Standing net for the r8 mechanical sweeps, over every hash key
+    whose builder is side-effect-free (sink_/stream_/source_ keys
+    execute real jobs at build time and are covered by their own pins):
+
+    - no CartesianProduct anywhere;
+    - row-at-a-time Python (BatchEvalPython) only in the two §2.10
+      contract keys;
+    - no same-table double scan in the visible tree (the tpch_q15
+      disease) except llm_ann_ivf's documented corpus+query pair.
+    """
+    import re
+    from collections import Counter
+
+    from kafkastreaming_spark.registry import ORACLES
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    allowed_python = {"udf_scalar", "udtf_tokens"}
+    allowed_multiscan = {"llm_ann_ivf"}
+    skip = tuple(("sink_", "stream_", "source_", "mm_", "llm_pipeline_e2e"))
+    offenders = []
+    for k in sorted(ORACLES):
+        if k.startswith(skip):
+            continue
+        p = QUERIES[k](spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        cut = p.find("\n\n(1)")
+        t = p[:cut] if cut != -1 else p
+        if "CartesianProduct" in t:
+            offenders.append((k, "CartesianProduct"))
+        if "BatchEvalPython" in t and k not in allowed_python:
+            offenders.append((k, "BatchEvalPython"))
+        files = Counter(
+            re.findall(r"InMemoryFileIndex \[file:([^\]]+)\]", p)
+        )
+        if k not in allowed_multiscan and any(
+            n // 2 >= 2 for n in files.values()
+        ):
+            offenders.append((k, "same-table multi-scan"))
+    assert not offenders, offenders
