@@ -178,3 +178,57 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.sha2("text", 256)).alias("sha256_hex"),
         F.substring(F.md5("text"), 1, 8).alias("md5_prefix"),
     )
+
+
+@query(
+    "fn_crypto",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_roundtrip_exact,
+           CAST(SUM((length(text) // 16 + 1) * 16) AS BIGINT)
+             AS sum_ct_bytes,
+           bit_xor(CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT))
+             AS sha_xor
+    FROM documents GROUP BY source
+    """,
+)
+def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto function surface: AES-128-ECB encrypt→decrypt round trip
+    plus SHA-256 digests over the documents table — the
+    column-encryption primitive for PII-bearing lake columns
+    (aes_encrypt/aes_decrypt are Spark built-ins; ECB here because the
+    battery needs DETERMINISTIC ciphertext — production would use GCM,
+    whose random IV is exactly why it can't be hash-checked).
+
+    DuckDB has no AES, so the oracle verifies the hop from the
+    PLAINTEXT side, the source_xml roundtrip discipline:
+    n_roundtrip_exact counts docs where decrypt(encrypt(text)) equals
+    the original byte-for-byte (oracle: COUNT(*) — any corruption
+    breaks equality), and sum_ct_bytes checks a real CIPHERTEXT
+    property against its closed form — PKCS#7-padded AES length is
+    (len/16 + 1)*16 per doc.  sha_xor cross-checks SHA-256 itself
+    (spark sha2 vs duckdb sha256) via the established xor-of-60-bit
+    fold.  All map-side expressions; one scan, one tiny agg — scan
+    speed at 100 TB, JVM-native crypto (no Python)."""
+    key = "0123456789abcdef"
+    docs = load_table(spark, sf_dir, "documents")
+    enc = F.expr(f"aes_encrypt(text, '{key}', 'ECB')")
+    rt = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(text, '{key}', 'ECB'),"
+        f" '{key}', 'ECB') AS STRING)"
+    )
+    return docs.select(
+        "source",
+        "text",
+        F.octet_length(enc).cast("long").alias("ct_bytes"),
+        (rt == F.col("text")).cast("int").alias("rt_ok"),
+        F.expr(
+            "CAST(conv(substr(sha2(text, 256), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("sha60"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("rt_ok").cast("long").alias("n_roundtrip_exact"),
+        F.sum("ct_bytes").cast("long").alias("sum_ct_bytes"),
+        F.expr("bit_xor(sha60)").alias("sha_xor"),
+    )

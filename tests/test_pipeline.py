@@ -1235,3 +1235,23 @@ def test_bm25_against_pure_python(spark, sf_dir):
         for r in QUERIES["llm_bm25"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_crypto_roundtrip_complete_and_ciphertext_real(spark, sf_dir):
+    """fn_crypto: every doc must roundtrip exactly, ciphertext length
+    must be the PKCS#7 closed form, and encryption must actually change
+    the bytes (a pass-through fake would still roundtrip)."""
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["fn_crypto"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_roundtrip_exact == r.n_docs
+    docs = load_table(spark, sf_dir, "documents")
+    changed = docs.filter(
+        F.expr(
+            "CAST(aes_encrypt(text, '0123456789abcdef', 'ECB') AS STRING)"
+            " = text"
+        )
+    ).count()
+    assert changed == 0  # ciphertext differs from plaintext everywhere
