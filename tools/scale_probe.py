@@ -218,6 +218,7 @@ TIMED = {
     "sink_python_stream": "events",
     # wave 14: listener-metrics key — per-batch scheduling cost fixed
     "stream_listener_metrics": "events",
+    "fn_crypto": "documents",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
