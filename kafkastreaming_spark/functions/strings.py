@@ -185,8 +185,8 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(*) AS BIGINT) AS n_roundtrip_exact,
-           CAST(SUM((length(text) // 16 + 1) * 16) AS BIGINT)
+           CAST(COUNT(text) AS BIGINT) AS n_roundtrip_exact,
+           CAST(SUM((octet_length(encode(text)) // 16 + 1) * 16) AS BIGINT)
              AS sum_ct_bytes,
            bit_xor(CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT))
              AS sha_xor
@@ -204,10 +204,12 @@ def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB has no AES, so the oracle verifies the hop from the
     PLAINTEXT side, the source_xml roundtrip discipline:
     n_roundtrip_exact counts docs where decrypt(encrypt(text)) equals
-    the original byte-for-byte (oracle: COUNT(*) — any corruption
-    breaks equality), and sum_ct_bytes checks a real CIPHERTEXT
-    property against its closed form — PKCS#7-padded AES length is
-    (len/16 + 1)*16 per doc.  sha_xor cross-checks SHA-256 itself
+    the original byte-for-byte (oracle: COUNT(text) — NULL-safe, any
+    corruption breaks equality), and sum_ct_bytes checks a real
+    CIPHERTEXT property against its closed form — PKCS#7-padded AES
+    length is (utf8_bytes/16 + 1)*16 per doc, where utf8_bytes is
+    octet_length(encode(text)) on the DuckDB side so multi-byte text
+    (non-ASCII) still matches the real octet_length(ciphertext).  sha_xor cross-checks SHA-256 itself
     (spark sha2 vs duckdb sha256) via the established xor-of-60-bit
     fold.  All map-side expressions; one scan, one tiny agg — scan
     speed at 100 TB, JVM-native crypto (no Python)."""
@@ -228,7 +230,9 @@ def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sha60"),
     ).groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("rt_ok").cast("long").alias("n_roundtrip_exact"),
+        F.coalesce(F.sum("rt_ok"), F.lit(0))
+        .cast("long")
+        .alias("n_roundtrip_exact"),
         F.sum("ct_bytes").cast("long").alias("sum_ct_bytes"),
         F.expr("bit_xor(sha60)").alias("sha_xor"),
     )

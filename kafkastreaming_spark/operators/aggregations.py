@@ -854,12 +854,19 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by the same contract as agg_approx_distinct: the sketch's
     exact output is engine-specific.  tests/test_aggregations.py pins
     each approximate quartile inside the exact [p−0.02, p+0.02]
-    quantile bracket — the GK guarantee with 10× margin."""
+    quantile bracket — the GK guarantee with 10× margin.
+
+    Output is three SCALAR quartile columns, not an array: the
+    rows-only verifier canonicalizes by sorting every column, and an
+    array<double> column is unsortable there (r8 driver run recorded
+    'unhashable type: numpy.ndarray' and the key shipped with no
+    evidence at all — ADVICE r8)."""
     ev = load_table(spark, sf_dir, "events")
+    q = F.expr("approx_percentile(value, array(0.25, 0.5, 0.75), 10000)")
     return ev.groupBy("event_type").agg(
-        F.expr(
-            "approx_percentile(value, array(0.25, 0.5, 0.75), 10000)"
-        ).alias("quartiles"),
+        q[0].alias("q25"),
+        q[1].alias("q50"),
+        q[2].alias("q75"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

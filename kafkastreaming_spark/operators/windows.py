@@ -461,7 +461,9 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, event_type, value_cents,
            CAST(quartile AS BIGINT) AS quartile,
-           CAST(ROUND((rk - 1) * 1000000.0 / (n - 1)) AS BIGINT) / 1e6
+           CASE WHEN n = 1 THEN 0.0
+                ELSE CAST(ROUND((rk - 1) * 1000000.0 / (n - 1)) AS BIGINT)
+                     / 1e6 END
              AS pct_rank,
            CAST(ROUND(cnt_le * 1000000.0 / n) AS BIGINT) / 1e6
              AS cume_dist
@@ -512,10 +514,15 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value_cents",
         "quartile",
-        (
+        # n=1 guard (the win_percentiles discipline): a single-row
+        # partition makes (rk-1)/(n-1) = 0/0 — Spark yields NULL,
+        # DuckDB yields NaN with undefined ROUND/CAST; both sides pin 0.
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(
             F.round((F.col("rk") - 1) * 1000000.0 / (F.col("n") - 1))
             .cast("long") / 1e6
-        ).alias("pct_rank"),
+        )
+        .alias("pct_rank"),
         (
             F.round(F.col("cnt_le") * 1000000.0 / F.col("n"))
             .cast("long") / 1e6

@@ -87,7 +87,7 @@ def test_approx_percentile_within_exact_bracket(spark, sf_dir):
     from kafkastreaming_spark.io import load_table
 
     approx = {
-        r["event_type"]: r["quartiles"]
+        r["event_type"]: [r["q25"], r["q50"], r["q75"]]
         for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
     }
     brackets = {
