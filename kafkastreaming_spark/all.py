@@ -10,6 +10,7 @@ from kafkastreaming_spark.functions import (  # noqa: F401
     collections,
     datetimes,
     math_cond,
+    spark4,
     strings,
     urls,
 )

@@ -1,0 +1,192 @@
+"""Spark 4 language-surface keys: VARIANT, collations, SQL pipe syntax.
+
+These are the three user-visible SQL-language additions of the Spark 4
+line (semi-structured VARIANT values, per-expression string collations,
+and the ``|>`` pipe-operator query syntax).  A user of any modern
+analytics engine exercises all three daily, so each gets a first-class
+registry key with an exact DuckDB oracle spelled against the same
+parquet — the oracle never sees the new surface (DuckDB has none of the
+three), it recomputes the RESULT from the raw columns, the source_xml
+round-trip discipline: if the new code path changes anything, the hash
+breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.registry import query
+
+
+@query(
+    "fn_variant",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k_val,
+           CAST(NULL AS VARCHAR) AS missing,
+           CAST(1 AS INTEGER) AS miss_is_null,
+           event_type AS et_rt,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents_rt,
+           user_id AS uid_rt
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT surface (Spark 4 semi-structured type): ``parse_json``
+    the props payload into a VARIANT, extract typed fields with
+    ``variant_get``, probe an absent path with ``try_variant_get``
+    (NULL, never an error), and round-trip three relational columns
+    through ``to_json → parse_json → variant_get``.
+
+    Oracle discipline: DuckDB has no VARIANT, so it recomputes every
+    output from the RAW columns (``props->>'k'`` for the extraction,
+    the original columns for the round trip) — the check pins that the
+    VARIANT hop changed NOTHING, the source_xml pattern.  cents_rt
+    proves the double survives JSON re-parsing bit-exactly (same IEEE
+    value → same cents).
+
+    Scale: all map-side expressions over one pushed-down scan — VARIANT
+    parse/extract is JVM-native columnar work, the 100 TB path for
+    schema-on-read telemetry lakes (parse once, bind paths lazily,
+    no Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    rt = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("et"),
+                F.col("value").alias("val"),
+                F.col("user_id").alias("uid"),
+            )
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.expr("try_variant_get(parse_json(props), '$.absent', 'string')").alias(
+            "missing"
+        ),
+        F.expr(
+            "CAST(try_variant_get(parse_json(props), '$.absent', 'string')"
+            " IS NULL AS INT)"
+        ).alias("miss_is_null"),
+        rt.alias("_v"),
+    ).select(
+        "event_id",
+        "k_val",
+        "missing",
+        "miss_is_null",
+        F.expr("variant_get(_v, '$.et', 'string')").alias("et_rt"),
+        F.expr(
+            "CAST(ROUND(variant_get(_v, '$.val', 'double') * 100) AS BIGINT)"
+        ).alias("cents_rt"),
+        F.expr("variant_get(_v, '$.uid', 'bigint')").alias("uid_rt"),
+    )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS m,
+             lang
+      FROM documents
+    )
+    SELECT lower(m) AS src_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT m) AS BIGINT) AS n_case_variants,
+           CAST(SUM(CASE WHEN lower(lang) = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang_en_ci
+    FROM mixed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation surface (Spark 4 per-expression collations): group,
+    count-distinct, and filter under ``UTF8_LCASE`` over a
+    deterministically case-mangled source column (even doc_ids
+    upper-cased), next to the binary-collation distinct count inside
+    each group.
+
+    Determinism trap this key pins: the representative VALUE of a
+    collated group key is whichever member the engine saw first — so
+    the output never emits the raw key, only ``lower(key)`` (identical
+    for every member of a UTF8_LCASE group, ASCII fixture).  DuckDB has
+    no collation expressions, so the oracle is the lower()-twin.
+
+    Scale: collated grouping is one hash shuffle on the normalized key,
+    identical cost to binary grouping — the point of engine-level
+    collations vs wrapping every predicate in lower() by hand (which
+    defeats dictionary-encoded pushdown on the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("m"),
+        "lang",
+    )
+    return (
+        mixed.groupBy(F.collate("m", "UTF8_LCASE").alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(F.collate("m", "UTF8_BINARY"))
+            .cast("long")
+            .alias("n_case_variants"),
+            F.sum(
+                (F.collate("lang", "UTF8_LCASE") == F.lit("EN")).cast("int")
+            )
+            .cast("long")
+            .alias("n_lang_en_ci"),
+        )
+        .select(
+            F.lower("g").alias("src_ci"),
+            "n_docs",
+            "n_case_variants",
+            "n_lang_en_ci",
+        )
+        .orderBy("src_ci")
+    )
+
+
+@query(
+    "sql_pipe",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE value > 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operator, SPARK-49555): the same
+    filtered per-type rollup every dashboard runs, written as a linear
+    pipeline — FROM → |> WHERE → |> AGGREGATE ... GROUP BY →
+    |> ORDER BY — instead of the inside-out ANSI nesting.  The oracle
+    is the ANSI spelling, so the hash pins that pipe syntax is pure
+    sugar over the identical logical plan (Catalyst parses both to the
+    same Aggregate node; predicate still reaches the scan).
+
+    Cents sum is exact int64 per the §5.4 discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    view = "events_pipe_v"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        FROM {view}
+        |> WHERE value > 50
+        |> AGGREGATE COUNT(*) AS n_events,
+                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                     COUNT(DISTINCT user_id) AS n_users
+           GROUP BY event_type
+        |> SELECT event_type, n_events, cents, n_users
+        |> ORDER BY event_type
+        """
+    )

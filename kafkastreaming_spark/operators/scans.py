@@ -568,3 +568,49 @@ def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(CAST(conv(substr(md5(lang), 1, 15), 16, 10) AS BIGINT))"
         ).alias("lang_hash_xor"),
     )
+
+
+@query(
+    "scan_metadata",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_row_idx,
+           bit_xor(l_orderkey * 8 + l_linenumber) AS key_xor
+    FROM lineitem
+    """,
+)
+def scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (``_metadata.file_name`` /
+    ``file_size`` / ``row_index``) — the lineage surface every
+    backfill-debugging and bad-file-quarantine job reads ("which file
+    did this row come from").
+
+    The oracle can't see the filesystem, so it pins the INVARIANTS:
+    the fixture's file basename is a constant at every SF,
+    ``row_index`` is unique within a file (COUNT(DISTINCT) folds to
+    COUNT(*)), ``file_size`` is positive (spelled as a filter that
+    must drop nothing), and the per-file row population is pinned by
+    an exact key xor.  A wrong file name, duplicated/skipped row
+    index, or zero size all break the hash.
+
+    Scale: metadata columns are constant-per-split virtual columns —
+    zero I/O added to the scan; grouping by file_name is the standard
+    per-file audit rollup (small-files detection pairs it with
+    ``file_size``)."""
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    return (
+        li.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_size").alias("fsz"),
+            F.col("_metadata.row_index").alias("ridx"),
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("key"),
+        )
+        .filter(F.col("fsz") > 0)
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("ridx").cast("long").alias("n_row_idx"),
+            F.expr("bit_xor(key)").alias("key_xor"),
+        )
+    )
