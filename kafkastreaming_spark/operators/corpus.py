@@ -1990,3 +1990,110 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("query_id", "doc_id", "score_micro", "rnk")
     )
+
+
+_FH_BUCKETS = 64
+
+
+@query(
+    "llm_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             {_H_DUCK.format(x='tok')} % {_FH_BUCKETS} AS bucket,
+             1 - 2 * ({_H2_DUCK.format(x='tok')} % 2) AS sgn
+      FROM toks WHERE length(tok) > 0
+    )
+    SELECT doc_id, bucket,
+           CAST(SUM(sgn) AS BIGINT) AS feat_val,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM hashed
+    GROUP BY doc_id, bucket
+    """,
+)
+def llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick (signed feature hashing) bag-of-words: every token
+    hashes to one of 64 buckets, a second independent hash bit supplies
+    the ±1 sign, and the per-(doc, bucket) signed sum is the feature
+    value — the fixed-width, vocabulary-free featurizer under
+    fasttext-style quality classifiers and online spam filters
+    (Weinberger et al. 2009; sign makes collisions cancel in
+    expectation instead of biasing positive).
+
+    Both engines hash with the portable 60-bit md5 (H for the bucket,
+    H2 — the SAME md5 call's second 60 bits — for the sign), so the
+    sparse feature matrix is exactly hash-checkable.
+
+    Scale: tokenize + hash are map-side; ONE shuffle on (doc_id,
+    bucket) with map-side combine — output width is 64·docs rows max
+    regardless of vocabulary, which is the hashing trick's entire
+    point at 100 TB (no vocab table to build, broadcast, or shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.expr(_H_SPARK.format(x="tok"))
+    h2 = F.expr(_H2_SPARK.format(x="tok"))
+    return (
+        toks.select(
+            "doc_id",
+            (h % _FH_BUCKETS).alias("bucket"),
+            (1 - 2 * (h2 % 2)).alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("long").alias("feat_val"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_SHUF_SHARDS = 8
+
+
+@query(
+    "llm_shuffle_shard",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_H_DUCK.format(x="CAST(doc_id AS VARCHAR) || ':shuffle'")}
+               AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           hv % {_SHUF_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY hv % {_SHUF_SHARDS} ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle → training shards: every doc
+    gets a salted portable hash, the hash assigns one of 8 shards, and
+    the within-shard ORDER (hash, then doc_id) is the byte order the
+    shard file would be written in — the reproducible
+    shuffle-the-whole-corpus step every pretraining data build ends
+    with (and the one you can re-run byte-identically after adding a
+    doc, unlike ``ORDER BY rand()``).
+
+    Scale: this IS the 100 TB shuffle — one exchange hash-partitioned
+    on shard, then a per-shard sort; production spells it
+    ``repartition(n, shard).sortWithinPartitions(hv)`` + parquet write
+    (same exchange+sort plan Spark runs for the window below, one task
+    per shard file).  Salting the hash input (':shuffle') decorrelates
+    shard assignment from every other hash-derived split in the
+    pipeline (train/test, sampling), so shards stay IID."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.expr(_H_SPARK.format(x="CAST(doc_id AS STRING) || ':shuffle'"))
+    hdf = docs.select("doc_id", hv.alias("hv"))
+    w = Window.partitionBy(F.col("hv") % _SHUF_SHARDS).orderBy("hv", "doc_id")
+    return hdf.select(
+        "doc_id",
+        (F.col("hv") % _SHUF_SHARDS).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -1040,3 +1040,107 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # when() without otherwise == NULLIF: zero-variance -> NULL r
         F.round(num / F.when(den != 0.0, den), 6).alias("r"),
     )
+
+
+@query(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE {EVENTS_ORACLE_CTE},
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                  AS BIGINT) AS idx,
+             y
+      FROM hourly
+    ),
+    hw AS (
+      SELECT event_type, idx, y, y AS l, CAST(0 AS BIGINT) AS b
+      FROM series WHERE idx = 1
+      UNION ALL
+      SELECT s.event_type, s.idx, s.y,
+             (s.y + hw.l + hw.b) // 2 AS l,
+             (((s.y + hw.l + hw.b) // 2) - hw.l + hw.b) // 2 AS b
+      FROM series s
+      JOIN hw ON s.event_type = hw.event_type AND s.idx = hw.idx + 1
+    )
+    SELECT event_type, idx, y AS y_cents, l AS level_cents, b AS trend_cents
+    FROM hw
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, α = β = ½) over
+    each event type's hourly revenue series — the classic short-horizon
+    forecaster for capacity planning and anomaly baselines.
+
+    The recurrence l_t = (y_t + l_{t-1} + b_{t-1})/2,
+    b_t = (l_t − l_{t-1} + b_{t-1})/2 is inherently SEQUENTIAL — the
+    one shape no window frame expresses (every output depends on ALL
+    priors through a non-associative fold).  Spark side: per-series
+    ``applyInPandas`` — series are independent, so the cluster
+    parallelism is the series count (here 5 types; production
+    type×entity keys give thousands of groups), while the per-group
+    loop is O(series length), bounded by the time span, never by event
+    volume (the hourly pre-aggregation shuffles FIRST).
+
+    Exactness discipline: α = β = ½ turns every step into integer-cent
+    adds and ONE truncating halving — both engines run the identical
+    integer recurrence (Python emulates DuckDB's truncate-toward-zero
+    ``//``), so the hash is exact with zero float drift over ~700
+    steps.  The oracle is a RECURSIVE CTE stepping all series in
+    lockstep — the cross-engine pin that a window-function shortcut
+    could not provide."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    series = hourly.select(
+        "event_type",
+        F.row_number().over(w).cast("bigint").alias("idx"),
+        "y",
+    )
+
+    def _tdiv2(x: int) -> int:
+        # DuckDB's // truncates toward zero; Python's floors. Match DuckDB.
+        return -((-x) // 2) if x < 0 else x // 2
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx")
+        ys = [int(v) for v in pdf["y"]]
+        ls, bs = [], []
+        l = ys[0]
+        b = 0
+        ls.append(l)
+        bs.append(b)
+        for y in ys[1:]:
+            nl = _tdiv2(y + l + b)
+            nb = _tdiv2(nl - l + b)
+            l, b = nl, nb
+            ls.append(l)
+            bs.append(b)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "idx": pdf["idx"].values,
+                "y_cents": ys,
+                "level_cents": ls,
+                "trend_cents": bs,
+            }
+        )
+
+    return series.groupBy("event_type").applyInPandas(
+        _fit,
+        schema=(
+            "event_type string, idx bigint, y_cents bigint,"
+            " level_cents bigint, trend_cents bigint"
+        ),
+    )
