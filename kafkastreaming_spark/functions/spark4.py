@@ -190,3 +190,104 @@ def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY event_type
         """
     )
+
+
+@query(
+    "sql_recursive",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS k, c_custkey AS node, 0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT k, node // 10, depth + 1 FROM anc WHERE node > 0
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_chains,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+           bit_xor(k * 1048576 + node) AS chain_xor
+    FROM anc
+    GROUP BY depth
+    ORDER BY depth
+    """,
+)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4 ``WITH RECURSIVE``, SPARK-24497):
+    walk every customer's ancestor chain up a deterministic 10-ary
+    hierarchy (parent = key DIV 10, root 0) and roll up per-depth chain
+    counts, distinct-node counts, and an exact xor fold over the
+    (customer, ancestor) pairs.
+
+    DuckDB runs the IDENTICAL recursive SQL, so this key pins Spark's
+    recursion semantics (UNION ALL step, termination predicate, working
+    table scoping) value-for-value against an independent
+    implementation — complementary to graph_bfs, whose Spark side is a
+    driver-paced iterative loop; here the ENGINE owns the fixpoint.
+
+    Scale: each iteration is one shuffle-free projection+filter over
+    the frontier (depth ≤ 1+log10(maxkey), so the fixpoint closes in
+    ~6 steps regardless of row count); the single real shuffle is the
+    final per-depth aggregate.  Truncating vs flooring division never
+    diverges — keys are nonnegative."""
+    cust = load_table(spark, sf_dir, "customer")
+    view = "customer_rec_v"
+    cust.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey AS k, c_custkey AS node, 0 AS depth
+          FROM {view}
+          UNION ALL
+          SELECT k, node DIV 10, depth + 1 FROM anc WHERE node > 0
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_chains,
+               CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+               bit_xor(k * 1048576 + node) AS chain_xor
+        FROM anc
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
+
+
+@query(
+    "sql_params",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE value >= 25.0 AND event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding,
+    ``spark.sql(query, args={...})``): the dashboard rollup with its
+    threshold and type-list bound as PARAMETERS, not string-spliced
+    literals — the SQL-injection-safe templating surface every
+    multi-tenant query service needs (parameters bind as typed
+    literals AFTER parsing; a malicious string can never re-shape the
+    plan).
+
+    The oracle inlines the same constants, pinning that binding is
+    value-transparent.  Catalyst constant-folds bound parameters
+    exactly like literals, so the filter still reaches the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    view = "events_param_v"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM {view}
+        WHERE value >= :threshold AND event_type IN (:t1, :t2)
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+        args={"threshold": 25.0, "t1": "click", "t2": "purchase"},
+    )
