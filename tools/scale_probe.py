@@ -219,6 +219,22 @@ TIMED = {
     # wave 14: listener-metrics key — per-batch scheduling cost fixed
     "stream_listener_metrics": "events",
     "fn_crypto": "documents",
+    # wave 16 (r9): completed-TPC-H fact keys (q2/q11 excluded — their
+    # driving tables part/supplier are byte-copied dims, ratio vacuous;
+    # sql_recursive likewise customer-driven with log-depth fixpoint),
+    # the Spark-4 surface keys, the sequential Holt recurrence (span
+    # constant — the hourly agg must dominate), and the two
+    # training-shard keys (feature-hash shuffle + global shard sort).
+    "tpch_q9": "lineitem",
+    "tpch_q20": "lineitem",
+    "fn_variant": "events",
+    "fn_collation": "documents",
+    "sql_pipe": "events",
+    "sql_params": "events",
+    "scan_metadata": "lineitem",
+    "ts_holt_winters": "events",
+    "llm_feature_hash": "documents",
+    "llm_shuffle_shard": "documents",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
