@@ -1198,6 +1198,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(24,8)")
             .alias("v"),
         )
+        # consumed twice (group sums + grand total): pin the shared
+        # intermediate so part/supplier are scanned once, not per branch
+        .localCheckpoint(eager=False)
     )
     grp = natps.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
     tot = natps.agg(
