@@ -57,3 +57,68 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
     )
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP)
+             AS next_month,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+             AS next_quarter,
+           o_orderdate + INTERVAL 90 MINUTE AS plus_90m,
+           o_orderdate - INTERVAL 36 HOUR AS minus_36h,
+           CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS o_doy,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS o_week,
+           CAST(make_date(CAST(year(o_orderdate) AS INTEGER), 7, 1)
+                AS TIMESTAMP) AS mid_year,
+           CAST((epoch_us(o_orderdate)
+                 - epoch_us(TIMESTAMP '1995-01-01')) // 3600000000
+                AS BIGINT) AS hours_since_95
+    FROM orders
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-arithmetic surface: calendar-aware month adds
+    (add_months clamps 01-31 + 1 month to 02-29 — BOTH engines
+    implement the end-of-month clamp, which is what the hash pins),
+    sub-day INTERVAL add/subtract, quarter/dayofyear/ISO-week extracts,
+    make_date construction, and an hours-since-epoch counter.
+
+    Dialect notes (reconciled in the ORACLE, per the fn_date
+    discipline): Spark add_months returns DATE → both sides route
+    through DATE then re-cast TIMESTAMP; weekofyear is ISO-8601 in
+    both engines (Jan 1 can be week 52/53 of the prior ISO year);
+    hours_since is spelled as exact integer epoch-microsecond division
+    rather than timestampdiff, whose boundary-vs-complete-interval
+    counting differs between engines.
+
+    Map-only expressions — calendar math is JVM-side codegen, scan
+    speed at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 1).cast("timestamp").alias("next_month"),
+        F.add_months(d, 3).cast("timestamp").alias("next_quarter"),
+        F.expr("o_orderdate + INTERVAL 90 MINUTES").alias("plus_90m"),
+        F.expr("o_orderdate - INTERVAL 36 HOURS").alias("minus_36h"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.dayofyear("o_orderdate").alias("o_doy"),
+        F.weekofyear("o_orderdate").alias("o_week"),
+        F.make_date(F.year("o_orderdate"), F.lit(7), F.lit(1))
+        .cast("timestamp")
+        .alias("mid_year"),
+        (
+            (
+                F.unix_timestamp("o_orderdate")
+                - F.unix_timestamp(F.lit("1995-01-01").cast("timestamp"))
+            )
+            .cast("bigint")
+            / 3600
+        )
+        .cast("bigint")
+        .alias("hours_since_95"),
+    )

@@ -937,3 +937,59 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("corr_xy"),
     )
+
+
+@query(
+    "agg_argmax",
+    oracle=f"""
+    WITH {{events_cte}}
+    , scored AS (
+      SELECT event_type, event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) * 1099511627776 + event_id
+               AS score
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           arg_max(event_id, score) AS top_event,
+           arg_max(user_id, score) AS top_user,
+           arg_min(event_id, score) AS bottom_event,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """.format(events_cte=EVENTS_ORACLE_CTE),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregate surface (``max_by``/``min_by``, DuckDB
+    ``arg_max``/``arg_min``): which event/user carried each type's
+    highest spend — the "who was the max" lookup every leaderboard and
+    attribution query needs without a self-join back to the fact table.
+
+    Determinism discipline: max_by TIES are engine-arbitrary, so the
+    ordering key is made UNIQUE before the aggregate — exact cents
+    packed above the unique event_id (cents·2⁴⁰ + id; cents < 2¹⁵ and
+    id < 2⁴⁰ even at the 10× probe's re-keyed ids, so the packing never
+    collides).  ``any_value`` is deliberately NOT surfaced: it is
+    nondeterministic by contract — the deterministic spelling is
+    MIN/max_by, which ``first_event`` demonstrates.
+
+    Plan: single map-combined hash aggregate — max_by partials carry
+    one (value, key) pair per group per partition, the same O(groups)
+    state as MIN/MAX (vs the window row_number + filter spelling,
+    which shuffles every row to sort it)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    score = (
+        F.round(F.col("value") * 100).cast("bigint") * F.lit(1099511627776)
+        + F.col("event_id")
+    )
+    scored = ev.select("event_type", "event_id", "user_id", score.alias("score"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.expr("max_by(event_id, score)").alias("top_event"),
+            F.expr("max_by(user_id, score)").alias("top_user"),
+            F.expr("min_by(event_id, score)").alias("bottom_event"),
+            F.min("event_id").cast("long").alias("first_event"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -528,3 +528,67 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long") / 1e6
         ).alias("cume_dist"),
     )
+
+
+@query(
+    "win_session_tvf",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    ord AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM ord
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM sess GROUP BY user_id, sidx
+    """,
+)
+def win_session_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILT-IN session windows in batch: ``groupBy(user,
+    session_window(ts, '30 minutes'))`` — the engine-native twin of
+    events_sessionize's hand-rolled lag→flag→running-sum spelling, and
+    the same operator stream_session uses on the streaming side (batch
+    and streaming share ONE sessionization code path; this key pins the
+    batch half against an independent implementation).
+
+    Boundary semantics the oracle must mirror exactly: session_window
+    merges an event while it STARTS BEFORE the previous event's
+    ts + gap, so a new session opens at ts >= prev + 30min (``>=``, vs
+    events_sessionize's documented ``>`` convention), and the emitted
+    window END is last_event + gap, not last_event.
+
+    Plan: one shuffle on user_id; Spark plans session_window as an
+    UpdatingSessionsExec + MergingSessionsExec pair over the same
+    exchange a manual window would use — per-user state is one open
+    session, the reason the streaming twin's state stays O(users)."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "cents",
+        )
+    )
