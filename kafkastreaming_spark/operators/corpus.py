@@ -2097,3 +2097,91 @@ def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hv") % _SHUF_SHARDS).alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# Deterministic two-category blocklist over the fixture vocabulary:
+# real pipelines load thousands of terms from a governance table; the
+# mechanics (broadcast term join, per-category rollup, keep verdict)
+# are identical at any list size.
+_BLOCKLIST = [
+    ("slow", "perf"),
+    ("error", "reliability"),
+    ("old", "perf"),
+    ("small", "reliability"),
+]
+
+
+@query(
+    "llm_blocklist_filter",
+    oracle="""
+    WITH bl(term, cat) AS (
+      VALUES ('slow', 'perf'), ('error', 'reliability'),
+             ('old', 'perf'), ('small', 'reliability')
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id,
+             SUM(CASE WHEN cat = 'perf' THEN 1 ELSE 0 END) AS n_perf,
+             SUM(CASE WHEN cat = 'reliability' THEN 1 ELSE 0 END) AS n_rel,
+             MIN(term) AS first_term
+      FROM toks t JOIN bl ON t.tok = bl.term
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_perf, 0) AS BIGINT) AS n_perf,
+           CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel,
+           first_term,
+           CAST(CASE WHEN COALESCE(n_perf, 0) + COALESCE(n_rel, 0) = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist term filtering — the badwords/governance pass every
+    pretraining corpus build runs before quality scoring: tokenize,
+    join the (term → category) blocklist, roll hit counts up per doc
+    and category, and emit the keep/drop verdict (zero hits = keep)
+    plus the alphabetically-first matched term for audit trails.
+
+    Docs with NO hits must SURVIVE with zeroed counts — the LEFT join
+    back to the corpus is the part naive spellings drop (an inner join
+    silently deletes the clean 95%).
+
+    Scale: the blocklist is a broadcast dimension (thousands of terms
+    ≪ corpus); the token explode is map-side; the only shuffle is the
+    per-doc rollup with map-side combine.  Aho-Corasick-style substring
+    matching would swap the equi-join for a mapInPandas automaton pass
+    — same surrounding plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bl = docs.sparkSession.createDataFrame(_BLOCKLIST, ["term", "cat"])
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    hits = (
+        toks.join(F.broadcast(bl), toks.tok == bl.term)
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("cat") == "perf").cast("int")).alias("n_perf"),
+            F.sum((F.col("cat") == "reliability").cast("int")).alias("n_rel"),
+            F.min("term").alias("first_term"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_perf", F.lit(0)).cast("long").alias("n_perf"),
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            "first_term",
+            (
+                (F.coalesce("n_perf", F.lit(0)) + F.coalesce("n_rel", F.lit(0)))
+                == 0
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
