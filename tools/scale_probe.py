@@ -235,6 +235,15 @@ TIMED = {
     "ts_holt_winters": "events",
     "llm_feature_hash": "documents",
     "llm_shuffle_shard": "documents",
+    # wave 17 (r9 cont.): built-in session windows (state merge is the
+    # thing to measure), the argmax aggregate, interval calendar math,
+    # the Z-order partitioned write (real I/O — rewrite must stay
+    # linear), and the blocklist join rollup.
+    "win_session_tvf": "events",
+    "agg_argmax": "events",
+    "fn_interval": "orders",
+    "sink_zorder": "events",
+    "llm_blocklist_filter": "documents",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
