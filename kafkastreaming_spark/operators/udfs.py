@@ -24,6 +24,7 @@ rounded grid).
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -183,4 +184,50 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT t.doc_id, t.token, t.pos
         FROM ks_udtf_docs d, LATERAL ks_split_tokens(d.doc_id, d.text) t
         """
+    )
+
+
+@query(
+    "udf_pandas_iter",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % 97 < 32 THEN 'cold'
+                WHEN CAST(ROUND(value * 100) AS BIGINT) % 97 < 65 THEN 'warm'
+                ELSE 'hot' END AS shard_tier
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator pandas UDF (``Iterator[pd.Series] → Iterator[pd.Series]``,
+    SCALAR_ITER): the tier between udf_pandas and mapInPandas — one
+    Python worker receives ALL of a partition's Arrow batches through a
+    generator, so per-partition setup (model weights, tokenizer, GPU
+    context) loads ONCE per task instead of once per batch.  Here the
+    "model" is a 97-entry lookup table built before the first batch;
+    production swaps in a real artifact load, and at 100 TB that
+    amortization is the difference between loading a model 10⁶ times
+    (per batch) and 10³ times (per task).
+
+    The lookup maps exact cents mod 97 to a routing tier, so the oracle
+    is a closed-form CASE — the hash pins that batch iteration neither
+    drops, reorders within rows, nor double-processes a batch."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    @pandas_udf("string")
+    def tier_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # per-task init: build the "model" once, before the first batch
+        lut = np.array(
+            ["cold"] * 32 + ["warm"] * 33 + ["hot"] * 32, dtype=object
+        )
+        for cents in batches:
+            idx = (cents.to_numpy(dtype="int64") % 97).astype("int64")
+            yield pd.Series(lut[idx])
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        cents.alias("cents"),
+        tier_of(cents).alias("shard_tier"),
     )
