@@ -2185,3 +2185,160 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+@query(
+    "llm_bleu",
+    oracle="""
+    WITH refs AS (
+      SELECT doc_id, lang, source,
+             MIN(doc_id) OVER (PARTITION BY lang, source) AS ref_id
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, tk[i] AS g, COUNT(*) AS c
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+      GROUP BY doc_id, g
+    ),
+    big AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g, COUNT(*) AS c
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      GROUP BY doc_id, g
+    ),
+    lens AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM toks
+    ),
+    clip1 AS (
+      SELECT u.doc_id, SUM(LEAST(u.c, r.c)) AS clip
+      FROM refs j
+      JOIN uni u ON u.doc_id = j.doc_id
+      JOIN uni r ON r.doc_id = j.ref_id AND r.g = u.g
+      GROUP BY u.doc_id
+    ),
+    clip2 AS (
+      SELECT u.doc_id, SUM(LEAST(u.c, r.c)) AS clip
+      FROM refs j
+      JOIN big u ON u.doc_id = j.doc_id
+      JOIN big r ON r.doc_id = j.ref_id AND r.g = u.g
+      GROUP BY u.doc_id
+    )
+    SELECT j.doc_id, j.ref_id,
+           lc.n_tok AS cand_len, lr.n_tok AS ref_len,
+           CAST(COALESCE(c1.clip, 0) AS BIGINT) AS clip1,
+           CAST(COALESCE(c2.clip, 0) AS BIGINT) AS clip2,
+           CAST(ROUND(1000000.0 * COALESCE(c1.clip, 0) / lc.n_tok)
+                AS BIGINT) AS p1_ppm,
+           CASE WHEN lc.n_tok > 1
+                THEN CAST(ROUND(1000000.0 * COALESCE(c2.clip, 0)
+                                / (lc.n_tok - 1)) AS BIGINT)
+                ELSE 0 END AS p2_ppm,
+           CAST(CASE WHEN lc.n_tok >= lr.n_tok THEN 1 ELSE 0 END
+                AS INTEGER) AS no_brevity_penalty
+    FROM refs j
+    JOIN lens lc ON lc.doc_id = j.doc_id
+    JOIN lens lr ON lr.doc_id = j.ref_id
+    LEFT JOIN clip1 c1 ON c1.doc_id = j.doc_id
+    LEFT JOIN clip2 c2 ON c2.doc_id = j.doc_id
+    """,
+)
+def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style clipped n-gram precision (Papineni 2002) of every doc
+    against its group's canonical reference (min doc_id per
+    (lang, source)) — the eval-metric workhorse for generation
+    pipelines, spelled as pure relational algebra: per-doc gram counts,
+    a (ref, gram) join, and Σ min(cand_count, ref_count).
+
+    Exactness: clipped counts are exact ints; the unigram/bigram
+    precisions are emitted as parts-per-million (the tie-safe 10⁶ grid
+    — one ROUND of the identical IEEE quotient in both engines), and
+    the brevity-penalty term stays an integer length comparison —
+    BLEU's exp/log geometric mean is deliberately left to the client,
+    which is where the metric aggregation belongs (it's a scalar over
+    these per-doc columns).
+
+    Scale: gram tables shuffle once on (doc, gram); the clip joins key
+    on (ref_id, gram) — reference-side counts are one row per distinct
+    gram of a BOUNDED reference set (one doc per corpus group), so the
+    join's build side broadcasts at any corpus size.  No all-pairs
+    comparison exists anywhere: each candidate meets exactly ONE
+    reference, the eval-harness contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    wref = Window.partitionBy("lang", "source")
+    refs = docs.select(
+        "doc_id", F.min("doc_id").over(wref).alias("ref_id")
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    lens = toks.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
+    uni = (
+        toks.select("doc_id", F.explode("tk").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(tk) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(tk) - 1),"
+                    "   i -> concat(element_at(tk, i), ' ',"
+                    "               element_at(tk, i + 1))) END"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def _clip(grams: DataFrame) -> DataFrame:
+        cand = grams.join(refs, "doc_id")
+        ref = grams.select(
+            F.col("doc_id").alias("r_id"),
+            F.col("g").alias("r_g"),
+            F.col("c").alias("r_c"),
+        )
+        return (
+            cand.join(
+                ref,
+                (cand.ref_id == ref.r_id) & (cand.g == ref.r_g),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum(F.least("c", "r_c")).alias("clip"))
+        )
+
+    c1 = _clip(uni).withColumnRenamed("clip", "clip1_raw")
+    c2 = _clip(big).withColumnRenamed("clip", "clip2_raw")
+    lr = lens.select(
+        F.col("doc_id").alias("lr_id"), F.col("n_tok").alias("ref_len")
+    )
+    out = (
+        refs.join(lens, "doc_id")
+        .join(lr, F.col("ref_id") == F.col("lr_id"))
+        .join(c1, "doc_id", "left")
+        .join(c2, "doc_id", "left")
+    )
+    clip1 = F.coalesce("clip1_raw", F.lit(0)).cast("long")
+    clip2 = F.coalesce("clip2_raw", F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        "ref_id",
+        F.col("n_tok").alias("cand_len"),
+        "ref_len",
+        clip1.alias("clip1"),
+        clip2.alias("clip2"),
+        F.round(1000000.0 * clip1 / F.col("n_tok"))
+        .cast("bigint")
+        .alias("p1_ppm"),
+        F.when(
+            F.col("n_tok") > 1,
+            F.round(1000000.0 * clip2 / (F.col("n_tok") - 1)).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("p2_ppm"),
+        (F.col("n_tok") >= F.col("ref_len"))
+        .cast("int")
+        .alias("no_brevity_penalty"),
+    )
