@@ -1588,3 +1588,91 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lag_us").alias("min_lag_us"),
         )
     )
+
+
+@query(
+    "events_did",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    cells AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS treated,
+             CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                  AS INTEGER) AS post,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(ROUND(1000000.0 * SUM(cents) / COUNT(*)) AS BIGINT)
+               AS mean_ppm
+      FROM cells GROUP BY treated, post
+    )
+    SELECT treated, post, n, sum_cents, mean_ppm,
+           CAST((SELECT
+                   (CAST(ROUND(1000000.0 * SUM(CASE WHEN treated=1 AND post=1 THEN cents END)
+                         / COUNT(CASE WHEN treated=1 AND post=1 THEN 1 END)) AS BIGINT)
+                  - CAST(ROUND(1000000.0 * SUM(CASE WHEN treated=1 AND post=0 THEN cents END)
+                         / COUNT(CASE WHEN treated=1 AND post=0 THEN 1 END)) AS BIGINT))
+                  - (CAST(ROUND(1000000.0 * SUM(CASE WHEN treated=0 AND post=1 THEN cents END)
+                         / COUNT(CASE WHEN treated=0 AND post=1 THEN 1 END)) AS BIGINT)
+                  - CAST(ROUND(1000000.0 * SUM(CASE WHEN treated=0 AND post=0 THEN cents END)
+                         / COUNT(CASE WHEN treated=0 AND post=0 THEN 1 END)) AS BIGINT))
+                 FROM cells) AS BIGINT) AS did_ppm
+    FROM m ORDER BY treated, post
+    """,
+)
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: deterministic treatment
+    assignment (user parity — production uses the salted-hash split),
+    pre/post cut at the span midpoint, per-cell exact spend means, and
+    the DiD estimate (Δtreated − Δcontrol) attached to every cell row —
+    the causal-impact companion of events_ab_cuped (which de-noises a
+    randomized A/B; DiD handles the NON-randomized rollout where groups
+    differ at baseline and only the trend difference identifies the
+    effect).
+
+    Exactness: cell sums are exact cent ints; each mean is ONE
+    round-of-identical-IEEE-quotient onto the ppm grid, and the DiD is
+    integer arithmetic over the four snapped means — no compounded
+    float ops cross engines.
+
+    Scale: one pass, one 4-group map-combined aggregate; the estimate
+    is driver-side arithmetic on 4 rows broadcast back (the
+    sub_scalar_corr 1-row-join pattern, never a second fact scan)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.round(1000000.0 * F.sum("cents") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_ppm"),
+    )
+    # scalar DiD over the 4 snapped cell means, broadcast back onto them
+    did = m.agg(
+        (
+            (
+                F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("mean_ppm")))
+                - F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("mean_ppm")))
+            )
+            - (
+                F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("mean_ppm")))
+                - F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("mean_ppm")))
+            )
+        )
+        .cast("bigint")
+        .alias("did_ppm")
+    )
+    return (
+        m.crossJoin(F.broadcast(did))
+        .select("treated", "post", "n", "sum_cents", "mean_ppm", "did_ppm")
+        .orderBy("treated", "post")
+    )

@@ -554,3 +554,87 @@ def dq_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, price_cents long, n_discounted long, "
         "min_qty long, max_qty long",
     )
+
+
+@query(
+    "dq_reconcile",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS li_cents,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+             li.li_cents, li.n_lines
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT CASE WHEN li_cents IS NULL THEN 'no_lines'
+                WHEN li_cents = o_cents THEN 'exact'
+                WHEN li_cents > o_cents THEN 'lines_over'
+                ELSE 'lines_under' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(COALESCE(n_lines, 0)) AS BIGINT) AS n_lines,
+           CAST(SUM(ABS(COALESCE(li_cents, 0) - o_cents)) AS BIGINT)
+             AS abs_gap_cents,
+           CAST(MAX(ABS(COALESCE(li_cents, 0) - o_cents)) AS BIGINT)
+             AS max_gap_cents
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation — the finance-close control every
+    warehouse runs nightly: roll lineitem revenue up to its order,
+    LEFT-join against the order header's stated total, and bucket every
+    order as exact / lines_over / lines_under / no_lines with exact
+    absolute-gap sums.  (On this synthetic fixture header totals and
+    line sums are independently generated, so the gaps are real data —
+    the point is the control's mechanics, not a zero result.)
+
+    Headerless orders must SURVIVE into 'no_lines' — the LEFT join is
+    the contract (an inner join hides exactly the rows an auditor wants
+    to see).  All money compares as exact cent integers; no
+    double-equality anywhere.
+
+    Scale: one map-combined rollup on the fact table's natural key,
+    then a same-key join the SMJ handles without a second exchange
+    when both sides bucket by orderkey (sink_bucketed layout); the
+    bucket aggregate is 4 rows."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.expr("l_extendedprice * (1 - l_discount)") * 100
+                ).cast("bigint")
+            ).alias("li_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("o_cents"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    bucket = (
+        F.when(F.col("li_cents").isNull(), "no_lines")
+        .when(F.col("li_cents") == F.col("o_cents"), "exact")
+        .when(F.col("li_cents") > F.col("o_cents"), "lines_over")
+        .otherwise("lines_under")
+    )
+    gap = F.abs(F.coalesce("li_cents", F.lit(0)) - F.col("o_cents"))
+    return (
+        j.select(bucket.alias("bucket"), "n_lines", gap.alias("gap"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.coalesce("n_lines", F.lit(0))).cast("long").alias("n_lines"),
+            F.sum("gap").cast("long").alias("abs_gap_cents"),
+            F.max("gap").cast("long").alias("max_gap_cents"),
+        )
+        .orderBy("bucket")
+    )

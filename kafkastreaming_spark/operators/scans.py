@@ -704,3 +704,66 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "source_corrupt_records",
+    oracle="""
+    SELECT CAST(COUNT(CASE WHEN doc_id % 7 <> 3 THEN 1 END) AS BIGINT)
+             AS n_good,
+           CAST(COUNT(CASE WHEN doc_id % 7 = 3 THEN 1 END) AS BIGINT)
+             AS n_corrupt,
+           bit_xor(CASE WHEN doc_id % 7 <> 3
+                        THEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                        ELSE 0 END) AS good_text_xor,
+           CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 7 ELSE 0 END) AS BIGINT)
+             AS corrupt_line_bytes
+    FROM documents
+    """,
+)
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling (PERMISSIVE mode +
+    ``columnNameOfCorruptRecord``) — what actually happens when 100 TB
+    of third-party JSONL contains broken lines: every 7th document's
+    JSON line is deterministically corrupted (truncated to its first 7
+    bytes — an unclosed object), the read-back must route EXACTLY those lines into
+    the corrupt-record column with data fields NULL, and every clean
+    line must survive byte-exactly (xor of the portable text hash).
+
+    The oracle computes the expected split in closed form from the
+    original parquet — a dropped corrupt line (FAILFAST would throw,
+    DROPMALFORMED would silently delete), a good line misrouted, or
+    any text mutation breaks the hash.  PERMISSIVE is the only mode
+    that preserves the evidence for quarantine-and-reprocess, which is
+    why it is the production default.
+
+    Scale: corruption detection is per-line in the JSON parser —
+    map-side, no extra pass; the quarantine split is one tiny
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "text"))
+    corrupted = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.expr("substring(to_json(struct(doc_id, text)), 1, 7)"),
+    ).otherwise(line)
+    path = _sink_path("ks_spark_corrupt_src", sf_dir)
+    docs.select(corrupted.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("doc_id long, text string, _bad string")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+    is_corrupt = F.col("_bad").isNotNull()
+    return back.agg(
+        F.sum((~is_corrupt).cast("int")).cast("long").alias("n_good"),
+        F.sum(is_corrupt.cast("int")).cast("long").alias("n_corrupt"),
+        F.expr(
+            "bit_xor(CASE WHEN _bad IS NULL THEN"
+            " CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
+            " ELSE 0 END)"
+        ).alias("good_text_xor"),
+        F.sum(F.when(is_corrupt, F.length("_bad")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("corrupt_line_bytes"),
+    )
