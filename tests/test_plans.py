@@ -993,3 +993,79 @@ def test_plan_hygiene_sweep(spark, sf_dir):
         ):
             offenders.append((k, "same-table multi-scan"))
     assert not offenders, offenders
+
+
+# --------------------------------------------------------------------------
+# round-9 key pins
+# --------------------------------------------------------------------------
+
+
+def test_tpch_q9_fact_broadcast_shape(spark, sf_dir):
+    """tpch_q9: the derived partsupp and the part/supplier/nation dims
+    must all broadcast — exactly ONE shuffle-joined spine (orders) may
+    remain; a second SortMergeJoin means a dimension fell off the
+    broadcast path."""
+    tree = _tree(_plan(spark, sf_dir, "tpch_q9"))
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert tree.count("SortMergeJoin") <= 1
+
+
+def test_shuffle_shard_single_exchange(spark, sf_dir):
+    """llm_shuffle_shard: shard assignment + within-shard position must
+    cost ONE exchange (the shard hash partition) and one sort — the
+    write-side plan of the 100 TB training-shard shuffle."""
+    tree = _tree(_plan(spark, sf_dir, "llm_shuffle_shard"))
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
+
+
+def test_session_tvf_merging_sessions_operator(spark, sf_dir):
+    """win_session_tvf must plan Spark's native session-window operators
+    (UpdatingSessions/MergingSessions), not a generic Window — proving
+    the key exercises the engine's sessionization code path."""
+    tree = _tree(_plan(spark, sf_dir, "win_session_tvf"))
+    assert "Sessions" in tree  # UpdatingSessions / MergingSessions nodes
+
+
+def test_zorder_locality_beats_single_key_sort(spark, sf_dir):
+    """sink_zorder's bounding boxes must show real 2-D locality: the
+    row-weighted mean bbox area of the Z-buckets must be far below the
+    full 256×256 domain (a single-key sort leaves the unsorted dimension
+    unbounded at ~256 span → bbox ≈ span_x·256)."""
+    from kafkastreaming_spark.all import QUERIES
+
+    rows = QUERIES["sink_zorder"](spark, sf_dir).collect()
+    total = sum(r["n_rows"] for r in rows)
+    mean_bbox = sum(r["bbox_cells"] * r["n_rows"] for r in rows) / total
+    assert mean_bbox < 256 * 256 / 8, mean_bbox
+    # and every bucket's box is a strict subset of the domain
+    assert all(r["bbox_cells"] <= 256 * 256 for r in rows)
+
+
+def test_holt_winters_level_tracks_series(spark, sf_dir):
+    """ts_holt_winters sanity pins beyond the oracle: the smoothed level
+    stays inside the series' observed range expanded by the max step
+    (alpha=1/2 smoothing can never escape the data envelope by more
+    than the trend carry), and idx is dense per type."""
+    from kafkastreaming_spark.all import QUERIES
+
+    pdf = QUERIES["ts_holt_winters"](spark, sf_dir).toPandas()
+    for et, g in pdf.groupby("event_type"):
+        g = g.sort_values("idx")
+        assert list(g["idx"]) == list(range(1, len(g) + 1))
+        lo, hi = g["y_cents"].min(), g["y_cents"].max()
+        margin = int(abs(g["trend_cents"]).max()) + 1
+        assert g["level_cents"].between(lo - margin, hi + margin).all(), et
+
+
+def test_bleu_self_reference_is_perfect(spark, sf_dir):
+    """llm_bleu: every group's reference doc scores itself — clipped
+    precision must be exactly 1e6 ppm on both gram orders for doc==ref
+    rows (the metric's fixed point)."""
+    from kafkastreaming_spark.all import QUERIES
+
+    pdf = QUERIES["llm_bleu"](spark, sf_dir).toPandas()
+    selfs = pdf[pdf.doc_id == pdf.ref_id]
+    assert len(selfs) > 0
+    assert (selfs.p1_ppm == 1000000).all()
+    assert ((selfs.cand_len <= 1) | (selfs.p2_ppm == 1000000)).all()
