@@ -236,3 +236,48 @@ def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct_bytes").cast("long").alias("sum_ct_bytes"),
         F.expr("bit_xor(sha60)").alias("sha_xor"),
     )
+
+
+@query(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('ORD-%08d', o_orderkey) AS order_tag,
+           printf('%s/%d', o_orderpriority, CAST(year(o_orderdate) AS INTEGER))
+             AS pri_year,
+           printf('%.2f', ROUND(o_totalprice, 2)) AS price_str,
+           printf('%5d|%-5s|', CAST(o_orderkey % 1000 AS INTEGER),
+                  o_orderstatus) AS aligned,
+           CAST(length(printf('%08d', o_orderkey)) AS INTEGER) AS tag_len
+    FROM orders
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting surface (``format_string`` ↔ DuckDB
+    ``printf``): zero-padded ids, composed label strings, fixed-2dp
+    money rendering, and width/left-align padding — the string
+    construction layer under every export file name, partition tag,
+    and human-readable report column.
+
+    Portability notes the key pins: both engines implement C-printf
+    semantics for %d / %s / %0Nd / %-Ns; ``%.2f`` formats the
+    IDENTICAL double (2dp money survives the round trip because the
+    value is first ROUNDed to the 2dp grid both engines share — raw
+    ``%.2f`` of an unrounded double is a last-ulp trap).
+
+    Map-only codegen'd projections — scan speed at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("ORD-%08d", "o_orderkey").alias("order_tag"),
+        F.format_string(
+            "%s/%d", F.col("o_orderpriority"), F.year("o_orderdate")
+        ).alias("pri_year"),
+        F.format_string("%.2f", F.round("o_totalprice", 2)).alias("price_str"),
+        F.format_string(
+            "%5d|%-5s|",
+            (F.col("o_orderkey") % 1000).cast("int"),
+            F.col("o_orderstatus"),
+        ).alias("aligned"),
+        F.length(F.format_string("%08d", "o_orderkey")).alias("tag_len"),
+    )

@@ -969,3 +969,45 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (pts["y"] <= zcells["ymax"]),
     )
     return joined.select("event_id", "zone_key", "x", "y")
+
+
+@query(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT surface: the same dim join every other key
+    lets Catalyst plan (it would broadcast nation) is here FORCED onto
+    the SHUFFLE_HASH path via the hint API — the knob you reach for
+    when the 'small' side is too big to broadcast but still fits a
+    per-partition hash table, where the default SMJ would pay two
+    sorts for nothing.
+
+    The oracle is strategy-blind, so the hash pins that the physical
+    strategy changes NO value (the planner-freedom contract);
+    tests/test_plans.py pins that the hint actually took
+    (ShuffledHashJoin node, no Broadcast/SortMerge).
+
+    Scale note: SHUFFLE_HASH shines for medium-dim joins (10-500 MB a
+    side) and skew-salted layouts; it loses to SMJ when the build side
+    spills — which is why it is a HINT, not a default."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .orderBy("n_name")
+    )

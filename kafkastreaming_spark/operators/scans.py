@@ -767,3 +767,53 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("corrupt_line_bytes"),
     )
+
+
+@query(
+    "scan_cache",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def scan_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache surface (``df.cache()`` → InMemoryRelation): a filtered
+    projection is cached, materialized once, and the returned aggregate
+    reads THROUGH the columnar cache (InMemoryTableScan in the plan) —
+    the interactive-notebook and iterative-algorithm workhorse.
+
+    The oracle recomputes from the raw parquet, so the hash pins cache
+    TRANSPARENCY: serialization to the columnar cache format and back
+    must change no value (cents stay exact ints through it).  The
+    cache is unpersisted... never — deliberately: the contract is
+    Spark evicts LRU blocks under pressure and recomputes from lineage;
+    an explicit unpersist here would just serialize the test.
+
+    Scale: caching a 100 TB scan is a cluster-memory budget decision —
+    the cached unit here is the FILTERED projection (status F, 4
+    columns), the narrow intermediate you actually pin in practice,
+    never the raw table."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .cache()
+    )
+    o.count()  # materialize the cache before the read-through
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("long")
+            .alias("cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        )
+        .orderBy("o_orderpriority")
+    )

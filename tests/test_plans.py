@@ -1069,3 +1069,19 @@ def test_bleu_self_reference_is_perfect(spark, sf_dir):
     assert len(selfs) > 0
     assert (selfs.p1_ppm == 1000000).all()
     assert ((selfs.cand_len <= 1) | (selfs.p2_ppm == 1000000)).all()
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+    """join_shuffle_hash: the hint must actually flip the physical
+    strategy — ShuffledHashJoin present, no Broadcast/SortMerge join."""
+    tree = _tree(_plan(spark, sf_dir, "join_shuffle_hash"))
+    assert "ShuffledHashJoin" in tree
+    assert "BroadcastHashJoin" not in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_scan_cache_reads_through_imr(spark, sf_dir):
+    """scan_cache: the aggregate must read from the columnar cache
+    (InMemoryTableScan), not re-scan parquet."""
+    tree = _tree(_plan(spark, sf_dir, "scan_cache"))
+    assert "InMemoryTableScan" in tree
