@@ -244,6 +244,19 @@ TIMED = {
     "fn_interval": "orders",
     "sink_zorder": "events",
     "llm_blocklist_filter": "documents",
+    # wave 18 (r9 cont.): reconciliation rollup+join, the corrupt-line
+    # quarantine write+read (real I/O), the DiD cells, the iterator
+    # UDF's Arrow streaming, BLEU's (ref,gram) clip joins on a
+    # duplicate-heavy blowup, the cached-read aggregate, and printf.
+    # join_shuffle_hash / sql_recursive excluded: dim-driven (customer,
+    # byte-copied), ratio vacuous.
+    "dq_reconcile": "orders",
+    "source_corrupt_records": "documents",
+    "events_did": "events",
+    "udf_pandas_iter": "events",
+    "llm_bleu": "documents",
+    "scan_cache": "orders",
+    "fn_format": "orders",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
