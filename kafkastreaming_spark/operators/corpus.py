@@ -2342,3 +2342,61 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("no_brevity_penalty"),
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dups,
+           CAST(ROUND(1000000.0 * SUM(n_chars) / COUNT(*)) AS BIGINT)
+             AS mean_chars_ppm
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+    ORDER BY gid, lang, source
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup — the summary table every published corpus
+    ships (per language, per source, per cell, and global): doc counts,
+    character volume, exact-duplicate rate via distinct-md5, and mean
+    doc length on the ppm grid, all four grains in ONE pass via
+    GROUPING SETS.
+
+    NULL-vs-rollup disambiguation: grouping columns coalesce to
+    '<all>' AND the exact GROUPING() bitmask ships in the output — the
+    only unambiguous spelling when a grouping column could itself hold
+    NULL (the agg_rollup discipline).
+
+    Scale: GROUPING SETS lowers to Expand (4× replication), but over
+    the (lang, source, md5-hash, n_chars) PROJECTION, not the document
+    text — the aggregate-before-Expand concern is moot because the
+    carried row is ~50 bytes; distinct-md5 adds the standard Expand
+    for count-distinct, still on hashes, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    slim = docs.select(
+        "lang", "source", F.md5("text").alias("h"), "n_chars"
+    )
+    slim.createOrReplaceTempView("ks_card_docs")
+    return docs.sparkSession.sql(
+        """
+        SELECT COALESCE(lang, '<all>') AS lang,
+               COALESCE(source, '<all>') AS source,
+               CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+               CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+               CAST(ROUND(1000000.0 * SUM(n_chars) / COUNT(*)) AS BIGINT)
+                 AS mean_chars_ppm
+        FROM ks_card_docs
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+        ORDER BY gid, lang, source
+        """
+    )

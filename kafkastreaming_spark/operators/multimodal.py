@@ -746,3 +746,78 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.sum("energy").cast("long").alias("seg_energy"),
     ).drop("grp")
+
+
+@query(
+    "mm_shard_manifest",
+    oracle=f"""
+    WITH blobs AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             {{h}} AS hv
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_bytes, hv, hv % 4 AS shard,
+             512 + ((n_bytes + 511) // 512) * 512 AS padded_bytes
+      FROM blobs
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           n_bytes, padded_bytes,
+           CAST(COALESCE(SUM(padded_bytes) OVER (
+                  PARTITION BY shard ORDER BY hv, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS byte_offset
+    FROM sharded
+    WINDOW w AS (PARTITION BY shard ORDER BY hv, doc_id)
+    """.format(h="CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mmshard'), 1, 15) AS BIGINT)"),
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard MANIFEST for binary blobs: every payload
+    is hashed into one of 4 tar shards, ordered deterministically
+    within its shard, and assigned its exact tar byte offset — 512-byte
+    header block plus data rounded up to 512-byte blocks, offsets as
+    the running sum of preceding members' padded sizes.  This is the
+    planning table a multimodal training loader seeks by (shard, offset)
+    without reading headers — and the random-access contract tar gives
+    you for free once offsets are precomputed.
+
+    All tar arithmetic is exact integers (header + ceil(n/512)·512);
+    the shard hash is the portable 60-bit md5 with a ':mmshard' salt
+    (decorrelated from every other split).  One shuffle on shard, one
+    sort, one running sum — the llm_shuffle_shard plan with a byte
+    ledger on top; at 100 TB one task per output shard writes its tar
+    sequentially, which is exactly why shard count is the parallelism
+    knob."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':mmshard'), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    blobs = docs.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        hv.alias("hv"),
+    )
+    sharded = blobs.select(
+        "doc_id",
+        "n_bytes",
+        "hv",
+        (F.col("hv") % 4).alias("shard"),
+        (512 + F.expr("((n_bytes + 511) DIV 512) * 512")).alias(
+            "padded_bytes"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    woff = w.rowsBetween(Window.unboundedPreceding, -1)
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("seq"),
+        "n_bytes",
+        "padded_bytes",
+        F.coalesce(F.sum("padded_bytes").over(woff), F.lit(0))
+        .cast("long")
+        .alias("byte_offset"),
+    )

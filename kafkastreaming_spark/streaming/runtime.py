@@ -647,3 +647,100 @@ def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id long, num_input_rows long"
     )
+
+
+@query(
+    "stream_foreach_upsert",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    latest AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_type, cents AS last_cents
+    FROM latest WHERE rn = 1
+    """,
+)
+def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC APPLY loop via foreachBatch: each micro-batch
+    upserts its newest row per user into a materialized keyed snapshot
+    (read current version → merge → keep latest by (ts, event_id) →
+    write NEXT version) — the read-modify-write merge every
+    changelog-to-table pipeline runs when the sink has no native MERGE
+    (object stores, plain parquet lakes).
+
+    Versioned directories (v0, v1, …) make each apply ATOMIC: a batch
+    never overwrites the snapshot it is reading (lazy scans + in-place
+    overwrite corrupt), and a retried batch rewrites its own version —
+    idempotent, the sink_exactly_once contract extended with state.
+
+    The hash oracle is the BATCH latest-per-user over the whole table:
+    a dropped batch, an upsert that kept a stale row, or a tie broken
+    differently all change the final snapshot.  Complements
+    stream_upsert_compact (one-shot compaction of a complete changelog)
+    — here the table is maintained INCREMENTALLY across batches.
+
+    Scale: per batch the work is one window over batch∪snapshot keyed
+    by user — at 100 TB the snapshot join prunes to keys present in
+    the batch (merge-on-read layouts) and versions compact in the
+    background; the apply loop's shape is unchanged."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kafkastreaming_spark.streaming.harness import stream_events
+
+    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="upsq")
+    base = os.path.join(
+        tempfile.gettempdir(), f"ks_upsert_{uuid.uuid4().hex[:12]}"
+    )
+    state: dict = {"path": None}
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        newest = (
+            bdf.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if state["path"] is not None:
+            prev = bdf.sparkSession.read.parquet(state["path"])
+            newest = (
+                prev.unionByName(newest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        out = os.path.join(base, f"v{batch_id}")
+        newest.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(base, "_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("upsert apply loop did not finish in 120s")
+    finally:
+        if q.isActive:
+            q.stop()
+    snap = spark.read.parquet(state["path"]).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round(F.col("value") * 100).cast("bigint").alias("last_cents"),
+    )
+    result = snap.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
