@@ -257,6 +257,13 @@ TIMED = {
     "llm_bleu": "documents",
     "scan_cache": "orders",
     "fn_format": "orders",
+    # wave 19 (r9 cont.): the versioned CDC apply loop (per-batch
+    # window + snapshot rewrite — the rewrite must stay linear), the
+    # tar manifest's shard sort + running byte sum, and the 4-grain
+    # grouping-sets card over the slim projection.
+    "stream_foreach_upsert": "events",
+    "mm_shard_manifest": "documents",
+    "llm_dataset_card": "documents",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
