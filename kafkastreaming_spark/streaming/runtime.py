@@ -744,3 +744,63 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = snap.localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_rocksdb_state",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming on the ROCKSDB state store provider — the
+    large-state backend (spill-to-disk SST files, incremental
+    changelog checkpointing) that replaces the default in-memory
+    HashMap provider once keyed state outgrows executor heap; at 100 TB
+    of events a per-key aggregation holds millions of state rows per
+    partition, which is exactly what RocksDB's out-of-heap LSM handles
+    and the default provider OOMs on.
+
+    The full events replay runs the per-type count+cents aggregation
+    through micro-batches with the provider flipped to RocksDB for
+    EXACTLY this query (session conf saved/restored in finally — other
+    streaming keys keep their default provider), and the final complete
+    state is hash-checked against the batch oracle: state encode/decode
+    through RocksDB must change NOTHING.
+
+    Exact ints only (count + cent sums) — the state round-trip is
+    byte-faithful by construction."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    from kafkastreaming_spark.streaming.harness import (
+        run_to_memory,
+        stream_events,
+    )
+
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, rocks)
+    try:
+        sdf = stream_events(spark, sf_dir, n_chunks=4, tag="rocks")
+        agg = sdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("long")
+            .alias("cents"),
+        )
+        out = run_to_memory(agg, output_mode="complete")
+        return out.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
