@@ -291,3 +291,87 @@ def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"threshold": 25.0, "t1": "click", "t2": "purchase"},
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+             '[0-9]', 'n', 'g') AS masked_default,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS digits_only,
+           regexp_replace(regexp_replace(
+             c_mktsegment, '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g')
+             AS seg_masked
+    FROM customer
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking surface (Spark 4 ``mask()``) — the column-level
+    governance primitive for PII display paths: default masking
+    (upper→X, lower→x, digit→n, others kept), digit-only masking via
+    the NULL-means-keep per-class arguments, and custom replacement
+    chars.  Complements llm_pii_redact (which FINDS entities by
+    pattern; mask() blanket-redacts by character class — the
+    belt-and-suspenders pair every governance pipeline layers).
+
+    DuckDB has no mask(), so the oracle is the regexp_replace chain
+    the function is sugar for — the hash pins the exact character-class
+    semantics (non-ASCII and punctuation pass through untouched).
+
+    Map-only codegen projection — scan speed at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_default"),
+        F.expr("mask(c_name, NULL, NULL, '#', NULL)").alias("digits_only"),
+        F.expr("mask(c_mktsegment, 'U', 'l')").alias("seg_masked"),
+    )
+
+
+@query(
+    "fn_xpath",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           o_orderpriority AS pri,
+           CAST(ROUND(o_totalprice, 2) AS VARCHAR) AS price_str,
+           CAST(2 AS INTEGER) AS n_tags
+    FROM orders
+    """,
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath function surface (``xpath_long`` / ``xpath_string`` /
+    ``xpath``): each order is rendered into an XML fragment and the
+    values extracted BACK by path expression — the legacy-integration
+    surface for XML payloads embedded in columns (SOAP bodies, config
+    blobs), distinct from source_xml's whole-file data source.
+
+    Round-trip discipline (source_xml's): the oracle recomputes every
+    output from the RAW columns, so XML serialization + XPath
+    extraction must be lossless — including the money column, which
+    routes through ROUND(…, 2) BEFORE serialization on both sides (the
+    fn_format %.2f rule: never print an unrounded double).
+
+    Map-only JVM expressions (Java XPath engine), zero shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><y>"),
+        F.year("o_orderdate").cast("string"),
+        F.lit("</y><pri>"),
+        F.col("o_orderpriority"),
+        F.lit("</pri><p>"),
+        F.round("o_totalprice", 2).cast("string"),
+        F.lit("</p><t/><t/></o>"),
+    )
+    return o.select(
+        "o_orderkey",
+        xml.alias("_xml"),
+    ).select(
+        "o_orderkey",
+        F.expr("xpath_long(_xml, '/o/y')").alias("y"),
+        F.expr("xpath_string(_xml, '/o/pri')").alias("pri"),
+        F.expr("xpath_string(_xml, '/o/p')").alias("price_str"),
+        F.expr("size(xpath(_xml, '/o/t'))").alias("n_tags"),
+    )

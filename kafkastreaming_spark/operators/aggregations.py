@@ -993,3 +993,38 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("agg_hll_union")  # DataSketches HLL — engine-specific binary, rows-only
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL build + MERGE surface (``hll_sketch_agg``
+    → ``hll_union_agg`` → ``hll_sketch_estimate``, Spark 3.5+): per
+    event-type user sketches built in one pass, then UNIONED into a
+    cross-type total — the property plain approx_count_distinct lacks
+    (its HLL++ buffer is opaque; DataSketches sketches are a public
+    wire format you can persist, ship between jobs, and merge later,
+    which is how 100 TB rollup hierarchies avoid re-scanning facts:
+    daily sketches merge into monthly into all-time).
+
+    Rows-only by the agg_approx_distinct contract (sketch binaries are
+    engine-specific); tests/test_aggregations.py pins every per-type
+    estimate AND the merged estimate within the lgK=12 HLL error
+    envelope of the exact distinct counts, and pins merge consistency
+    (union estimate ≤ sum of parts, ≥ max of parts)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+    merged = per_type.agg(
+        F.lit("<union>").alias("event_type"),
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk, true)) AS BIGINT)")
+        .alias("n_est"),
+        F.max(F.lit(None).cast("long")).alias("n_exact"),
+    )
+    per = per_type.select(
+        "event_type",
+        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("n_est"),
+        "n_exact",
+    )
+    return per.unionByName(merged).orderBy("event_type")

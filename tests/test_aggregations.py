@@ -109,3 +109,27 @@ def test_approx_percentile_within_exact_bracket(spark, sf_dir):
         lo, hi = brackets[et]
         for q, lo_q, hi_q in zip(qs, lo, hi):
             assert lo_q <= q <= hi_q, (et, q, lo_q, hi_q)
+
+
+def test_hll_union_within_error_envelope(spark, sf_dir):
+    """agg_hll_union: every per-type DataSketches estimate and the
+    merged union estimate must land within the lgK=12 HLL relative
+    error envelope (~1.6% at 3 sigma -> use 5% margin) of the exact
+    distinct counts; union must be bounded by max-part and sum-parts."""
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r for r in QUERIES["agg_hll_union"](spark, sf_dir).collect()}
+    union_row = rows.pop("<union>")
+    for et, r in rows.items():
+        assert abs(r["n_est"] - r["n_exact"]) <= max(2, 0.05 * r["n_exact"]), (et, r)
+    exact_union = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]["n"]
+    )
+    est = union_row["n_est"]
+    assert abs(est - exact_union) <= max(2, 0.05 * exact_union), (est, exact_union)
+    assert est >= max(r["n_est"] for r in rows.values()) * 0.95
+    assert est <= sum(r["n_est"] for r in rows.values())
