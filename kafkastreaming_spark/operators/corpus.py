@@ -2400,3 +2400,64 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, lang, source
         """
     )
+
+
+_WS_K = 64  # sample size
+
+
+@query(
+    "llm_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(ROUND(1e9 *
+               ln(({_H_DUCK.format(x="CAST(doc_id AS VARCHAR) || ':wsamp'")}
+                   + 1.0) / 1152921504606846976.0)
+               / n_chars) AS BIGINT) AS key_nano
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, n_chars, key_nano, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_WS_K}
+    """,
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each doc draws a deterministic uniform u from the salted
+    portable hash (u = (h+1)/2⁶⁰ — an EXACT power-of-two division both
+    engines compute to the identical double), scores key = ln(u)/w
+    with weight w = n_chars, and the top-64 keys ARE the weighted
+    sample — longer docs proportionally likelier, yet the draw is
+    reproducible run-to-run and engine-to-engine, which ORDER BY
+    rand() never is.  This is the standard one-pass distributed
+    weighted reservoir (the ln-key transform makes per-item draws
+    independent, so top-k after a map is the whole algorithm).
+
+    Exactness discipline: ln() is the one libm call — snapped to the
+    1e-9 grid (the llm_lm_score ln discipline) BEFORE ranking, so the
+    order compares exact int64 keys with a doc_id tiebreak.
+
+    Scale: map-side key computation + a global top-K —
+    TakeOrderedAndProject, never a full sort; K rows cross the wire
+    per partition."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.expr(_H_SPARK.format(x="CAST(doc_id AS STRING) || ':wsamp'"))
+    key = (
+        F.round(
+            1e9
+            * F.log((h + F.lit(1.0)) / F.lit(1152921504606846976.0))
+            / F.col("n_chars")
+        )
+        .cast("bigint")
+        .alias("key_nano")
+    )
+    keyed = docs.select("doc_id", "n_chars", key)
+    # global top-K via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps, K rows per partition cross the wire) — NEVER a global
+    # row_number window, which funnels every row through one task.
+    top = keyed.orderBy(F.col("key_nano").desc(), "doc_id").limit(_WS_K)
+    w = Window.orderBy(F.col("key_nano").desc(), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
