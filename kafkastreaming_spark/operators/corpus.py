@@ -2265,20 +2265,27 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's build side broadcasts at any corpus size.  No all-pairs
     comparison exists anywhere: each candidate meets exactly ONE
     reference, the eval-harness contract."""
+    # ONE documents scan feeds refs/lens/uni/big (each consumed up to
+    # twice below as candidate AND reference side): checkpoint-pin the
+    # tokenized base and both gram-count tables, the tpch_q15/q11
+    # shared-intermediate discipline.
     docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("tk")
+    ).localCheckpoint(eager=False)
     wref = Window.partitionBy("lang", "source")
-    refs = docs.select(
+    refs = base.select(
         "doc_id", F.min("doc_id").over(wref).alias("ref_id")
     )
-    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
-    lens = toks.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
+    lens = base.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
     uni = (
-        toks.select("doc_id", F.explode("tk").alias("g"))
+        base.select("doc_id", F.explode("tk").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     big = (
-        toks.select(
+        base.select(
             "doc_id",
             F.explode(
                 F.expr(
@@ -2291,6 +2298,7 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
 
     def _clip(grams: DataFrame) -> DataFrame:
