@@ -318,14 +318,44 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # approx ≠ oracle → rows-only check
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM main.events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
-    countDistinct (no Expand, constant memory per group)."""
+    countDistinct (no Expand, constant memory per group).
+
+    Envelope-oracle spelling (r10, VERDICT r9 item 1): the HLL++ byte
+    buffer is engine-specific, so the raw estimate can never hash-match
+    DuckDB.  Instead the query emits the deterministic cross-engine
+    facts — the exact distinct count and a boolean asserting the HLL
+    estimate sits within ±max(5%, 2) of it — and the oracle computes
+    the exact side plus a literal TRUE.  Spark's HLL++ is deterministic
+    for fixed input (hash-based, no RNG), so the boolean is stable; at
+    rsd=0.01 and fixture cardinalities the sparse encoding is exact.
+    The exact countDistinct is the VERIFICATION side only; production
+    reads just the sketch column (the whole point of the operator)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.05, F.lit(2.0))
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -501,7 +531,17 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketch_partial", oracle=None)
+@query(
+    "agg_sketch_partial",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merge_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_sketch_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count sketches: per-(event_type, day)
     HLL sketches unioned up to per-type totals — the materialized-rollup
@@ -514,19 +554,35 @@ def agg_sketch_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two-level plan: hll_sketch_agg shuffles only fixed-size binary
     sketches (map-side partials collapse each partition first), then
     hll_union_agg merges |days| blobs per type.  Estimates are
-    deterministic for fixed input (the sketch hash is seeded), but NOT
-    portable to DuckDB's different HLL implementation — declared
-    rows-only (SURVEY §2); tests/test_aggregations pins the ±5% accuracy
-    envelope against the exact count instead."""
+    deterministic for fixed input (the sketch hash is seeded) but NOT
+    portable to DuckDB's different HLL implementation — so the query
+    emits the envelope facts instead (r10, VERDICT r9 item 1): exact
+    n_days, exact distinct users, and a boolean asserting the merged
+    daily-sketch estimate lands within ±max(5%, 2) of the exact count.
+    The oracle computes both exact sides plus literal TRUE.  The exact
+    countDistinct is verification-only; production persists the daily
+    sketch cube and never re-scans."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        rolled.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= F.greatest(F.col("exact_users") * 0.05, F.lit(2.0))
+            ).alias("merge_within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -842,7 +898,18 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # sketch ≠ oracle → rows-only check
+@query(
+    "agg_approx_percentile",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS q25_in_bracket,
+           TRUE AS q50_in_bracket,
+           TRUE AS q75_in_bracket
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quartiles per event_type via Greenwald–Khanna
     (``approx_percentile``, accuracy=10_000 → rank error ≤ n/10⁴) next
@@ -851,24 +918,37 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries sketches, not value lists (exact ``percentile`` ships every
     value through the aggregate).
 
-    Rows-only by the same contract as agg_approx_distinct: the sketch's
-    exact output is engine-specific.  tests/test_aggregations.py pins
-    each approximate quartile inside the exact [p−0.02, p+0.02]
-    quantile bracket — the GK guarantee with 10× margin.
+    Envelope-oracle spelling (r10, VERDICT r9 item 1): the GK sketch's
+    exact output value is engine-specific, so the query emits the GK
+    guarantee itself as data — one boolean per quartile asserting the
+    approximate value lands inside the exact [p−0.02, p+0.02] quantile
+    bracket (rank error ≤ n/10⁴ guaranteed; the bracket gives ≥200×
+    margin) — and the oracle asserts literal TRUE.  The exact
+    ``percentile`` bracket is the VERIFICATION side only (it ships
+    values; production reads just the GK column).
 
-    Output is three SCALAR quartile columns, not an array: the
-    rows-only verifier canonicalizes by sorting every column, and an
-    array<double> column is unsortable there (r8 driver run recorded
-    'unhashable type: numpy.ndarray' and the key shipped with no
-    evidence at all — ADVICE r8)."""
+    Scalar columns, not an array: the driver's verifier canonicalizes
+    by sorting every column, and array<double> is unsortable there
+    (r8 driver run recorded 'unhashable type: numpy.ndarray')."""
     ev = load_table(spark, sf_dir, "events")
     q = F.expr("approx_percentile(value, array(0.25, 0.5, 0.75), 10000)")
-    return ev.groupBy("event_type").agg(
-        q[0].alias("q25"),
-        q[1].alias("q50"),
-        q[2].alias("q75"),
-        F.count(F.lit(1)).alias("n_events"),
+    lo = F.expr("percentile(value, array(0.23, 0.48, 0.73))")
+    hi = F.expr("percentile(value, array(0.27, 0.52, 0.77))")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        q.alias("_q"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
     )
+    cols = ["event_type", "n_events"]
+    out = g
+    for i, name in enumerate(["q25_in_bracket", "q50_in_bracket", "q75_in_bracket"]):
+        out = out.withColumn(
+            name,
+            (F.col("_lo")[i] <= F.col("_q")[i]) & (F.col("_q")[i] <= F.col("_hi")[i]),
+        )
+        cols.append(name)
+    return out.select(*cols)
 
 
 @query(
@@ -966,9 +1046,10 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism discipline: max_by TIES are engine-arbitrary, so the
     ordering key is made UNIQUE before the aggregate — exact cents
-    packed above the unique event_id (cents·2⁴⁰ + id; cents < 2¹⁵ and
-    id < 2⁴⁰ even at the 10× probe's re-keyed ids, so the packing never
-    collides).  ``any_value`` is deliberately NOT surfaced: it is
+    packed above the unique event_id (cents·2⁴⁰ + id; the packing is
+    collision- and overflow-safe for cents < 2²³ and id < 2⁴⁰ — the
+    sf0.1 fixture maxes out at 56 021 cents and the 10× probe's
+    re-keyed ids stay under 2⁴⁰, both far inside those bounds).  ``any_value`` is deliberately NOT surfaced: it is
     nondeterministic by contract — the deterministic spelling is
     MIN/max_by, which ``first_event`` demonstrates.
 
@@ -995,7 +1076,20 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_union")  # DataSketches HLL — engine-specific binary, rows-only
+@query(
+    "agg_hll_union",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_within_5pct
+    FROM main.events GROUP BY event_type
+    UNION ALL
+    SELECT '<union>' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_within_5pct
+    FROM main.events
+    """,
+)
 def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache DataSketches HLL build + MERGE surface (``hll_sketch_agg``
     → ``hll_union_agg`` → ``hll_sketch_estimate``, Spark 3.5+): per
@@ -1006,11 +1100,15 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is how 100 TB rollup hierarchies avoid re-scanning facts:
     daily sketches merge into monthly into all-time).
 
-    Rows-only by the agg_approx_distinct contract (sketch binaries are
-    engine-specific); tests/test_aggregations.py pins every per-type
-    estimate AND the merged estimate within the lgK=12 HLL error
-    envelope of the exact distinct counts, and pins merge consistency
-    (union estimate ≤ sum of parts, ≥ max of parts)."""
+    Envelope-oracle spelling (r10, VERDICT r9 item 1): sketch binaries
+    and estimates are engine-specific, so each row emits the exact
+    distinct count plus a boolean asserting the DataSketches estimate
+    (per-type, and the merged union on the '<union>' row) lands within
+    ±max(5%, 2) of it; the oracle computes the exact sides and literal
+    TRUE.  Merge-consistency bounds (union ≤ sum of parts, ≥ max part)
+    stay pinned in tests/test_aggregations.py.  The lgK=12 envelope is
+    ~1.6% at 3σ — 5% is a safe deterministic margin, and fixture
+    cardinalities sit in the exact sparse regime anyway."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
@@ -1022,9 +1120,25 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_est"),
         F.max(F.lit(None).cast("long")).alias("n_exact"),
     )
+    global_exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("g_exact")
+    )
+    merged = merged.crossJoin(F.broadcast(global_exact)).select(
+        "event_type",
+        F.col("g_exact").alias("n_exact"),
+        "n_est",
+    )
     per = per_type.select(
         "event_type",
-        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("n_est"),
         "n_exact",
+        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("n_est"),
     )
-    return per.unionByName(merged).orderBy("event_type")
+    both = per.unionByName(merged)
+    return both.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact"))
+            <= F.greatest(F.col("n_exact") * 0.05, F.lit(2.0))
+        ).alias("est_within_5pct"),
+    ).orderBy("event_type")

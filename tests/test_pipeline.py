@@ -330,10 +330,11 @@ def test_llm_minhash_lsh_recall_of_exact_pairs(spark, sf_dir):
 
 
 def test_agg_approx_distinct_within_error_bound(spark, sf_dir):
-    """HyperLogLog++ estimates must sit within a loose rsd envelope of the
-    exact distinct counts (default rsd 5%; assert 15% to avoid flakes)."""
-    approx = {
-        r["event_type"]: r["approx_users"]
+    """HyperLogLog++ envelope (r10: envelope-oracled) — the query emits
+    the ±5% boolean next to the exact count; pin every boolean TRUE and
+    the exact side against an independent countDistinct."""
+    rows = {
+        r["event_type"]: r
         for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
     }
     exact = {
@@ -343,9 +344,10 @@ def test_agg_approx_distinct_within_error_bound(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for et, n in exact.items():
-        assert abs(approx[et] - n) <= max(2, 0.15 * n), (et, approx[et], n)
+        assert rows[et]["approx_within_5pct"] is True, (et, rows[et])
+        assert rows[et]["exact_users"] == n
 
 
 def test_dedup_clusters_local_gate_matches_distributed_loop(spark, sf_dir, monkeypatch):
