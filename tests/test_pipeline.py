@@ -116,11 +116,27 @@ def test_ivf_train_deterministic_and_converging(spark, sf_dir):
     assert all(b <= a + 1e-9 for a, b in zip(in1, in1[1:]))  # monotone
     # one refined iteration beats the raw first-16 stand-in centroids
     assert in1[-1] < in1[0]
-    out = QUERIES["llm_ivf_train"](spark, sf_dir)
+    from kafkastreaming_spark.operators.kmeans import ivf_train_artifact
+
+    out = ivf_train_artifact(spark, sf_dir)
     rows = out.collect()
     assert out.columns == ["cid", "n_members", "c_norm", "centroid_csv"]
     assert len(rows) == 16
     assert sum(r["n_members"] for r in rows) == emb.count()
+    # the registered invariant-summary query must report every Lloyd
+    # invariant TRUE (r10 envelope-oracle contract)
+    inv = QUERIES["llm_ivf_train"](spark, sf_dir).collect()
+    assert len(inv) == 1
+    r = inv[0]
+    assert r["k_clusters"] == 16 and r["n_iters"] == 5
+    assert r["n_vectors"] == emb.count()
+    for col in (
+        "total_members_match",
+        "inertia_monotone",
+        "inertia_improved",
+        "centroids_finite",
+    ):
+        assert r[col] is True, (col, r)
 
 
 def test_ann_ivf_trained_recall_and_shape(spark, sf_dir):
@@ -129,9 +145,17 @@ def test_ann_ivf_trained_recall_and_shape(spark, sf_dir):
     pinned with slack for future fixture regeneration)."""
     from collections import defaultdict
 
-    trained = QUERIES["llm_ann_ivf_trained"](spark, sf_dir).collect()
+    from kafkastreaming_spark.operators.pipeline import ann_ivf_trained_topk
+
+    trained = ann_ivf_trained_topk(spark, sf_dir).collect()
     exact = QUERIES["llm_topk_similar"](spark, sf_dir).collect()
     assert len(trained) == 25  # 5 queries x top-5
+    # registered invariant-summary query: 5 rows, shape booleans TRUE
+    inv = QUERIES["llm_ann_ivf_trained"](spark, sf_dir).collect()
+    assert sorted(r["query_id"] for r in inv) == [0, 1, 2, 3, 4]
+    for r in inv:
+        assert r["n_results"] == 5
+        assert r["ranks_contiguous"] is True and r["sims_sorted"] is True
     tq, eq = defaultdict(set), defaultdict(set)
     for r in trained:
         tq[r["query_id"]].add(r["vec_id"])
@@ -428,9 +452,17 @@ def test_pq_train_trained_adc_recall_beats_literal(spark, sf_dir):
     ids = np.array([v for v, _ in emb])
     A = np.stack([e for _, e in emb])
 
+    from kafkastreaming_spark.operators.kmeans import pq_train_artifact
+
     trained = np.zeros((N_SUB, N_CENT, SUB_DIM))
-    for r in QUERIES["llm_pq_train"](spark, sf_dir).collect():
+    for r in pq_train_artifact(spark, sf_dir).collect():
         trained[r["sub"], r["cid"]] = [float(x) for x in r["centroid_csv"].split(",")]
+    # registered invariant-summary query: one row per subspace, all TRUE
+    inv = QUERIES["llm_pq_train"](spark, sf_dir).collect()
+    assert len(inv) == N_SUB
+    for r in inv:
+        assert r["k_codewords"] == N_CENT
+        assert r["total_members_match"] is True and r["codebook_finite"] is True
     literal = np.array(_CB)
 
     def recall_at_5(cb: np.ndarray) -> float:
@@ -550,15 +582,22 @@ def test_semdedup_trained_recall_beats_standin():
         for r in QUERIES["llm_semdedup"](spark, sf).collect()
         if r["keep"] == 0
     }
+    from kafkastreaming_spark.operators.pipeline import semdedup_trained_manifest
+
     trained = {
         r["vec_id"]
-        for r in QUERIES["llm_semdedup_trained"](spark, sf).collect()
+        for r in semdedup_trained_manifest(spark, sf).collect()
         if r["keep"] == 0
     }
     assert trained <= exact_later  # bucketing only prunes, never invents
     r_trained = len(trained & exact_later) / len(exact_later)
     r_standin = len(standin & exact_later) / len(exact_later)
     assert r_trained >= r_standin, (r_trained, r_standin)
+    # registered invariant-summary query: single row, every boolean TRUE
+    inv = QUERIES["llm_semdedup_trained"](spark, sf).collect()
+    assert len(inv) == 1
+    assert inv[0]["assignment_total_match"] is True
+    assert inv[0]["drops_confirmed"] is True
 
 
 def test_trained_centroids_shared_index_shape():
