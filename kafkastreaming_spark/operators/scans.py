@@ -791,22 +791,36 @@ def scan_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes from the raw parquet, so the hash pins cache
     TRANSPARENCY: serialization to the columnar cache format and back
     must change no value (cents stay exact ints through it).  The
-    cache is unpersisted... never — deliberately: the contract is
-    Spark evicts LRU blocks under pressure and recomputes from lineage;
-    an explicit unpersist here would just serialize the test.
+    aggregate is materialized through the cache and the cache is then
+    UNPERSISTED before returning (ADVICE r9: leaving the
+    InMemoryRelation resident for the rest of the shared session added
+    storage-memory pressure that could skew every key benchmarked
+    after it); the returned frame is the materialized result, so no
+    re-scan happens at the driver's collect.
 
     Scale: caching a 100 TB scan is a cluster-memory budget decision —
     the cached unit here is the FILTERED projection (status F, 4
     columns), the narrow intermediate you actually pin in practice,
     never the raw table."""
+    o, agg = _scan_cache_agg(spark, sf_dir)
+    o.count()  # materialize the cache before the read-through
+    rows = agg.collect()  # read THROUGH the columnar cache
+    schema = agg.schema
+    o.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+def _scan_cache_agg(spark: SparkSession, sf_dir: str):
+    """(cached projection, through-cache aggregate) — split out so the
+    plan test can assert InMemoryTableScan on the aggregate's plan
+    before scan_cache materializes and unpersists it."""
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
         .cache()
     )
-    o.count()  # materialize the cache before the read-through
-    return (
+    agg = (
         o.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -817,3 +831,4 @@ def scan_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+    return o, agg

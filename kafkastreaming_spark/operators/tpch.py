@@ -953,9 +953,11 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ps_availqty  = (p_partkey*17 + ps_suppkey*19) % 9999 + 1
 # ps_supplycost= ((p_partkey*7 + ps_suppkey*13) % 90000 + 10000) / 100.0
 #
-# All terms are nonnegative, so Spark's truncating DIV/% and DuckDB's
-# flooring //,% agree.  DISTINCT keeps (partkey, suppkey) a real PK (at tiny
-# S the stride can wrap to 0 and collapse a part's four suppliers to one).
+# Both engines' integer DIV/% truncate toward zero (DuckDB: -7//2 = -3,
+# same as Spark DIV — ADVICE r9 correction), and truncate == floor here
+# anyway because every term is nonnegative.  DISTINCT keeps (partkey,
+# suppkey) a real PK (at tiny S the stride can wrap to 0 and collapse a
+# part's four suppliers to one).
 
 _PARTSUPP_CTE = """
 WITH sc AS (SELECT COUNT(*) AS s FROM supplier),

@@ -30,7 +30,14 @@ from kafkastreaming_spark.streaming.harness import (
 )
 
 
-@query("source_kafka")
+@query(
+    "source_kafka",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+)
 def source_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-source design, exercised through the source factory's
     file-replay twin (same schema, same downstream query).
@@ -40,6 +47,11 @@ def source_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
     each micro-batch.  No connector jar exists in this sandbox
     (SURVEY.md §7.5), so the factory swaps in the file source; the
     downstream projection/filter is source-agnostic.
+
+    Batch-twin oracle (r10, VERDICT r9 item 3): append mode over a
+    stateless projection/filter emits every surviving row exactly once
+    across the drained replay, so the memory sink equals the plain
+    batch filter — no envelope needed, the twin is exact.
     """
     sdf = stream_events(spark, sf_dir, n_chunks=4, tag="src")
     parsed = sdf.filter(F.col("event_type").isin("click", "purchase")).select(
@@ -48,24 +60,52 @@ def source_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(parsed, "append")
 
 
-@query("sink_memory")
+@query(
+    "sink_memory",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value', 'sum_value')}
+    FROM events GROUP BY event_type
+    """,
+)
 def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memory sink in complete mode over a per-type running count."""
+    """Memory sink in complete mode over a per-type running count.
+
+    Batch-twin oracle (r10, VERDICT r9 item 3): complete mode REPLACES
+    the sink table every micro-batch, so after the replay drains the
+    table IS the full-input aggregate — exactly the batch groupBy the
+    DuckDB twin computes (decimal-exact sum via the dsum discipline)."""
     sdf = stream_events(spark, sf_dir, n_chunks=4, tag="sinkmem")
     agg = sdf.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(24,8)")), 2)
-        .cast("double")
-        .alias("sum_value"),
+        dsum("value", "sum_value"),
     )
     return run_to_memory(agg, "complete")
 
 
-@query("sink_console")
+@query(
+    "sink_console",
+    oracle="""
+    WITH c AS (SELECT COUNT(*) AS n FROM main.events)
+    SELECT CAST(t.range AS BIGINT) AS batch_id,
+           CAST(CASE WHEN t.range < 3 THEN n // 4 + 1
+                     ELSE n - 3 * (n // 4 + 1) END AS BIGINT) AS n_rows
+    FROM range(4) t, c
+    """,
+)
 def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Console + foreachBatch sinks: run both over the replay stream and
     return the per-micro-batch row counts observed by foreachBatch —
-    proof that the stream really arrived in multiple batches."""
+    proof that the stream really arrived in multiple batches.
+
+    Batch-twin oracle (r10, VERDICT r9 item 3): the replay harness
+    chunks the ts-sorted events by ceil division (rows_per_chunk =
+    n//4 + 1) and maxFilesPerTrigger=1 maps one chunk to one batch id
+    in file order, so the per-batch counts are closed-form in n —
+    batches 0-2 carry n//4 + 1 rows, batch 3 the remainder.  Valid
+    while every chunk is non-empty (n ≥ 4, true at every fixture SF)."""
     sdf = stream_events(spark, sf_dir, n_chunks=4, tag="sinkcon")
     console_sink(sdf.select("event_id", "ts", "event_type", "value"), num_rows=3)
     batches = foreach_batch_collect(
@@ -131,16 +171,51 @@ def sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@query("stream_watermark")
+@query(
+    "stream_watermark",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    nonlate AS (
+      SELECT * FROM ordered
+      WHERE NOT (rn >= n // 6 + 1
+             AND rn < n // 6 + 1
+                      + CAST(FLOOR(CAST(n AS DOUBLE) * 0.02) AS BIGINT))
+    ),
+    wm AS (SELECT (MAX(epoch_us(ts)) // 1000 - 600000) * 1000 AS w
+           FROM nonlate),
+    wagg AS (
+      SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws_us,
+             event_type, COUNT(*) AS n_events
+      FROM nonlate GROUP BY 1, 2
+    )
+    SELECT make_timestamp(ws_us) AS window_start, event_type, n_events
+    FROM wagg, wm WHERE ws_us + 300000000 <= wm.w
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute watermark + 5-minute tumbling window, APPEND mode, with
     ~2% of rows displaced to arrive days late → they must be dropped.
 
     Append mode only emits a window once the watermark passes its end;
     the late chunk's rows target long-closed windows and are discarded
-    (state for those windows was already evicted).  The pytest twin
-    asserts the drop count; at 100 TB this watermark is exactly what
-    bounds state-store size."""
+    (state for those windows was already evicted).  At 100 TB this
+    watermark is exactly what bounds state-store size.
+
+    Batch-twin oracle (r10, VERDICT r9 item 3): the replay is a pure
+    function of (sf_dir, 6, 0.02), so the emitted set is closed-form —
+    the displaced slice is rows [rpc, rpc + floor(0.02·n)) of the
+    (ts, event_id) order (rpc = n//6 + 1); dropped rows never reach
+    state (their windows closed long before they arrive), and the final
+    emission horizon is the last watermark, max(non-late ts) truncated
+    to ms minus 10 min (Spark tracks event-time stats in µs but the
+    watermark itself is ms-granular).  Windows whose end passed that
+    horizon are exactly the append-mode output after AvailableNow
+    drains (the trailing no-data batch flushes the final eviction)."""
     sdf = stream_events(spark, sf_dir, n_chunks=6, late_fraction=0.02, tag="wm")
     agg = (
         sdf.withWatermark("ts", "10 minutes")
@@ -155,15 +230,37 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "append")
 
 
-@query("stream_stream_join")
+@query(
+    "stream_stream_join",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id AS c_user,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: purchases within 5 minutes after a click
     by the same user, watermarks on both sides bounding join state.
 
-    Batch twin: join_interval (hash-checked).  The time-range condition
-    lets Spark evict click state once the purchase watermark passes
-    click_ts + 5 min — without it, stream-stream join state grows
-    unboundedly."""
+    The time-range condition lets Spark evict click state once the
+    purchase watermark passes click_ts + 5 min — without it,
+    stream-stream join state grows unboundedly.
+
+    Batch-twin oracle (r10, VERDICT r9 item 3): the replay arrives in
+    (ts, event_id) order, so a matching purchase (ts ≤ click_ts + 5 min)
+    always lands while the click's state is still live — the lagging
+    10-min watermark cannot pass click_ts + 5 min before every row
+    within that horizon has arrived.  Hence the inner join loses
+    nothing and the drained sink equals the plain batch interval join,
+    exactly."""
     clicks = (
         stream_events(spark, sf_dir, n_chunks=4, tag="ssj_c")
         .filter(F.col("event_type") == "click")
@@ -197,34 +294,53 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("cents", T.LongType()),
     ]
 )
 _STATEFUL_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("cents", T.LongType()),
     ]
 )
 
 
 def _running_user_agg(key, pdf_iter, state: GroupState):
-    """Explicit per-user running (count, sum) state — emits the running
-    totals once per micro-batch the user appears in."""
-    n, s = state.get if state.exists else (0, 0.0)
+    """Explicit per-user running (count, exact-cents sum) state — emits
+    the running totals once per micro-batch the user appears in.  Cents
+    are int64 so cross-batch accumulation order can't perturb floats
+    (the ts_cusum/dsum discipline, applied to state)."""
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "cents": [cents]})
 
 
-@query("stream_stateful")
+@query(
+    "stream_stateful",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: applyInPandasWithState running per-user
-    aggregate.  Returns the FINAL state per user (latest emission), whose
-    twin is a plain batch groupBy — asserted in tests/test_streaming.py.
+    aggregate.  Returns the FINAL state per user (latest emission).
+
+    Batch-twin oracle (r10, VERDICT r9 item 3): every replay chunk
+    drains under AvailableNow, so each user's final emission carries the
+    totals over ALL their events — exactly the batch groupBy.  State
+    accumulates exact integer cents (not floats), so the cross-batch
+    addition order is immaterial and the DuckDB twin matches hash-exact;
+    sum_value is derived from cents by one shared IEEE divide.
 
     At 100 TB: state is partitioned by user across executors (RocksDB
     state store), and the same processor runs unchanged; the emitted
@@ -248,18 +364,54 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round(F.col("sum_value"), 4).alias("sum_value"),
+            "cents",
+            (F.col("cents").cast("double") / 100.0).alias("sum_value"),
         )
     )
 
 
-@query("stream_late_update")
+@query(
+    "stream_late_update",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    ch AS (
+      SELECT rn // (n // 4 + 1) AS chunk,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us
+      FROM ordered
+    ),
+    wm AS (SELECT (MAX(epoch_us(ts)) // 1000 - 600000) * 1000 AS w
+           FROM events)
+    SELECT 'append' AS output_mode,
+           CAST((SELECT COUNT(DISTINCT ws_us) FROM ch, wm
+                 WHERE ws_us + 3600000000 <= wm.w) AS BIGINT) AS emitted_rows
+    UNION ALL
+    SELECT 'update',
+           CAST((SELECT COUNT(*) FROM (SELECT DISTINCT chunk, ws_us FROM ch))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'complete',
+           CAST((SELECT COUNT(DISTINCT ws_us) FROM ch) AS BIGINT)
+    """,
+)
 def stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output-mode semantics: the same windowed count run in append,
     update, and complete modes; returns per-mode emitted-row counts.
 
     append < update < complete row volumes demonstrate the mode
-    semantics (finalized-only vs changed-only vs full-table)."""
+    semantics (finalized-only vs changed-only vs full-table).
+
+    Batch-twin oracle (r10, VERDICT r9 item 3): the deterministic
+    4-chunk replay makes each count closed-form — complete's final
+    table holds every distinct 60-min window; update's memory sink
+    accumulates one row per (micro-batch, window-touched-in-it), i.e.
+    COUNT(DISTINCT (chunk, window)) over chunk = rn div (n//4 + 1) of
+    the (ts, event_id) order; append holds windows whose end passed the
+    final ms-granular watermark max(ts) − 10 min."""
     rows = []
     for mode in ["append", "update", "complete"]:
         sdf = stream_events(spark, sf_dir, n_chunks=4, tag=f"mode_{mode}")
@@ -273,7 +425,37 @@ def stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "output_mode string, emitted_rows long")
 
 
-@query("stream_stream_outer")
+@query(
+    "stream_stream_outer",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    wmc AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS w
+            FROM events WHERE event_type = 'click'),
+    wmp AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS w
+            FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST(wmc.w, wmp.w) * 1000 AS w FROM wmc, wmp),
+    clicks AS (SELECT event_id AS click_id, user_id AS c_user,
+                      ts AS click_ts, epoch_us(ts) AS c_us
+               FROM events WHERE event_type = 'click'),
+    pur AS (SELECT event_id AS purchase_id, user_id,
+                   ts AS purchase_ts, epoch_us(ts) AS p_us
+            FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT c.click_id, c.c_user, c.click_ts, p.purchase_id, p.purchase_ts
+      FROM clicks c JOIN pur p
+        ON c.c_user = p.user_id
+       AND p.p_us > c.c_us AND p.p_us <= c.c_us + 300000000
+    )
+    SELECT click_id, c_user, click_ts, purchase_id, purchase_ts FROM m
+    UNION ALL
+    SELECT c.click_id, c.c_user, c.click_ts,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts
+    FROM clicks c, wm
+    WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+      AND c.c_us + 300000000 < wm.w
+    """,
+)
 def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join — the semantics the inner
     join (``stream_stream_join``) cannot express: every click row is
@@ -285,10 +467,18 @@ def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND emits the unmatched row — outer join without a watermark-bounded
     range condition is rejected by the engine.
 
-    Rows-only (streaming semantics), cross-pinned in pytest against the
-    batch left-outer interval join twin: matched pairs identical, and
-    matched + null-padded = all clicks.  At 100 TB state is bounded by
-    the watermark horizon per side, exactly as the inner variant."""
+    Batch-twin oracle (r10, VERDICT r9 item 3): matched pairs equal the
+    batch interval join (same no-loss argument as the inner key); the
+    NULL-padded set is exactly the unmatched clicks whose
+    click_ts + 5 min horizon fell below the FINAL global watermark —
+    the MIN of the two sides' ms-granular watermarks (Spark's
+    multipleWatermarkPolicy default; probed r10: max purchase ts <
+    max click ts here, so the purchase side governs, and exactly one
+    near-horizon click stays unemitted vs the single-watermark model).
+    Clicks still inside the horizon are absent by design — emitting
+    them would claim an absence of matches the watermark has not yet
+    proven.  At 100 TB state is bounded by the watermark horizon per
+    side, exactly as the inner variant."""
     clicks = (
         stream_events(spark, sf_dir, n_chunks=4, tag="sso_c")
         .filter(F.col("event_type") == "click")
@@ -390,7 +580,41 @@ def _session_ttl_fn(key, pdf_iter, state: GroupState):
         )
 
 
-@query("stream_session_ttl")
+@query(
+    "stream_session_ttl",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    e2 AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rid,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    e3 AS (SELECT *, SUM(new_s) OVER
+             (PARTITION BY user_id ORDER BY us, rid) AS sid FROM e2),
+    sess AS (
+      SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us,
+             COUNT(*) AS n
+      FROM e3 GROUP BY user_id, sid
+    ),
+    wm AS (SELECT (MAX(epoch_us(ts)) // 1000 - 600000) * 1000 AS w
+           FROM events),
+    lastsid AS (SELECT user_id, MAX(sid) AS msid FROM sess GROUP BY user_id)
+    SELECT s.user_id,
+           CAST(s.s_us AS BIGINT) AS session_start_us,
+           CAST(s.e_us AS BIGINT) AS session_end_us,
+           CAST(s.n AS BIGINT) AS n_events
+    FROM sess s JOIN lastsid l USING (user_id), wm
+    WHERE s.sid < l.msid OR s.e_us + 1800000000 < wm.w
+    """,
+)
 def stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization WITH STATE EVICTION — the §2.9
     surface the plain ``stream_stateful`` key (NoTimeout, state grows
@@ -403,12 +627,18 @@ def stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     This eviction is the whole reason custom stateful ops survive
     100 TB: without timeouts every user ever seen stays in the state
     store forever; with them, state size is bounded by the number of
-    users active inside one watermark horizon.  Batch twin:
-    ``events_sessionize`` — every emitted row must equal one of its
-    sessions exactly (pytest pins the subset AND that the eviction
-    horizon's sessions all arrived; the open tails at end-of-stream are
-    the documented remainder).  Rows-only: emission timing is streaming
-    semantics with no SQL oracle."""
+    users active inside one watermark horizon.
+
+    Batch-twin oracle (r10, VERDICT r9 item 3): ts-ordered replay makes
+    the emitted set closed-form — every session closed BY A GAP (i.e.
+    any session that is not its user's last: the closing event arrives
+    in some batch and emits it immediately), plus the per-user OPEN
+    TAIL sessions whose timeout horizon (last event + 30 min) fell
+    strictly below the final ms-granular watermark max(ts) − 10 min
+    (the trailing no-data batch fires those EventTimeTimeouts).  Open
+    tails still inside the horizon stay in state, unemitted, by design.
+    The gaps-and-islands SQL reproduces the exact session bounds since
+    global ts order equals arrival order (no late rows here)."""
     sdf = stream_events(spark, sf_dir, n_chunks=4, tag="sess_ttl")
     closed = (
         sdf.withWatermark("ts", "10 minutes")

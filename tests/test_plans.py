@@ -1082,6 +1082,22 @@ def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
 
 def test_scan_cache_reads_through_imr(spark, sf_dir):
     """scan_cache: the aggregate must read from the columnar cache
-    (InMemoryTableScan), not re-scan parquet."""
-    tree = _tree(_plan(spark, sf_dir, "scan_cache"))
-    assert "InMemoryTableScan" in tree
+    (InMemoryTableScan), not re-scan parquet — asserted on the internal
+    through-cache aggregate (r10: the registered query materializes it,
+    then unpersists to stop the cache leaking into later bench keys,
+    so the RETURNED frame is a local materialization by design)."""
+    from kafkastreaming_spark.operators.scans import _scan_cache_agg
+
+    o, agg = _scan_cache_agg(spark, sf_dir)
+    try:
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        tree = _tree(agg._jdf.queryExecution().explainString(mode))
+        assert "InMemoryTableScan" in tree
+        # and the registered query still hash-equals the through-cache agg
+        got = sorted(map(tuple, QUERIES["scan_cache"](spark, sf_dir).collect()))
+        want = sorted(map(tuple, agg.collect()))
+        assert got == want
+    finally:
+        o.unpersist()
