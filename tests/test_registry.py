@@ -20,6 +20,20 @@ def test_entry_contract(spark):
     assert df.count() > 0
 
 
+def test_entry_smoke_knob(spark, monkeypatch):
+    """SPARK_GRAFT_ENTRY_SMOKE=1 runs the 5-key breadth smoke
+    (scan/join/window/stream/llm) before the flagship query (VERDICT r9
+    item 8); the default path must not change schema."""
+    import __spark_entry__ as e
+
+    base_schema = e.entry(spark).schema
+    monkeypatch.setenv("SPARK_GRAFT_ENTRY_SMOKE", "1")
+    df = e.entry(spark)
+    assert df.schema == base_schema
+    assert df.count() > 0
+    assert all(k in QUERIES for k in e._SMOKE_KEYS)
+
+
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_query_runs(spark, sf_dir, key):
     df = QUERIES[key](spark, sf_dir)

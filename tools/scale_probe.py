@@ -264,6 +264,12 @@ TIMED = {
     "stream_foreach_upsert": "events",
     "mm_shard_manifest": "documents",
     "llm_dataset_card": "documents",
+    # wave 20 (r10, VERDICT r9 item 7): the RocksDB-provider replay —
+    # micro-batch-scheduling cost dominates at base scale, so the
+    # per-row ratio mostly proves the state-store swap itself stays
+    # linear in rows (state encode/decode + changelog, not batch count,
+    # is the scaling term; chunk count is fixed at 4 by the harness).
+    "stream_rocksdb_state": "events",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
