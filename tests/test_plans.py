@@ -972,7 +972,11 @@ def test_plan_hygiene_sweep(spark, sf_dir):
         "formatted"
     )
     allowed_python = {"udf_scalar", "udtf_tokens"}
-    allowed_multiscan = {"llm_ann_ivf"}
+    # llm_ann_ivf: documented corpus+query pair.  llm_ann_ivf_trained
+    # (r10): its invariant output CONTAINS the recall check vs the exact
+    # brute-force top-5, so the plan runs both ANN pipelines over the
+    # same corpus by definition — the multi-scan IS the verification.
+    allowed_multiscan = {"llm_ann_ivf", "llm_ann_ivf_trained"}
     skip = tuple(("sink_", "stream_", "source_", "mm_", "llm_pipeline_e2e"))
     offenders = []
     for k in sorted(ORACLES):
