@@ -26,6 +26,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# The 18 keys converted from rows-only to hash-oracled in r10.  Their
+# wall time is dominated by the streaming replay harness, micro-batch
+# scheduling, or Lloyd training loops — timed in the bench's harness
+# section, never in the 273-key headline (protocol comparability with
+# BASELINE.md / BENCH_r01-r09).
+HARNESS_KEYS = {
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_hll_union",
+    "agg_sketch_partial",
+    "llm_ann_ivf_trained",
+    "llm_ivf_train",
+    "llm_minhash_lsh",
+    "llm_pq_train",
+    "llm_semdedup_trained",
+    "sink_console",
+    "sink_memory",
+    "source_kafka",
+    "stream_late_update",
+    "stream_session_ttl",
+    "stream_stateful",
+    "stream_stream_join",
+    "stream_stream_outer",
+    "stream_watermark",
+}
+
 
 def current_round() -> int:
     """Resolve the in-progress round number for artifact stamping.
@@ -87,14 +113,18 @@ def main() -> None:
     # warm-up: JVM + codegen + parquet footer caches
     QUERIES["agg_group"](spark, sf_dir).count()
 
-    # Bench set = the hash-checked inventory (BASELINE.md protocol).  The
-    # rows-only streaming-harness keys time replay-harness I/O, not engine
-    # throughput, and are excluded from the suite metric.
+    # Bench set = the 273-key hash-checked protocol inventory
+    # (BASELINE.md).  The 18 HARNESS_KEYS below gained hash oracles in
+    # r10 (envelope/invariant/batch-twin spellings) but their wall time
+    # measures replay-harness I/O, micro-batch scheduling, or iterative
+    # training — not engine throughput — so they stay in the separate
+    # harness section to keep suite_wall_sec comparable against
+    # BASELINE.md and BENCH_r01–r09.
     per_query: dict[str, float] = {}
     per_repeat: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for key in sorted(ORACLES):
+    for key in sorted(set(ORACLES) - HARNESS_KEYS):
         samples = []
         try:
             for _ in range(repeats):
@@ -118,16 +148,16 @@ def main() -> None:
         # no plan change — nothing in the artifact proved it was noise).
         spread[key] = round(max(samples) / max(min(samples), 1e-9), 2)
 
-    # Rows-only keys (no SQL oracle: sketches, trained indexes, streaming
-    # harnesses) are timed the SAME way but reported in their own section
-    # (judge r7 item 6: llm_minhash_lsh / llm_ivf_train had no performance
-    # trail) — excluded from suite_wall_sec so the headline stays
-    # comparable against BASELINE.md's hash-checked-only protocol rows.
+    # Harness-cost keys (sketch envelopes, trained indexes, streaming
+    # replays — all hash-oracled since r10) are timed the SAME way but
+    # reported in their own section (judge r7 item 6: every key needs a
+    # performance trail) — excluded from suite_wall_sec so the headline
+    # stays comparable against BASELINE.md's 273-key protocol rows.
     ro_query: dict[str, float] = {}
     ro_repeat: dict[str, list[float]] = {}
     ro_spread: dict[str, float] = {}
     ro_errors: dict[str, str] = {}
-    for key in sorted(set(QUERIES) - set(ORACLES)):
+    for key in sorted((set(QUERIES) - set(ORACLES)) | HARNESS_KEYS):
         samples = []
         try:
             for _ in range(repeats):
@@ -169,6 +199,10 @@ def main() -> None:
         "spread": spread,
         "noisy": sorted(k for k, s in spread.items() if s > 2.0),
         "rows_only": {
+            # section name kept for cross-round diffability; since r10
+            # these keys ARE hash-oracled — the section now means
+            # "harness-cost keys outside the 273-key headline protocol"
+            "note": "hash-oracled harness keys (r10); excluded from headline",
             "queries": ro_query,
             "total_sec": round(sum(ro_query.values()), 3),
             "repeat_times": ro_repeat,

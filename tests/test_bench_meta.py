@@ -51,3 +51,14 @@ def test_current_round_ambiguous_state_warns(monkeypatch, tmp_path, capsys):
     (tmp_path / "BENCH_DETAIL_r07.json").write_text("{}")
     assert bench.current_round() == 8
     assert "ambiguous" in capsys.readouterr().err
+
+
+def test_harness_keys_consistent_with_registry():
+    """bench.HARNESS_KEYS must be real registered+oracled keys, and the
+    headline set must stay the 273-key BASELINE.md protocol inventory."""
+    import bench
+    from kafkastreaming_spark.all import ORACLES, QUERIES
+
+    assert bench.HARNESS_KEYS <= set(QUERIES)
+    assert bench.HARNESS_KEYS <= set(ORACLES)  # all hash-oracled since r10
+    assert len(set(ORACLES) - bench.HARNESS_KEYS) == 273
