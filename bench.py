@@ -100,6 +100,49 @@ def current_round() -> int:
     return max(driver + 1, own)
 
 
+def _canary(spark) -> dict:
+    """Box-speed canary (r10): fixed, data-independent work timed
+    median-of-3, recorded next to the suite numbers so cross-round
+    per-key diffs can separate 'host got slower' from 'plan regressed'
+    (r9→r10 saw a broad ~1.2× drift on byte-identical code and data —
+    SCALE_PROBE base_rows pin the data constant, so only the box moved).
+
+    jvm: whole-stage-codegen arithmetic over range(200M) — pure CPU,
+    no I/O, no shuffle.  shuffle: 2M-row exchange + count.  python: a
+    fixed numpy matmul on the driver — the Arrow/pandas-kernel proxy.
+    """
+    import statistics as _st
+    import time as _t
+
+    import numpy as _np
+
+    def med(fn, n=3):
+        s = []
+        for _ in range(n):
+            t0 = _t.perf_counter()
+            fn()
+            s.append(_t.perf_counter() - t0)
+        return round(_st.median(s), 3)
+
+    jvm = med(
+        lambda: spark.range(200_000_000)
+        .selectExpr("sum(id * 2 + 1) AS s")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    shuf = med(
+        lambda: spark.range(2_000_000)
+        .repartition(32, "id")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    a = _np.arange(1_000_000, dtype=_np.float64).reshape(1000, 1000)
+    py = med(lambda: (a @ a).sum())
+    return {"jvm_sec": jvm, "shuffle_sec": shuf, "numpy_sec": py}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -112,6 +155,8 @@ def main() -> None:
 
     # warm-up: JVM + codegen + parquet footer caches
     QUERIES["agg_group"](spark, sf_dir).count()
+
+    canary_pre = _canary(spark)
 
     # Bench set = the 273-key hash-checked protocol inventory
     # (BASELINE.md).  The 18 HARNESS_KEYS below gained hash oracles in
@@ -173,6 +218,8 @@ def main() -> None:
         ro_repeat[key] = [round(s, 3) for s in samples]
         ro_spread[key] = round(max(samples) / max(min(samples), 1e-9), 2)
 
+    canary_post = _canary(spark)
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -198,6 +245,7 @@ def main() -> None:
         "repeat_times": per_repeat,
         "spread": spread,
         "noisy": sorted(k for k, s in spread.items() if s > 2.0),
+        "canary": {"pre": canary_pre, "post": canary_post},
         "rows_only": {
             # section name kept for cross-round diffability; since r10
             # these keys ARE hash-oracled — the section now means
