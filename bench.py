@@ -117,6 +117,7 @@ def _canary(spark) -> dict:
     import numpy as _np
 
     def med(fn, n=3):
+        fn()  # discard the cold sample (codegen compile / first alloc)
         s = []
         for _ in range(n):
             t0 = _t.perf_counter()
@@ -138,9 +139,29 @@ def _canary(spark) -> dict:
         .mode("overwrite")
         .save()
     )
+    # fixed per-job overhead — the r10 drift diagnosis: r8→r10 per-key
+    # deltas were near-UNIFORM in absolute seconds (~+0.2 s on every key,
+    # cheap or expensive), i.e. scheduler/commit latency, not compute.
+    # These two probes measure exactly that term.
+    overhead = med(
+        lambda: spark.range(1).write.format("noop").mode("overwrite").save()
+    )
+    ev = spark.read.parquet(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+        + "/events.parquet"
+    )
+    pq_job = med(
+        lambda: ev.limit(1).write.format("noop").mode("overwrite").save()
+    )
     a = _np.arange(1_000_000, dtype=_np.float64).reshape(1000, 1000)
     py = med(lambda: (a @ a).sum())
-    return {"jvm_sec": jvm, "shuffle_sec": shuf, "numpy_sec": py}
+    return {
+        "jvm_sec": jvm,
+        "shuffle_sec": shuf,
+        "job_overhead_sec": overhead,
+        "parquet_job_sec": pq_job,
+        "numpy_sec": py,
+    }
 
 
 def main() -> None:
