@@ -3,10 +3,18 @@
 
 Every callable here runs a REAL multi-micro-batch Structured Streaming
 job (Trigger.AvailableNow over chunked file replay) inside the query and
-returns the sink contents as a batch DataFrame.  These keys are declared
-rows-only to the driver (approximate/streaming semantics have no exact
-SQL oracle); tests/test_streaming.py asserts their semantics against
-batch twins.
+returns the sink contents as a batch DataFrame.  Since r10 every key is
+hash-oracled: the replay is a pure function of (sf_dir, n_chunks,
+late_fraction), so each final sink is closed-form in DuckDB SQL — chunk
+boundaries by ceil division of the (ts, event_id) order, append-mode
+emission horizons from the ms-truncated final watermark (MIN of the two
+sides for stream-stream joins).  tests/test_streaming.py additionally
+asserts the streaming semantics against batch twins.
+
+Note (r10): Spark 4's ``transformWithStateInPandas`` was probed and is
+ENV-BLOCKED here — its StreamingPythonRunner requires ``google.protobuf``
+in the Python worker, absent in this sandbox (SURVEY §7.5) — so the
+custom-stateful surface stays on ``applyInPandasWithState``.
 """
 
 from __future__ import annotations
