@@ -716,6 +716,62 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_bitmap_native",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '<all>' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+)
+def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's NATIVE bitmap function family
+    (Spark 3.5+: ``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_count`` / ``bitmap_or_agg``) —
+    the built-in counterpart of ``agg_bitmap_distinct``'s hand-rolled
+    64-bit words: ids bucket into fixed 4096-bit binary bitmaps, so the
+    engine manages the word packing and the partials are opaque,
+    OR-mergeable blobs.
+
+    The '<all>' row is the point: per-bucket ``bitmap_or_agg`` MERGES
+    the per-type bitmaps into a cross-type union whose bit count is the
+    exact global distinct — the agg_sketch_partial rollup story
+    (build once, re-aggregate coarser grains from stored partials)
+    with NO approximation.  Oracle is plain COUNT(DISTINCT) at both
+    grains: the bitmap math provably equals it.
+
+    Scale: shuffle carries one ≤512-byte blob per (group, bucket) —
+    bounded by id-space/4096, independent of row count; map-side
+    combine collapses each partition's rows into those blobs first.
+    Dense surrogate ids are the precondition, as with every bitmap
+    engine (sparse ids go through a dictionary)."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    ).groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    per_type = buckets.groupBy("event_type").agg(
+        F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_users")
+    )
+    merged = (
+        buckets.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(
+            F.lit("<all>").alias("event_type"),
+            F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_users"),
+        )
+    )
+    return per_type.unionByName(merged)
+
+
+@query(
     "agg_heavy_hitters",
     oracle="""
     WITH toks AS (

@@ -316,6 +316,73 @@ def scan_union_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# binary-file fixture dirs already written by THIS process (one file per
+# document; reused across bench repeats and test/driver invocations)
+_BINFILES_BUILT: set[str] = set()
+
+
+@query(
+    "source_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the ingestion path of a media lake: one
+    opaque file per asset (image/audio/any blob) read as (path,
+    modificationTime, length, content) with no decoding.  The fixture
+    is one file per document payload (= utf-8 text bytes, the
+    multimodal.py convention), written executor-side in Arrow batches;
+    the read-back manifests (doc_id parsed from the file name, byte
+    length, sha256) and the oracle recomputes all three from the
+    documents table — a lost, truncated, or bit-flipped file breaks the
+    hash.
+
+    Scale: binaryFile is how raw media corpora ENTER Spark; the driver
+    lists files once (at 100 TB you shard the listing by directory
+    partitioning) and each task reads whole files — so the very next
+    pipeline step should consolidate small files into parquet binary
+    columns (``mm_ingest``), which every downstream key here assumes.
+    ``pathGlobFilter`` prunes non-payload files without reading them."""
+    import pandas as pd
+
+    base = _sink_path("ks_spark_binfiles", sf_dir)
+    if base not in _BINFILES_BUILT:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+
+        def write_files(batches):
+            os.makedirs(base, exist_ok=True)
+            n = 0
+            for pdf in batches:
+                for did, pay in zip(pdf["doc_id"], pdf["payload"]):
+                    fp = os.path.join(base, f"doc_{int(did)}.bin")
+                    with open(fp, "wb") as f:
+                        f.write(bytes(pay))
+                    n += 1
+            yield pd.DataFrame({"n": [n]})
+
+        docs.mapInPandas(write_files, "n long").agg(F.sum("n")).collect()
+        _BINFILES_BUILT.add(base)
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
 @query(
     "source_csv",
     oracle="""

@@ -61,4 +61,6 @@ def test_harness_keys_consistent_with_registry():
 
     assert bench.HARNESS_KEYS <= set(QUERIES)
     assert bench.HARNESS_KEYS <= set(ORACLES)  # all hash-oracled since r10
-    assert len(set(ORACLES) - bench.HARNESS_KEYS) == 273
+    # 273-key r9 protocol set + the 2 engine keys added in r10
+    # (agg_bitmap_native, source_binaryfile)
+    assert len(set(ORACLES) - bench.HARNESS_KEYS) == 275
