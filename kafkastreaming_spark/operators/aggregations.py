@@ -750,12 +750,18 @@ def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dense surrogate ids are the precondition, as with every bitmap
     engine (sparse ids go through a dictionary)."""
     ev = load_table(spark, sf_dir, "events")
-    buckets = ev.select(
-        "event_type",
-        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
-        F.expr("bitmap_bit_position(user_id)").alias("pos"),
-    ).groupBy("event_type", "bucket").agg(
-        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    buckets = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        # both grains consume these blobs: pin the tiny partial table so
+        # the fact scan runs ONCE (the operator's whole premise is
+        # build-once/re-aggregate — a per-grain re-scan would refute it)
+        .localCheckpoint(eager=False)
     )
     per_type = buckets.groupBy("event_type").agg(
         F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_users")
