@@ -942,6 +942,15 @@ _AUDIT_PINS_3 = [
     ("llm_bm25", lambda t: "Generate" in t),
     ("graph_bfs", lambda t: t.count("Scan parquet") <= 1),
     ("agg_bitmap_distinct", lambda t: _shuffles(t) <= 2),
+    # r10: both grains re-aggregate the checkpointed bucket blobs — the
+    # fact scan must NOT appear in the visible plan (build once, reuse)
+    (
+        "agg_bitmap_native",
+        lambda t: t.count("Scan parquet") == 0
+        and t.count("Scan ExistingRDD") == 2,
+    ),
+    # r10: whole-file reads through the binaryFile source, nothing else
+    ("source_binaryfile", lambda t: "Scan binaryFile" in t),
 ]
 
 
