@@ -515,7 +515,13 @@ def main() -> None:
             "per_row_ratio = (probe_sec/probe_rows)/(base_sec/base_rows) on "
             "the driving table; <=~2 means cost stays linear at 10x. "
             "Regime folds compare count + bit_xor(xxhash64(row)) — exact, "
-            "order-free, no driver collect."
+            "order-free, no driver collect. EXPECTED SUPER-LINEAR: "
+            "llm_cosine_nn / llm_cosine_dedup are EXACT all-pairs kernels — "
+            "O(n^2) total work by contract, so per-row cost grows ~linearly "
+            "with n (the 60x embeddings blowup makes their honest ratio "
+            "~n-proportional, bounded only by the blocked regime's constant); "
+            "their documented scale path is the sub-linear ANN/LSH keys "
+            "(llm_ann_lsh, llm_ann_ivf, llm_semdedup, llm_minhash_lsh)."
         ),
     }
     if args.keys and os.path.exists(path):
