@@ -88,3 +88,36 @@ def test_survey_section2_matches_registry_exactly():
         f"survey-hash-only={sorted(hash_checked - set(ORACLES))} "
         f"oracle-only={sorted(set(ORACLES) - hash_checked)}"
     )
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["join_asof", "join_interval", "join_skew_salted", "mm_decode_features"],
+)
+def test_stale_driver_fail_keys_match_oracle(spark, key):
+    """The four keys whose LATEST driver row is a stale r1/r4 FAIL (a
+    long-fixed load_table signature issue) pinned against their DuckDB
+    oracles inside pytest, so any regression trips the suite before the
+    driver ever re-samples them (VERDICT r9 item 5).  Exact-equality
+    compare, same canonicalization as tools/verify_local.py."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from verify_local import compare
+
+    from kafkastreaming_spark.all import ORACLES
+    from kafkastreaming_spark.io import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    spdf = QUERIES[key](spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    odf = con.execute(ORACLES[key]).df()
+    ok, why = compare(spdf, odf)
+    assert ok, why
