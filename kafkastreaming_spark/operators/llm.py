@@ -82,9 +82,16 @@ _JACCARD_ORACLE = """
       FROM (SELECT DISTINCT token FROM dtoks)
     ),
     masks AS (
+      -- bit 63 spelled as the two's-complement min-int literal: DuckDB's
+      -- `1::BIGINT << 63` raises OutOfRangeException while Spark's
+      -- shiftleft wraps, so a 64-token vocabulary (in-contract: the
+      -- Spark-side guard admits len(vocab) <= 64) must not reach the
+      -- shift operator (ADVICE r10).
       SELECT doc_id,
              COUNT(*) AS n,
-             CAST(SUM(1::BIGINT << idx) AS BIGINT) AS mask
+             CAST(SUM(CASE WHEN idx = 63
+                           THEN (-9223372036854775807::BIGINT - 1)
+                           ELSE 1::BIGINT << idx END) AS BIGINT) AS mask
       FROM dtoks JOIN vocab USING (token)
       GROUP BY doc_id
     ),
@@ -255,9 +262,15 @@ _MINHASH_LSH_ORACLE = """
       FROM (SELECT DISTINCT token FROM dtoks)
     ),
     masks AS (
+      -- bit-63-safe spelling (same rationale as _JACCARD_ORACLE above):
+      -- DuckDB's shift raises at idx=63 but a 64-token vocabulary is
+      -- in-contract for the mask regime (vocab_n <= 64), so bit 63 is
+      -- spelled as the min-int literal (ADVICE r10).
       SELECT doc_id,
              COUNT(*) AS n,
-             CAST(SUM(1::BIGINT << idx) AS BIGINT) AS mask
+             CAST(SUM(CASE WHEN idx = 63
+                           THEN (-9223372036854775807::BIGINT - 1)
+                           ELSE 1::BIGINT << idx END) AS BIGINT) AS mask
       FROM dtoks JOIN vocab USING (token)
       GROUP BY doc_id
     ),

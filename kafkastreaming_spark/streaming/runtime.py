@@ -19,6 +19,7 @@ custom-stateful surface stays on ``applyInPandasWithState``.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -96,11 +97,13 @@ def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_console",
     oracle="""
-    WITH c AS (SELECT COUNT(*) AS n FROM main.events)
+    WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(*) // 4 + 1 AS BIGINT) AS rpc
+               FROM main.events)
     SELECT CAST(t.range AS BIGINT) AS batch_id,
-           CAST(CASE WHEN t.range < 3 THEN n // 4 + 1
-                     ELSE n - 3 * (n // 4 + 1) END AS BIGINT) AS n_rows
+           CAST(LEAST(rpc, n - t.range * rpc) AS BIGINT) AS n_rows
     FROM range(4) t, c
+    WHERE t.range * rpc < n
     """,
 )
 def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,11 +112,15 @@ def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof that the stream really arrived in multiple batches.
 
     Batch-twin oracle (r10, VERDICT r9 item 3): the replay harness
-    chunks the ts-sorted events by ceil division (rows_per_chunk =
-    n//4 + 1) and maxFilesPerTrigger=1 maps one chunk to one batch id
-    in file order, so the per-batch counts are closed-form in n —
-    batches 0-2 carry n//4 + 1 rows, batch 3 the remainder.  Valid
-    while every chunk is non-empty (n ≥ 4, true at every fixture SF)."""
+    chunks the ts-sorted events by ceil division (rows_per_chunk = rpc
+    = n//4 + 1), SKIPS empty chunks (harness.py), and
+    maxFilesPerTrigger=1 maps one non-empty chunk to one batch id in
+    file order, so the per-batch counts are closed-form in n: batch i
+    exists iff i·rpc < n and carries min(rpc, n − i·rpc).  The oracle
+    derives the batch count the same way (WHERE i·rpc < n) instead of
+    hardcoding 4, so it holds for ALL n ≥ 1 — at n = 4..6 the replay
+    genuinely produces fewer than 4 chunks and the oracle now agrees
+    (ADVICE r10: the previous 4-row spelling diverged there)."""
     sdf = stream_events(spark, sf_dir, n_chunks=4, tag="sinkcon")
     console_sink(sdf.select("event_id", "ts", "event_type", "value"), num_rows=3)
     batches = foreach_batch_collect(
@@ -322,7 +329,12 @@ def _running_user_agg(key, pdf_iter, state: GroupState):
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # half-AWAY-from-zero like DuckDB's ROUND (pandas .round() is
+        # banker's half-to-even — the two disagree whenever value*100
+        # lands exactly on .5 in IEEE double; ADVICE r10).  floor(x+0.5)
+        # is exact half-away for the non-negative money values this
+        # stream carries (events.value ≥ 0 by fixture contract).
+        cents += int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "cents": [cents]})
 

@@ -636,6 +636,45 @@ def test_jaccard_dedup_open_vocab_guard_fires(spark, tmp_path):
         QUERIES["llm_jaccard_dedup"](spark, str(tmp_path)).collect()
 
 
+def test_jaccard_and_lsh_oracles_survive_bit63_vocab(spark, tmp_path):
+    """ADVICE r10 (medium): a 64-token vocabulary is in-contract for the
+    bounded-mask regime (guard admits len(vocab) <= 64) but DuckDB's
+    `1::BIGINT << 63` raises OutOfRangeException, so both mask oracles
+    spell bit 63 as the min-int literal.  This pins that an
+    exactly-64-token corpus — with a document that actually sets bit 63 —
+    value-matches between Spark and the DuckDB oracle for BOTH
+    llm_jaccard_dedup and llm_minhash_lsh."""
+    import duckdb
+
+    from kafkastreaming_spark.all import ORACLES
+
+    toks = [f"tok{i:02d}" for i in range(64)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(toks)),            # all 64 tokens -> bit 63 set
+            (1, " ".join(toks[:52])),       # J(0,1) = 52/64 = 0.8125
+            (2, " ".join(toks[12:])),       # includes bit 63; J(0,2)=0.8125
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for key in ("llm_jaccard_dedup", "llm_minhash_lsh"):
+        spark_rows = {
+            tuple(r) for r in QUERIES[key](spark, str(tmp_path)).collect()
+        }
+        oracle_rows = {
+            tuple(r) for r in con.execute(ORACLES[key]).fetchall()
+        }
+        assert spark_rows == oracle_rows, f"{key}: {spark_rows} != {oracle_rows}"
+        assert len(spark_rows) >= 2  # the two >=0.8 pairs survived the cut
+
+
 def test_cep_existence_matches_python_regex(spark, sf_dir):
     """events_cep: the JVM rlike existence verdict must agree with an
     independent Python re.search on every per-user sequence, and the

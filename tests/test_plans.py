@@ -942,13 +942,6 @@ _AUDIT_PINS_3 = [
     ("llm_bm25", lambda t: "Generate" in t),
     ("graph_bfs", lambda t: t.count("Scan parquet") <= 1),
     ("agg_bitmap_distinct", lambda t: _shuffles(t) <= 2),
-    # r10: both grains re-aggregate the checkpointed bucket blobs — the
-    # fact scan must NOT appear in the visible plan (build once, reuse)
-    (
-        "agg_bitmap_native",
-        lambda t: t.count("Scan parquet") == 0
-        and t.count("Scan ExistingRDD") == 2,
-    ),
     # r10: whole-file reads through the binaryFile source, nothing else
     ("source_binaryfile", lambda t: "Scan binaryFile" in t),
 ]
@@ -1091,6 +1084,30 @@ def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
     assert "ShuffledHashJoin" in tree
     assert "BroadcastHashJoin" not in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_agg_bitmap_native_build_once_plan(spark, sf_dir):
+    """agg_bitmap_native (r10 pin, moved out of _AUDIT_PINS_3 in r11):
+    both grains must re-aggregate the checkpointed bucket blobs — the
+    fact scan must NOT appear in the visible plan (build once, reuse).
+    The registered key now materializes and unpersists (ADVICE r10), so
+    the pin targets the split-out lazy builder; the key's returned frame
+    must be the already-collected result (LocalTableScan/ExistingRDD,
+    no parquet re-scan at the driver's collect)."""
+    from kafkastreaming_spark.operators.aggregations import (
+        _agg_bitmap_native_grains,
+    )
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    _, lazy = _agg_bitmap_native_grains(spark, sf_dir)
+    t = _tree(lazy._jdf.queryExecution().explainString(mode))
+    assert t.count("Scan parquet") == 0
+    assert t.count("Scan ExistingRDD") == 2
+    returned = QUERIES["agg_bitmap_native"](spark, sf_dir)
+    rt = _tree(returned._jdf.queryExecution().explainString(mode))
+    assert "Scan parquet" not in rt
 
 
 def test_scan_cache_reads_through_imr(spark, sf_dir):
