@@ -213,19 +213,22 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
+    from kafkastreaming_spark.streaming.harness import stream_shuffle
+
     for _ in range(8):  # bounded: ceil(MAX/BATCH) data runs + 1 drain proof
-        q = (
-            spark.readStream.format("ks_feed")
-            .load()
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        if q.isActive:
-            q.stop()
+        with stream_shuffle(spark):
+            q = (
+                spark.readStream.format("ks_feed")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
         # drain proof from the query's own progress metrics — a sink
         # re-count would cost one extra job per restart
         lp = q.lastProgress
@@ -353,16 +356,19 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = stream_events(spark, sf_dir, n_chunks=2, tag="pysink").select(
         "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    q = (
-        sdf.writeStream.format("ks_jsonl_sink")
-        .option("outdir", outdir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    if q.isActive:
-        q.stop()
+    from kafkastreaming_spark.streaming.harness import stream_shuffle
+
+    with stream_shuffle(spark):
+        q = (
+            sdf.writeStream.format("ks_jsonl_sink")
+            .option("outdir", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
     back = spark.read.schema("event_id long, cents long").json(
         os.path.join(outdir, "batch_*.jsonl")
     )

@@ -16,6 +16,7 @@ Kafka broker (none exists in this sandbox — SURVEY.md §7.5).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -29,6 +30,34 @@ from kafkastreaming_spark.sources.factory import file_event_stream
 
 # chunk dirs already built by THIS process: (path,) -> reuse
 _REPLAY_BUILT: set[tuple] = set()
+
+# State/shuffle partition count for replay streaming queries.  Streaming
+# state stores cost O(partitions) per micro-batch per stateful operator
+# (provider init, snapshot/delta files, commit) regardless of data
+# volume, and AQE is disabled in streaming so nothing coalesces the
+# session's batch-sized 32 back down.  You size state partitions for
+# state VOLUME: the replay fixtures carry ≤100k rows of state, where 8
+# partitions keep every core busy inside one wave while cutting the
+# fixed per-batch state-store overhead 4× (r11, VERDICT r10 item 2 —
+# stream_stream_join/_outer were 13.1 s each with 32-partition state).
+# At 100 TB you'd raise spark.sql.shuffle.partitions (or use RocksDB +
+# more partitions) — this knob tunes the HARNESS, not the operator.
+_STREAM_SHUFFLE = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+
+@contextlib.contextmanager
+def stream_shuffle(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions to _STREAM_SHUFFLE for the
+    duration of a streaming query lifecycle (set → start → awaitTermination
+    → restore).  Safe because every harness query runs synchronously
+    (AvailableNow + awaitTermination) and each uses a fresh checkpoint,
+    so the captured partition count never conflicts with a prior run."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def replay_chunks(
@@ -99,24 +128,25 @@ def run_to_memory(
     memory sink; returns the sink table as a batch DataFrame."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"streaming query {name} did not finish in {timeout_sec}s — "
-                "refusing to return a partial memory sink"
-            )
-    finally:
-        if q.isActive:
-            q.stop()
+    with stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"streaming query {name} did not finish in {timeout_sec}s — "
+                    "refusing to return a partial memory sink"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
     spark = sdf.sparkSession
     result = spark.table(name)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -139,20 +169,21 @@ def console_sink(sdf: DataFrame, num_rows: int = 5, timeout_sec: int = 60) -> No
     """Console sink (operational debugging sink; SURVEY.md §2.1)."""
     name = f"console_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
-    q = (
-        sdf.writeStream.format("console")
-        .option("numRows", str(num_rows))
-        .option("truncate", "true")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+    with stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("console")
+            .option("numRows", str(num_rows))
+            .option("truncate", "true")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def foreach_batch_collect(sdf: DataFrame, timeout_sec: int = 120) -> list:
@@ -165,21 +196,22 @@ def foreach_batch_collect(sdf: DataFrame, timeout_sec: int = 120) -> list:
 
     name = f"feb_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
-    q = (
-        sdf.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"foreachBatch query {name} did not finish in {timeout_sec}s — "
-                "refusing to return a partial batch log"
-            )
-    finally:
-        if q.isActive:
-            q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+    with stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"foreachBatch query {name} did not finish in "
+                    f"{timeout_sec}s — refusing to return a partial batch log"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     return seen

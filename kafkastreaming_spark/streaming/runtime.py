@@ -36,6 +36,7 @@ from kafkastreaming_spark.streaming.harness import (
     replay_chunks,
     run_to_memory,
     stream_events,
+    stream_shuffle,
 )
 
 
@@ -165,18 +166,19 @@ def sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
 
-    q = (
-        sdf.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(120):
-            raise TimeoutError("exactly-once sink did not finish in 120s")
-    finally:
-        if q.isActive:
-            q.stop()
+    with stream_shuffle(spark):
+        q = (
+            sdf.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError("exactly-once sink did not finish in 120s")
+        finally:
+            if q.isActive:
+                q.stop()
     back = spark.read.parquet(out).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
     )
@@ -722,19 +724,22 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def drain() -> None:
-        q = (
-            file_event_stream(spark, src)
-            .writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(120):
-                raise TimeoutError("restart-harness run did not finish in 120s")
-        finally:
-            if q.isActive:
-                q.stop()
+        with stream_shuffle(spark):
+            q = (
+                file_event_stream(spark, src)
+                .writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(120):
+                    raise TimeoutError(
+                        "restart-harness run did not finish in 120s"
+                    )
+            finally:
+                if q.isActive:
+                    q.stop()
 
     try:
         for f in chunks[:2]:
@@ -793,17 +798,18 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"streader_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    if q.isActive:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
     state = spark.read.format("statestore").load(ckpt)
     # state value fields carry the INTERNAL aggregation-buffer names
     # (count/sum), not the query aliases — part of what this key pins
@@ -876,16 +882,17 @@ def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
         ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        if q.isActive:
-            q.stop()
+        with stream_shuffle(spark):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
         # progress events are ASYNC; poll briefly for the full trail
         for _ in range(40):
             if len({b for b, _ in got}) >= 4:
@@ -971,21 +978,22 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         newest.write.mode("overwrite").parquet(out)
         state["path"] = out
 
-    q = (
-        sdf.writeStream.foreachBatch(apply_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(base, "_ckpt"),
+    with stream_shuffle(spark):
+        q = (
+            sdf.writeStream.foreachBatch(apply_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(base, "_ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(120):
-            raise TimeoutError("upsert apply loop did not finish in 120s")
-    finally:
-        if q.isActive:
-            q.stop()
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError("upsert apply loop did not finish in 120s")
+        finally:
+            if q.isActive:
+                q.stop()
     snap = spark.read.parquet(state["path"]).select(
         "user_id",
         F.col("event_type").alias("last_type"),
