@@ -57,7 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query key.
 
-    Since r10 every registered key has an oracle (293/293): approximate
+    Since r10 every registered key has an oracle (295/295 as of r11):
+    approximate
     sketches emit envelope booleans next to exact counts, trained
     indexes emit invariants + recall floors, and streaming keys carry
     batch twins of the deterministic replay (an omitted key would fall

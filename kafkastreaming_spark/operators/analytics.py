@@ -1676,3 +1676,247 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("treated", "post", "n", "sum_cents", "mean_ppm", "did_ppm")
         .orderBy("treated", "post")
     )
+
+
+@query(
+    "events_survival",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    u AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS t0_us,
+             MAX(epoch_us(ts)) AS tlast_us
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS conv_us
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u.t0_us
+      GROUP BY e.user_id
+    ),
+    per_user AS (
+      SELECT u.user_id,
+             CASE WHEN c.conv_us IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             CAST((COALESCE(c.conv_us, u.tlast_us) - u.t0_us)
+                  // 3600000000 AS BIGINT) AS duration_h
+      FROM u LEFT JOIN conv c USING (user_id)
+    ),
+    buckets AS (
+      SELECT duration_h,
+             CAST(SUM(observed) AS BIGINT) AS n_events,
+             CAST(SUM(1 - observed) AS BIGINT) AS n_censored
+      FROM per_user GROUP BY duration_h
+    )
+    SELECT duration_h, n_events, n_censored,
+           CAST(SUM(n_events + n_censored) OVER
+                  (ORDER BY duration_h DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_at_risk,
+           CAST(ROUND(n_events * 1000000.0 /
+                SUM(n_events + n_censored) OVER
+                  (ORDER BY duration_h DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                AS BIGINT) / 1e6 AS hazard
+    FROM buckets
+    """,
+)
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival/hazard table for time-to-conversion: per
+    user, the duration (whole hours) from their FIRST event to their
+    first STRICTLY-LATER purchase; users who never convert are
+    right-CENSORED at their last observed event.  Output is the KM
+    life table per duration bucket — events, censored, at-risk count
+    (everyone whose observed or censored duration is ≥ t), and the
+    discrete hazard d_t/n_t — the retention-curve / time-to-value
+    analysis a product pipeline runs next to funnel and cohort LTV.
+
+    Exactness: all counts are exact integers; the only ratio is the
+    hazard, snapped on the 1e-6 integer grid (round of an exact-int
+    rational computed identically in both engines — the jaccard
+    discipline).  The KM survival PRODUCT is deliberately NOT emitted:
+    a cross-engine cumulative float product is ordering-fragile, while
+    (d_t, n_t) determine it exactly for any downstream consumer.
+
+    Plan: ONE fact scan — a user_id window computes each user's origin
+    in place, and the per-user aggregate REUSES the window's exchange
+    (same partitioning key, no second shuffle); the life table itself
+    is ≤ horizon-hours rows — bounded METADATA, so the single-partition
+    reverse-cumsum window is a driver-sized frame, not a data-sized
+    one.  At 100 TB only that one user-keyed pass touches the fact
+    table (plan-pinned single Scan)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    wu = Window.partitionBy("user_id")
+    e2 = ev.select(
+        "user_id",
+        "us",
+        "event_type",
+        F.min("us").over(wu).alias("t0_us"),
+    )
+    per_user_raw = e2.groupBy("user_id").agg(
+        F.min("t0_us").alias("t0_us"),
+        F.max("us").alias("tlast_us"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("t0_us")),
+                F.col("us"),
+            )
+        ).alias("conv_us"),
+    )
+    per_user = per_user_raw.select(
+        F.when(F.col("conv_us").isNotNull(), 1).otherwise(0).alias("observed"),
+        (
+            (F.coalesce("conv_us", "tlast_us") - F.col("t0_us"))
+            / F.lit(3_600_000_000)
+        )
+        .cast("long")
+        .alias("duration_h"),
+    )
+    buckets = per_user.groupBy("duration_h").agg(
+        F.sum("observed").cast("long").alias("n_events"),
+        F.sum(1 - F.col("observed")).cast("long").alias("n_censored"),
+    )
+    # life table ≤ horizon-hours rows: the single-partition window is a
+    # metadata-sized frame by construction (documented contract above)
+    w = (
+        Window.orderBy(F.col("duration_h").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    return buckets.select(
+        "duration_h",
+        "n_events",
+        "n_censored",
+        at_risk.cast("long").alias("n_at_risk"),
+        (
+            F.round(F.col("n_events") * 1000000.0 / at_risk).cast("long")
+            / 1e6
+        ).alias("hazard"),
+    )
+
+
+@query(
+    "events_ks_test",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    s AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    g AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM s GROUP BY cents
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n1,
+                   CAST(SUM(b) AS BIGINT) AS n2 FROM g),
+    cum AS (
+      SELECT cents,
+             SUM(a) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM g
+    ),
+    d AS (
+      SELECT cents, ABS(ca * n2 - cb * n1) AS d_num
+      FROM cum, tot
+      ORDER BY d_num DESC, cents ASC LIMIT 1
+    )
+    SELECT t.n1 AS n_click, t.n2 AS n_purchase,
+           CAST(d.d_num AS BIGINT) AS d_num,
+           d.cents AS ks_location_cents,
+           CAST(ROUND(d.d_num * 1000000.0 / (t.n1 * t.n2)) AS BIGINT) / 1e6
+             AS d_stat,
+           (CAST(d.d_num AS HUGEINT) * d.d_num * 1000000
+              > CAST(1844164 AS HUGEINT) * t.n1 * t.n2 * (t.n1 + t.n2))
+             AS reject_5pct
+    FROM d, tot t
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test between the click and
+    purchase value distributions — the distribution-shift companion to
+    dq_drift's binned PSI: KS is binning-free (the supremum over the
+    exact empirical CDFs), so it catches shape changes PSI's 10-bin
+    grid smears out.
+
+    Exactness: D = max|F1−F2| is computed as max over the cents grid of
+    the INTEGER |ca·n2 − cb·n1| (no float until the final 1e-6 snap of
+    d_num/(n1·n2)); the 5% decision is the asymptotic two-sample bound
+    D > 1.358·√((n1+n2)/(n1·n2)) squared into pure integer arithmetic
+    (10^6·d² vs 1358²·n1·n2·(n1+n2)) — decimal on the Spark side,
+    HUGEINT in DuckDB, exact in both.  Tie-break: the smallest cents
+    value achieving the supremum.
+
+    Plan: ONE fact scan — a hash-agg onto the bounded cents grid (≤49k
+    distinct values by fixture contract — value ∈ [0, 490]×100); the
+    running CDF and the totals are two frames of the SAME ordered
+    window over that grid-sized METADATA (one Sort, one Window node, no
+    self-join, no cross join); the argmax is a TakeOrdered(1).  At
+    100 TB only the grid agg touches the fact table, shuffling ≤|grid|
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "cents",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(wall).alias("n1"),
+        F.sum("b").over(wall).alias("n2"),
+    )
+    d = (
+        cum.select(
+            "cents",
+            F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")).alias(
+                "d_num"
+            ),
+            "n1",
+            "n2",
+        )
+        .orderBy(F.col("d_num").desc(), F.col("cents").asc())
+        .limit(1)
+    )
+    dnum_dec = F.col("d_num").cast("decimal(18,0)")
+    return d.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        "d_num",
+        F.col("cents").alias("ks_location_cents"),
+        (
+            F.round(F.col("d_num") * 1000000.0 / (F.col("n1") * F.col("n2")))
+            .cast("long")
+            / 1e6
+        ).alias("d_stat"),
+        (
+            dnum_dec * dnum_dec * F.lit(1000000).cast("decimal(7,0)")
+            > F.lit(1844164).cast("decimal(18,0)")
+            * F.col("n1").cast("decimal(18,0)")
+            * F.col("n2")
+            * (F.col("n1") + F.col("n2"))
+        ).alias("reject_5pct"),
+    )

@@ -137,3 +137,66 @@ def test_hll_union_within_error_envelope(spark, sf_dir):
     ).collect()[0]["e"]
     assert union_est >= max(ests.values()) * 0.95
     assert union_est <= sum(ests.values())
+
+
+def test_events_survival_conservation_and_monotone(spark, sf_dir):
+    """KM life table invariants: Σ(events+censored) = #users; at-risk is
+    the reverse cumsum (strictly decreasing in ascending duration as
+    buckets drain); hazard ∈ [0,1]; the first bucket's at-risk equals
+    the full user population."""
+    from kafkastreaming_spark.all import QUERIES as Q
+    from kafkastreaming_spark.io import load_table
+
+    rows = sorted(
+        Q["events_survival"](spark, sf_dir).collect(),
+        key=lambda r: r["duration_h"],
+    )
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_events"] + r["n_censored"] for r in rows) == n_users
+    assert rows[0]["n_at_risk"] == n_users
+    prev = None
+    for r in rows:
+        assert 0.0 <= r["hazard"] <= 1.0
+        assert r["n_events"] + r["n_censored"] >= 1  # no empty buckets
+        if prev is not None:
+            assert r["n_at_risk"] == prev["n_at_risk"] - (
+                prev["n_events"] + prev["n_censored"]
+            )
+        prev = r
+    assert prev["n_at_risk"] == prev["n_events"] + prev["n_censored"]
+
+
+def test_events_ks_test_matches_numpy_rebuild(spark, sf_dir):
+    """KS statistic cross-checked against a direct numpy empirical-CDF
+    rebuild on the same cents grid, including the argmax location and
+    the integer-arithmetic 5% decision."""
+    import numpy as np
+
+    from kafkastreaming_spark.all import QUERIES as Q
+    from kafkastreaming_spark.io import load_table
+
+    row = Q["events_ks_test"](spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type in ('click','purchase')")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    cents = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    is_a = (ev["event_type"] == "click").to_numpy()
+    a, b = np.sort(cents[is_a]), np.sort(cents[~is_a])
+    n1, n2 = len(a), len(b)
+    grid = np.unique(cents)
+    ca = np.searchsorted(a, grid, side="right").astype(np.int64)
+    cb = np.searchsorted(b, grid, side="right").astype(np.int64)
+    dnum = np.abs(ca * n2 - cb * n1)
+    k = int(np.flatnonzero(dnum == dnum.max())[0])  # min-cents tie-break
+    assert (row["n_click"], row["n_purchase"]) == (n1, n2)
+    assert row["d_num"] == int(dnum.max())
+    assert row["ks_location_cents"] == int(grid[k])
+    assert row["d_stat"] == round(int(dnum.max()) * 1e6 / (n1 * n2)) / 1e6
+    assert row["reject_5pct"] == bool(
+        int(dnum.max()) ** 2 * 1_000_000 > 1_844_164 * n1 * n2 * (n1 + n2)
+    )

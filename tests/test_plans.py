@@ -944,6 +944,22 @@ _AUDIT_PINS_3 = [
     ("agg_bitmap_distinct", lambda t: _shuffles(t) <= 2),
     # r10: whole-file reads through the binaryFile source, nothing else
     ("source_binaryfile", lambda t: "Scan binaryFile" in t),
+    # r11: KM life table — ONE fact scan; the user-window's exchange is
+    # reused by the per-user aggregate (no shuffle between Window and
+    # the first HashAggregate pair)
+    (
+        "events_survival",
+        lambda t: t.count("Scan parquet") == 1 and _shuffles(t) <= 3,
+    ),
+    # r11: exact KS — ONE fact scan, CDF + totals in ONE Window node,
+    # argmax via TakeOrdered, no join of any kind
+    (
+        "events_ks_test",
+        lambda t: t.count("Scan parquet") == 1
+        and t.count("Window") == 1
+        and "TakeOrderedAndProject" in t
+        and "Join" not in t,
+    ),
 ]
 
 
