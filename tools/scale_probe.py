@@ -270,6 +270,10 @@ TIMED = {
     # linear in rows (state encode/decode + changelog, not batch count,
     # is the scaling term; chunk count is fixed at 4 by the harness).
     "stream_rocksdb_state": "events",
+    # wave 21 (r11): the two new analytics keys — KM life table (window
+    # + exchange-reuse agg) and exact KS (grid agg + metadata window).
+    "events_survival": "events",
+    "events_ks_test": "events",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
