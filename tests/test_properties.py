@@ -237,3 +237,73 @@ def test_weighted_median_suffix_crossing_matches_reference(rows):
         """
     ).fetchone()[0]
     assert got == expect
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # money-like doubles, including exact-cent and exact-half-cent
+            # values (x*100 landing on .5 in IEEE double is the case the
+            # r11 half-away fix exists for)
+            st.integers(min_value=0, max_value=50_000).map(lambda c: c / 100),
+            st.integers(min_value=0, max_value=100_000).map(
+                lambda h: h / 200  # .005 grid -> exact .5 ties after *100
+            ),
+            st.floats(
+                min_value=0, max_value=500, allow_nan=False, allow_infinity=False
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_half_away_cents_matches_duckdb_round(values):
+    """stream_stateful's cents accumulator (np.floor(x*100 + 0.5)) must
+    agree with DuckDB's ROUND(value*100) — half-AWAY-from-zero — for
+    every non-negative double, INCLUDING values whose x*100 is an exact
+    IEEE .5 (where pandas .round's banker's rounding disagrees; ADVICE
+    r10)."""
+    import numpy as np
+    import pandas as pd
+
+    ours = int(
+        np.floor(pd.Series(values, dtype="float64") * 100 + 0.5)
+        .astype("int64")
+        .sum()
+    )
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT) "
+        "FROM (SELECT UNNEST(?::DOUBLE[]) AS v)",
+        [values],
+    ).fetchone()[0]
+    con.close()
+    assert ours == duck
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=63), min_size=1, max_size=64))
+def test_bit63_mask_spelling_matches_spark_semantics(idxs):
+    """The mask oracles' bit-63-safe spelling (CASE ... THEN min-int)
+    must equal the two's-complement OR-mask of the index set for ANY
+    subset of [0, 63] — i.e. exactly what Spark's wrapping shiftleft
+    sum produces on distinct bits (ADVICE r10 medium)."""
+    con = duckdb.connect()
+    got = con.execute(
+        """
+        SELECT CAST(SUM(CASE WHEN idx = 63
+                             THEN (-9223372036854775807::BIGINT - 1)
+                             ELSE 1::BIGINT << idx END) AS BIGINT)
+        FROM (SELECT UNNEST(?::INT[]) AS idx)
+        """,
+        [sorted(idxs)],
+    ).fetchone()[0]
+    con.close()
+    want = 0
+    for i in idxs:
+        want |= 1 << i
+    # interpret as signed 64-bit (Spark LongType semantics)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got == want
