@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafkastreaming_spark.hashing import H_DUCK, H_SPARK
+from kafkastreaming_spark.hashing import H2_DUCK, H2_SPARK, H_DUCK, H_SPARK
 from kafkastreaming_spark.io import load_table
 from kafkastreaming_spark.memo import memo
 from kafkastreaming_spark.registry import query
@@ -918,3 +918,136 @@ def llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# Bloom membership parameters (llm_bloom_membership): m bits, k probes
+# via Kirsch–Mitzenmacher double hashing p_i = (H + i·H2) mod m — two
+# independent 60-bit md5 halves generate all k positions from ONE md5
+# call per document, the standard production construction.
+_BLOOM_M = 16_384
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             {H_DUCK.format(x='text')} AS h,
+             {H2_DUCK.format(x='text')} AS h2
+      FROM documents
+    ),
+    a AS (SELECT * FROM hashed WHERE doc_id % 2 = 0),
+    b AS (SELECT * FROM hashed WHERE doc_id % 2 = 1),
+    a_pos AS (
+      SELECT DISTINCT (h + t.range * h2) % {_BLOOM_M} AS pos
+      FROM a, range({_BLOOM_K}) t
+    ),
+    b_pos AS (
+      SELECT DISTINCT doc_id, (h + t.range * h2) % {_BLOOM_M} AS pos
+      FROM b, range({_BLOOM_K}) t
+    ),
+    probe AS (
+      SELECT bp.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN ap.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM b_pos bp LEFT JOIN a_pos ap USING (pos)
+      GROUP BY bp.doc_id
+    ),
+    exact AS (
+      SELECT DISTINCT b.doc_id
+      FROM b JOIN a ON a.h = b.h AND a.h2 = b.h2
+    )
+    SELECT p.doc_id,
+           p.n_hit = p.n_pos AS bloom_member,
+           e.doc_id IS NOT NULL AS exact_member,
+           (p.n_hit = p.n_pos) AND e.doc_id IS NULL AS is_fp
+    FROM probe p LEFT JOIN exact e USING (doc_id)
+"""
+
+
+@query("llm_bloom_membership", oracle=_BLOOM_ORACLE)
+def llm_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screening with EXACT false-positive
+    accounting: the even-doc_id half of the corpus builds an m-bit
+    filter (k positions per doc via Kirsch–Mitzenmacher double hashing
+    from one md5), the odd half probes it, and each probe is verdicted
+    three ways — bloom_member (all k bits set), exact_member (120-bit
+    content identity present in the build side), and is_fp (the bloom
+    verdict the exact check refutes).  This is the admission-control
+    primitive in front of expensive dedup: a Bloom pass drops the
+    certain-negatives for bits-per-key cost, and the measured FP column
+    is the quantity you size m/k against.
+
+    Exactness: every position is integer arithmetic on the two 60-bit
+    md5 halves ((H + i·H2) mod m — no float anywhere), so the filter,
+    the probes, and both verdicts are bit-reproducible in both engines.
+
+    Plan + scale: the bit set is a DISTINCT of ≤ k·|A| integers and the
+    probe is an equi-join on the position column — chosen over a packed
+    binary blob so the oracle stays exactly expressible; Spark's native
+    blob path (bloom_filter_agg / might_contain) is exercised by
+    join_bloom, and at 100 TB you broadcast that blob while THIS
+    spelling's position table shuffles ≤ k·|A| ints (both sides prune
+    to two columns before any join; the exact-identity join is a
+    broadcast of |A| keys).  The hashed (doc_id, h, h2) projection is
+    checkpointed so build, probe, and exact-verdict all read ONE fact
+    scan (the agg_bitmap_native discipline), then materialized and
+    unpersisted before returning."""
+    docs, result = _bloom_membership_parts(spark, sf_dir)
+    rows = result.collect()
+    schema = result.schema
+    docs.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+def _bloom_membership_parts(spark: SparkSession, sf_dir: str):
+    """(checkpointed hashed projection, lazy verdict frame) — split out
+    so the plan test can assert the one-scan shape before the key
+    materializes and unpersists (the scan_cache/agg_bitmap_native
+    pattern)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(H_SPARK.format(x="text")).alias("h"),
+            F.expr(H2_SPARK.format(x="text")).alias("h2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    probes = F.array(
+        *[
+            ((F.col("h") + F.lit(i) * F.col("h2")) % _BLOOM_M).alias(f"p{i}")
+            for i in range(_BLOOM_K)
+        ]
+    )
+    a_pos = a.select(F.explode(probes).alias("pos")).distinct()
+    b_pos = b.select("doc_id", F.explode(probes).alias("pos")).distinct()
+    probe = (
+        b_pos.join(F.broadcast(a_pos.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pos"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    exact = (
+        b.join(F.broadcast(a.select("h", "h2").distinct()), ["h", "h2"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("ex", F.lit(1))
+    )
+    result = (
+        probe.join(F.broadcast(exact), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_hit") == F.col("n_pos")).alias("bloom_member"),
+            F.col("ex").isNotNull().alias("exact_member"),
+            ((F.col("n_hit") == F.col("n_pos")) & F.col("ex").isNull()).alias(
+                "is_fp"
+            ),
+        )
+    )
+    return docs, result

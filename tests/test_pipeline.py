@@ -1335,3 +1335,23 @@ def test_crypto_roundtrip_complete_and_ciphertext_real(spark, sf_dir):
         )
     ).count()
     assert changed == 0  # ciphertext differs from plaintext everywhere
+
+
+def test_bloom_membership_no_false_negatives(spark, sf_dir):
+    """THE Bloom property: exact members can never be bloom-negative
+    (false negatives are structurally impossible — every build doc set
+    all k of its own bits), and is_fp is exactly bloom ∧ ¬exact.  Also
+    pins the probe-side coverage: one verdict row per odd doc_id."""
+    from kafkastreaming_spark.io import load_table
+
+    rows = QUERIES["llm_bloom_membership"](spark, sf_dir).collect()
+    n_odd = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 2 = 1")
+        .count()
+    )
+    assert len(rows) == n_odd
+    for r in rows:
+        if r["exact_member"]:
+            assert r["bloom_member"], "false negative: impossible for Bloom"
+        assert r["is_fp"] == (r["bloom_member"] and not r["exact_member"])

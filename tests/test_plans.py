@@ -962,6 +962,27 @@ _AUDIT_PINS_3 = [
     ),
 ]
 
+# r11: llm_bloom_membership — hashed projection checkpointed; build,
+# probe, and exact-verdict consume the RDD, never a second fact scan;
+# both small sides broadcast.  Pin targets the split-out lazy builder
+# (the registered key materializes + unpersists, scan_cache pattern).
+
+
+def test_bloom_membership_one_scan_plan(spark, sf_dir):
+    from kafkastreaming_spark.operators.llm import _bloom_membership_parts
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    _, lazy = _bloom_membership_parts(spark, sf_dir)
+    t = _tree(lazy._jdf.queryExecution().explainString(mode))
+    assert t.count("Scan parquet") == 0
+    assert t.count("Scan ExistingRDD") == 4
+    assert t.count("BroadcastHashJoin") >= 2
+    returned = QUERIES["llm_bloom_membership"](spark, sf_dir)
+    rt = _tree(returned._jdf.queryExecution().explainString(mode))
+    assert "Scan parquet" not in rt
+
 
 @pytest.mark.parametrize(
     "key,check", _AUDIT_PINS_3, ids=[k for k, _ in _AUDIT_PINS_3]

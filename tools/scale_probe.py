@@ -271,9 +271,12 @@ TIMED = {
     # is the scaling term; chunk count is fixed at 4 by the harness).
     "stream_rocksdb_state": "events",
     # wave 21 (r11): the two new analytics keys — KM life table (window
-    # + exchange-reuse agg) and exact KS (grid agg + metadata window).
+    # + exchange-reuse agg) and exact KS (grid agg + metadata window) —
+    # and the Bloom membership screen (checkpointed hash projection,
+    # position equi-join, duplicate-heavy blowup is its worst case).
     "events_survival": "events",
     "events_ks_test": "events",
+    "llm_bloom_membership": "documents",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
