@@ -417,6 +417,62 @@ def exempt_reason(key: str) -> str | None:
     return None
 
 
+# 100× wave (r11): the brief's actual question is "would this survive a
+# 100× scale-up", and the 10× probe answers it only by extrapolation.
+# This wave builds a 100-replica blowup of the four fact tables
+# (embeddings excluded — the cosine kernels' gated regimes are already
+# proven at 60×) and times a curated core: the flagship decimal
+# aggregate battery, two TPC-H join trees, a real parquet write at
+# ~1.1 GB, the distinct/dedup shuffles, a window suite member, and the
+# r11 KM key.  per_row_ratio is computed base(sf0.1)→100× — ≤~2 means
+# the cost stayed linear across TWO orders of magnitude.
+OUT100 = "/tmp/scale_probe/sf10"
+HUNDRED_REPS = 100
+HUNDRED_KEYS = {
+    "agg_group": "lineitem",
+    "tpch_q1": "lineitem",
+    "tpch_q3": "lineitem",
+    "agg_count_distinct": "lineitem",
+    "sink_parquet": "lineitem",
+    "events_rfm": "events",
+    "win_range_frame": "events",
+    "events_survival": "events",
+    "llm_exact_dedup": "documents",
+    "llm_fingerprint": "documents",
+}
+
+
+def build_hundred(force: bool = False) -> None:
+    import duckdb
+
+    manifest = os.path.join(OUT100, "_MANIFEST.json")
+    want = {"base": BASE, "reps": HUNDRED_REPS, "copy": COPY}
+    if not force and os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == json.loads(json.dumps(want)):
+                return
+    shutil.rmtree(OUT100, ignore_errors=True)
+    os.makedirs(OUT100, exist_ok=True)
+    con = duckdb.connect()
+    for table, _, keys in BLOWUP:
+        if table == "embeddings":
+            continue
+        repl = ", ".join(f"{c} + r * {off} AS {c}" for c, off in keys)
+        con.execute(
+            f"COPY (SELECT t.* REPLACE ({repl}) "
+            f"FROM '{BASE}/{table}.parquet' t, range({HUNDRED_REPS}) g(r)) "
+            f"TO '{OUT100}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    for table in COPY:
+        shutil.copyfile(f"{BASE}/{table}.parquet", f"{OUT100}/{table}.parquet")
+    # embeddings byte-copied so keys that merely join it still resolve
+    shutil.copyfile(
+        f"{BASE}/embeddings.parquet", f"{OUT100}/embeddings.parquet"
+    )
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+
+
 def build_blowup(force: bool = False) -> dict:
     import duckdb
 
@@ -473,12 +529,89 @@ def _fold(df):
     return int(out["n"]), int(out["x"] or 0)
 
 
+def run_hundred(rebuild: bool = False) -> None:
+    """Time HUNDRED_KEYS at base (sf0.1) and 100×, merge a `hundredfold`
+    section into the round artifact."""
+    print("building 100x fixture ...", flush=True)
+    t0 = time.perf_counter()
+    build_hundred(force=rebuild)
+    print(f"100x fixture ready in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    from kafkastreaming_spark.all import QUERIES
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("scale_probe_100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = {}
+    for t in sorted({v for v in HUNDRED_KEYS.values()}):
+        rows[t] = (
+            load_table(spark, BASE, t).count(),
+            load_table(spark, OUT100, t).count(),
+        )
+    print("row counts:", rows, flush=True)
+    QUERIES["agg_group"](spark, BASE).count()  # warm-up
+    report: dict[str, dict] = {}
+    for key, table in HUNDRED_KEYS.items():
+        entry: dict = {"driving_table": table}
+        try:
+            t0 = time.perf_counter()
+            _materialize(QUERIES[key](spark, BASE))
+            base_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _materialize(QUERIES[key](spark, OUT100))
+            probe_sec = time.perf_counter() - t0
+            entry["base_sec"] = round(base_sec, 3)
+            entry["hundred_sec"] = round(probe_sec, 3)
+            br, pr = rows[table]
+            entry["base_rows"], entry["hundred_rows"] = br, pr
+            entry["per_row_ratio"] = (
+                round((probe_sec / pr) / (base_sec / br), 3)
+                if base_sec > 0
+                else None
+            )
+        except Exception as exc:  # noqa: BLE001 — record, keep probing
+            entry["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        report[key] = entry
+        print(f"{key}: {entry}", flush=True)
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["hundredfold"] = {
+        "reps": HUNDRED_REPS,
+        "note": (
+            "100x-replica blowup of the fact tables (embeddings excluded "
+            "- cosine regimes proven at 60x in `regimes`); per_row_ratio "
+            "= (hundred_sec/hundred_rows)/(base_sec/base_rows) - <=~2 "
+            "means per-row cost held across TWO orders of magnitude."
+        ),
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--keys", nargs="*", default=None)
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--skip-regimes", action="store_true")
+    ap.add_argument(
+        "--hundred",
+        action="store_true",
+        help="run the 100x wave only (HUNDRED_KEYS vs sf0.1 base)",
+    )
     args = ap.parse_args()
+
+    if args.hundred:
+        run_hundred(rebuild=args.rebuild)
+        return
 
     print("building blowup fixture ...", flush=True)
     t0 = time.perf_counter()
