@@ -1144,3 +1144,111 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             " level_cents bigint, trend_cents bigint"
         ),
     )
+
+
+@query(
+    "ts_sax",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hour_ts,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY sum_cents, hour_ts) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM hourly
+    ),
+    bp AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = (m + 3) // 4 THEN sum_cents END) AS b1,
+             MIN(CASE WHEN rn = (m + 1) // 2 THEN sum_cents END) AS b2,
+             MIN(CASE WHEN rn = (3 * m + 3) // 4 THEN sum_cents END) AS b3
+      FROM ranked GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_ts, h.sum_cents, h.n_rows,
+           CAST(CASE WHEN h.sum_cents <= bp.b1 THEN 0
+                     WHEN h.sum_cents <= bp.b2 THEN 1
+                     WHEN h.sum_cents <= bp.b3 THEN 2
+                     ELSE 3 END AS BIGINT) AS symbol
+    FROM hourly h JOIN bp USING (event_type)
+    """,
+)
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic discretization of the per-type hourly series —
+    PAA (the hourly cents aggregate is the piecewise frame) followed by
+    alphabet-4 symbolization against EMPIRICAL quartile breakpoints
+    (the values at positions ⌈m/4⌉, ⌈m/2⌉, ⌈3m/4⌉ of each series'
+    sorted frame sums — type-1 order statistics).  The symbol string is
+    what motif mining, series indexing, and cheap similarity work on:
+    downstream, two series match when their symbol sequences do.
+
+    Classic SAX z-normalizes and cuts at N(0,1) breakpoints; this
+    spelling uses per-series empirical quartiles instead, deliberately:
+    the breakpoints are then EXACT INTEGERS (order statistics of exact
+    cents sums) and every comparison is pure int64 in both engines —
+    no mean/std float, no transcendental, nothing to tie-break.  The
+    quartile cut also adapts per series, which is what z-normalization
+    was for.
+
+    Plan: ONE fact-table hash-agg onto the (type, hour) grid, then rank
+    and breakpoints are WINDOW functions over that grid-sized METADATA
+    (≤ types × span-hours rows) — same partition key, so one exchange,
+    one sort, no self-join, no second scan.  At 100 TB only the hourly
+    agg touches events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    from pyspark.sql import Window as W
+
+    wt = W.partitionBy("event_type").orderBy("sum_cents", "hour_ts")
+    full = wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = hourly.select(
+        "event_type",
+        "hour_ts",
+        "sum_cents",
+        "n_rows",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1)).over(full).alias("m"),
+    )
+    # breakpoints as full-frame conditional MAX over the same partition:
+    # exactly one row matches each order-statistic position, so MAX just
+    # plucks it — no groupBy, no rejoin, the exchange is shared
+    def _bp(pos_expr: str):
+        return F.max(
+            F.when(F.col("rn") == F.expr(pos_expr), F.col("sum_cents"))
+        ).over(full)
+
+    sym = ranked.select(
+        "event_type",
+        "hour_ts",
+        "sum_cents",
+        "n_rows",
+        _bp("(m + 3) div 4").alias("b1"),
+        _bp("(m + 1) div 2").alias("b2"),
+        _bp("(3 * m + 3) div 4").alias("b3"),
+    )
+    return sym.select(
+        "event_type",
+        "hour_ts",
+        "sum_cents",
+        "n_rows",
+        F.when(F.col("sum_cents") <= F.col("b1"), 0)
+        .when(F.col("sum_cents") <= F.col("b2"), 1)
+        .when(F.col("sum_cents") <= F.col("b3"), 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("symbol"),
+    )

@@ -200,3 +200,40 @@ def test_events_ks_test_matches_numpy_rebuild(spark, sf_dir):
     assert row["reject_5pct"] == bool(
         int(dnum.max()) ** 2 * 1_000_000 > 1_844_164 * n1 * n2 * (n1 + n2)
     )
+
+
+def test_ts_sax_quartile_symbols_and_conservation(spark, sf_dir):
+    """SAX invariants: symbols ∈ {0..3}; Σ n_rows over the grid equals
+    the raw event count; per series each quartile bucket holds between
+    ⌊m/4⌋−1 and ⌈m/4⌉+1 frames up to ties (empirical quartile cuts at
+    exact integer breakpoints can only shift counts by tied values);
+    symbol is monotone in sum_cents within a series."""
+    from collections import defaultdict
+
+    from kafkastreaming_spark.all import QUERIES as Q
+    from kafkastreaming_spark.io import load_table
+
+    rows = Q["ts_sax"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    per = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["symbol"] <= 3
+        per[r["event_type"]].append((r["sum_cents"], r["symbol"]))
+    for series in per.values():
+        series.sort()
+        # monotone: sorting by sum_cents must sort symbols too
+        syms = [s for _, s in series]
+        assert syms == sorted(syms)
+        m = len(series)
+        # the three breakpoints split the sorted frames near quarters;
+        # ties can only GROW a lower bucket past its quarter, so the
+        # cumulative counts at symbols <=0/<=1/<=2 are at least the
+        # type-1 positions
+        import math
+
+        cum = [0] * 4
+        for s in syms:
+            cum[s] += 1
+        assert cum[0] >= math.ceil(m / 4) - (m - len({c for c, _ in series}))
+        assert sum(cum) == m

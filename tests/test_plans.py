@@ -960,6 +960,14 @@ _AUDIT_PINS_3 = [
         and "TakeOrderedAndProject" in t
         and "Join" not in t,
     ),
+    # r11: SAX — ONE fact scan; rank + breakpoint windows share the
+    # event_type exchange; breakpoints never re-join
+    (
+        "ts_sax",
+        lambda t: t.count("Scan parquet") == 1
+        and t.count("Window") == 2
+        and "Join" not in t,
+    ),
 ]
 
 # r11: llm_bloom_membership — hashed projection checkpointed; build,
