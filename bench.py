@@ -180,9 +180,9 @@ def main() -> None:
     canary_pre = _canary(spark)
 
     # Bench set = every hash-checked key EXCEPT the 18 HARNESS_KEYS —
-    # 273 keys through r9, 275 in r10, 279 from r11 (agg_bitmap_native +
+    # 273 keys through r9, 275 in r10, 280 from r11 (agg_bitmap_native +
     # source_binaryfile landed r10; events_survival, events_ks_test,
-    # llm_bloom_membership and ts_sax landed r11; ADVICE
+    # llm_bloom_membership, ts_sax and udtf_analyze landed r11; ADVICE
     # r10 asked for this count reset to be explicit, and BASELINE.md's
     # protocol table now carries per-round key counts so cross-round
     # totals are compared per-key, never raw-total-to-raw-total).  The

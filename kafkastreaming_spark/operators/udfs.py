@@ -231,3 +231,73 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
         tier_of(cents).alias("shard_tier"),
     )
+
+
+class _MeltUDTF:
+    """Polymorphic melt: first input column is the preserved key; every
+    other column becomes one (col_name, col_value-as-string) row.  The
+    output schema is COMPUTED by analyze() from the incoming TABLE
+    argument's schema — the Spark 4 dynamic-schema UDTF contract."""
+
+    @staticmethod
+    def analyze(t):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        st = t.dataType
+        out = StructType()
+        key = st.fields[0]
+        out.add(key.name, key.dataType)
+        out.add("col_name", StringType())
+        out.add("col_value", StringType())
+        return AnalyzeResult(schema=out)
+
+    def eval(self, row):
+        items = list(row.asDict().items())
+        key = items[0][1]
+        for name, val in items[1:]:
+            yield (key, name, None if val is None else str(val))
+
+
+@query(
+    "udtf_analyze",
+    oracle="""
+    SELECT o_orderkey, 'o_orderstatus' AS col_name,
+           CAST(o_orderstatus AS VARCHAR) AS col_value
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey, 'o_orderpriority',
+           CAST(o_orderpriority AS VARCHAR)
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is not
+    declared statically but computed by a static ``analyze()`` from the
+    TABLE argument's own schema — the dynamic-schema contract that
+    generic table transforms (melt/unpivot, JSON exploders, schema
+    translators) need, and the §2.10 tier ``udtf_tokens``'s fixed
+    ``returnType`` cannot express.  The demo melts a 3-column orders
+    slice into (key, col_name, col_value) rows; the preserved key keeps
+    the INPUT's name and type, proving the schema really came from
+    analyze() (the oracle would schema-mismatch otherwise, since the
+    driver compares sorted column names).
+
+    Filter (status 'P', ~4% of orders) is pushed into the TABLE
+    argument's scan, NOT applied after the fanout — with a UDTF the
+    engine cannot push predicates through Python, so the query author
+    must (the fn_xpath usage-contract discipline).  Row-at-a-time
+    Python is the UDTF execution model by definition; bulk unpivot of
+    fixed columns belongs to agg_unpivot (pure JVM stack())."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ks_udtf_orders"
+    )
+    spark.udtf.register("ks_melt", udtf(_MeltUDTF))
+    return spark.sql(
+        """
+        SELECT * FROM ks_melt(TABLE(
+          SELECT o_orderkey, o_orderstatus, o_orderpriority
+          FROM ks_udtf_orders WHERE o_orderstatus = 'P'
+        ))
+        """
+    )

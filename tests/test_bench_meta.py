@@ -62,10 +62,10 @@ def test_harness_keys_consistent_with_registry():
     assert bench.HARNESS_KEYS <= set(QUERIES)
     assert bench.HARNESS_KEYS <= set(ORACLES)  # all hash-oracled since r10
     # 273-key r9 protocol set + 2 engine keys added r10 (agg_bitmap_native,
-    # source_binaryfile) + 4 added r11 (events_survival, events_ks_test, llm_bloom_membership, ts_sax);
+    # source_binaryfile) + 5 added r11 (events_survival, events_ks_test, llm_bloom_membership, ts_sax, udtf_analyze);
     # per-round headline counts are recorded in BASELINE.md so totals are
     # compared per-key, never raw-total-to-raw-total
-    assert len(set(ORACLES) - bench.HARNESS_KEYS) == 279
+    assert len(set(ORACLES) - bench.HARNESS_KEYS) == 280
 
 
 def _newest_detail_with_canary():

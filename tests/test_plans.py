@@ -1018,7 +1018,7 @@ def test_plan_hygiene_sweep(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    allowed_python = {"udf_scalar", "udtf_tokens"}
+    allowed_python = {"udf_scalar", "udtf_tokens", "udtf_analyze"}
     # llm_ann_ivf: documented corpus+query pair.  llm_ann_ivf_trained
     # (r10): its invariant output CONTAINS the recall check vs the exact
     # brute-force top-5, so the plan runs both ANN pipelines over the

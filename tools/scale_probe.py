@@ -278,6 +278,7 @@ TIMED = {
     "events_ks_test": "events",
     "llm_bloom_membership": "documents",
     "ts_sax": "events",
+    "udtf_analyze": "orders",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.
