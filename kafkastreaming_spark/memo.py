@@ -31,6 +31,33 @@ def memo(spark, sf_dir: str, key: str, build: Callable[[], Any]) -> Any:
     return _store[k]
 
 
+def release_local_checkpoint(df) -> bool:
+    """Free the REAL storage behind a localCheckpoint-backed DataFrame.
+
+    ``Dataset.unpersist`` only uncaches via the CacheManager; a
+    localCheckpoint instead persists the underlying RDD in
+    SparkContext.persistentRdds, which plain unpersist never touches
+    (ADVICE r11) — the blocks would otherwise live until the RDD is
+    GC'd by the ContextCleaner.  This reaches through the analyzed
+    LogicalRDD node and unpersists that RDD directly (probe-verified:
+    sc.getPersistentRDDs 1→0 and executor blocks dropped).
+
+    Only call AFTER the final materialization of everything derived
+    from the frame: local checkpoints truncate lineage, so the frame is
+    unrecomputable afterwards (callers here collect() first and return
+    a fresh createDataFrame).  Returns True iff a checkpointed RDD was
+    found and unpersisted; False (no-op) for cached/plain frames —
+    callers fall back to Dataset.unpersist for those."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:  # noqa: BLE001 — non-classic DF / dead context
+        return False
+
+
 def release(spark) -> int:
     """Drop every memo held for THIS Spark application: unpersist cached/
     checkpointed DataFrames, destroy broadcasts, forget the rest.
@@ -50,8 +77,12 @@ def release(spark) -> int:
         v = _store.pop(k)
         for obj in v if isinstance(v, tuple) else (v,):
             # Broadcast carries both destroy() and unpersist(); destroy
-            # is the full release (executors AND driver copy).  DataFrame
-            # carries only unpersist().
+            # is the full release (executors AND driver copy).  For
+            # DataFrames, localCheckpoint-backed frames need the
+            # LogicalRDD release (plain unpersist is a no-op on them —
+            # ADVICE r11); cached frames fall back to unpersist().
+            if release_local_checkpoint(obj):
+                continue
             method = getattr(obj, "destroy", None) or getattr(
                 obj, "unpersist", None
             )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from kafkastreaming_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
 from kafkastreaming_spark.hashing import H_DUCK, H_SPARK
 from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.memo import release_local_checkpoint
 from kafkastreaming_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -758,7 +759,9 @@ def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, result = _agg_bitmap_native_grains(spark, sf_dir)
     rows = result.collect()  # both grains read the pinned blobs ONCE
     schema = result.schema
-    buckets.unpersist()
+    # real release: localCheckpoint storage lives in persistentRdds,
+    # which Dataset.unpersist never touches (ADVICE r11)
+    release_local_checkpoint(buckets)
     return spark.createDataFrame(rows, schema)
 
 

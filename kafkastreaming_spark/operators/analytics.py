@@ -1827,7 +1827,11 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     ),
     d AS (
-      SELECT cents, ABS(ca * n2 - cb * n1) AS d_num
+      -- HUGEINT cross-multiply: ca*n2 in BIGINT would overflow once
+      -- n1*n2 > 2^63 (a few billion rows per class — reachable at the
+      -- docstring's scale; ADVICE r11); Spark mirrors with decimal(38,0)
+      SELECT cents,
+             ABS(CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1) AS d_num
       FROM cum, tot
       ORDER BY d_num DESC, cents ASC LIMIT 1
     )
@@ -1856,6 +1860,16 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10^6·d² vs 1358²·n1·n2·(n1+n2)) — decimal on the Spark side,
     HUGEINT in DuckDB, exact in both.  Tie-break: the smallest cents
     value achieving the supremum.
+
+    Headroom (ADVICE r11): the cross-multiplication is promoted to
+    decimal(38,0) / HUGEINT in BOTH engines (int64 would overflow at
+    n1·n2 > 2^63, a few billion rows per class), so d_num itself is
+    exact to 10^38.  Two residual bounds are the OUTPUT contract, not
+    the plan: the d_num column is BIGINT (valid while d_num < 2^63),
+    and the squared 5% decision needs d_num²·10^6 inside decimal(38) /
+    HUGEINT — valid while d_num ≲ 4·10^15, i.e. n1·n2·D ≲ 4·10^15.
+    Beyond that, widen d_num's output type and spell the decision via
+    the float bound (the 1e-6-snapped d_stat is already emitted).
 
     Plan: ONE fact scan — a hash-agg onto the bounded cents grid (≤49k
     distinct values by fixture contract — value ∈ [0, 490]×100); the
@@ -1889,12 +1903,17 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").over(wall).alias("n1"),
         F.sum("b").over(wall).alias("n2"),
     )
+    dec19 = "decimal(19,0)"
     d = (
         cum.select(
             "cents",
-            F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")).alias(
-                "d_num"
-            ),
+            # decimal(19,0)×decimal(19,0) → decimal(38,0): exact where
+            # int64 ca·n2 would overflow (ADVICE r11; DuckDB side uses
+            # HUGEINT for the same promotion)
+            F.abs(
+                F.col("ca").cast(dec19) * F.col("n2").cast(dec19)
+                - F.col("cb").cast(dec19) * F.col("n1").cast(dec19)
+            ).alias("d_num"),
             "n1",
             "n2",
         )
@@ -1905,7 +1924,8 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("n1").alias("n_click"),
         F.col("n2").alias("n_purchase"),
-        "d_num",
+        # BIGINT output contract: valid while d_num < 2^63 (docstring)
+        F.col("d_num").cast("long").alias("d_num"),
         F.col("cents").alias("ks_location_cents"),
         (
             F.round(F.col("d_num") * 1000000.0 / (F.col("n1") * F.col("n2")))

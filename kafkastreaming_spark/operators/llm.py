@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from kafkastreaming_spark.hashing import H2_DUCK, H2_SPARK, H_DUCK, H_SPARK
 from kafkastreaming_spark.io import load_table
-from kafkastreaming_spark.memo import memo
+from kafkastreaming_spark.memo import memo, release_local_checkpoint
 from kafkastreaming_spark.registry import query
 
 # Sequential double fold for ||v||² and <a,b> — mirrors DuckDB
@@ -995,7 +995,9 @@ def llm_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, result = _bloom_membership_parts(spark, sf_dir)
     rows = result.collect()
     schema = result.schema
-    docs.unpersist()
+    # real release: localCheckpoint storage lives in persistentRdds,
+    # which Dataset.unpersist never touches (ADVICE r11)
+    release_local_checkpoint(docs)
     return spark.createDataFrame(rows, schema)
 
 

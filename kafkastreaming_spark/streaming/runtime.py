@@ -333,10 +333,16 @@ def _running_user_agg(key, pdf_iter, state: GroupState):
         n += len(pdf)
         # half-AWAY-from-zero like DuckDB's ROUND (pandas .round() is
         # banker's half-to-even — the two disagree whenever value*100
-        # lands exactly on .5 in IEEE double; ADVICE r10).  floor(x+0.5)
-        # is exact half-away for the non-negative money values this
-        # stream carries (events.value ≥ 0 by fixture contract).
-        cents += int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
+        # lands exactly on .5 in IEEE double; ADVICE r10).  Compare the
+        # fractional part instead of adding 0.5: the +0.5 addition can
+        # itself round up across the boundary (p=0.49999999999999994 →
+        # p+0.5 == 1.0 in IEEE double, giving 1 where ROUND gives 0;
+        # ADVICE r11).  p−floor(p) is exact for every non-negative
+        # double (Sterbenz for p≥1, trivially for p<1), so this is
+        # bit-exact half-away on ALL inputs, not just the money grid.
+        p = (pdf["value"] * 100).to_numpy()
+        f = np.floor(p)
+        cents += int((f + (p - f >= 0.5)).astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "cents": [cents]})
 

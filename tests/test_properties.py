@@ -259,19 +259,20 @@ def test_weighted_median_suffix_crossing_matches_reference(rows):
     )
 )
 def test_half_away_cents_matches_duckdb_round(values):
-    """stream_stateful's cents accumulator (np.floor(x*100 + 0.5)) must
-    agree with DuckDB's ROUND(value*100) — half-AWAY-from-zero — for
-    every non-negative double, INCLUDING values whose x*100 is an exact
-    IEEE .5 (where pandas .round's banker's rounding disagrees; ADVICE
-    r10)."""
+    """stream_stateful's cents accumulator must agree with DuckDB's
+    ROUND(value*100) — half-AWAY-from-zero — for every non-negative
+    double, INCLUDING values whose x*100 is an exact IEEE .5 (banker's
+    rounding disagreement; ADVICE r10) AND values just below a .5
+    boundary where the old floor(p+0.5) spelling itself rounded up
+    across the boundary (p+0.5 == next integer in IEEE; ADVICE r11).
+    The spelling under test is the fractional-part comparison used at
+    streaming/runtime.py (_running_user_agg): exact on all doubles."""
     import numpy as np
     import pandas as pd
 
-    ours = int(
-        np.floor(pd.Series(values, dtype="float64") * 100 + 0.5)
-        .astype("int64")
-        .sum()
-    )
+    p = (pd.Series(values, dtype="float64") * 100).to_numpy()
+    f = np.floor(p)
+    ours = int((f + (p - f >= 0.5)).astype("int64").sum())
     con = duckdb.connect()
     duck = con.execute(
         "SELECT CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT) "
@@ -280,6 +281,24 @@ def test_half_away_cents_matches_duckdb_round(values):
     ).fetchone()[0]
     con.close()
     assert ours == duck
+
+
+def test_half_away_cents_boundary_pin():
+    """Pin the ADVICE-r11 counterexample: p = 0.49999999999999994 is the
+    largest double < 0.5, and p + 0.5 rounds to exactly 1.0 in IEEE —
+    so floor(p+0.5) = 1 while true half-away rounding gives 0.  The
+    fractional-part spelling must give 0, agreeing with DuckDB ROUND."""
+    import numpy as np
+
+    p = np.float64(0.49999999999999994)
+    assert p < 0.5 and p + 0.5 == 1.0  # the boundary-crossing addition
+    f = np.floor(p)
+    ours = int(f + (p - f >= 0.5))
+    assert ours == 0
+    con = duckdb.connect()
+    duck = con.execute("SELECT CAST(ROUND(?::DOUBLE) AS BIGINT)", [float(p)]).fetchone()[0]
+    con.close()
+    assert ours == duck == 0
 
 
 @settings(max_examples=100, deadline=None)

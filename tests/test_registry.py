@@ -169,3 +169,29 @@ def test_memo_release_drops_all_entries(spark, sf_dir):
     # rebuild works after release (no dangling unpersisted references)
     df = _jaccard_per_doc(spark, sf_dir)
     assert df.count() > 0
+
+
+def test_release_local_checkpoint_frees_persistent_rdd(spark):
+    """release_local_checkpoint must free the REAL storage behind a
+    localCheckpoint-backed frame: Dataset.unpersist only uncaches via
+    the CacheManager, while localCheckpoint persists the RDD in
+    SparkContext.persistentRdds (ADVICE r11).  Assert the persistent-RDD
+    registry actually shrinks — the claim the old docstrings made but
+    nothing enforced."""
+    from kafkastreaming_spark.memo import release_local_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS y").localCheckpoint(
+        eager=False
+    )
+    df.count()  # materialize the checkpoint
+    assert jsc.getPersistentRDDs().size() == before + 1
+    # plain unpersist is the documented no-op for checkpoint storage
+    df.unpersist()
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert release_local_checkpoint(df) is True
+    assert jsc.getPersistentRDDs().size() == before
+    # non-checkpointed frames are a safe no-op (callers fall back)
+    plain = spark.range(10)
+    assert release_local_checkpoint(plain) is False

@@ -349,8 +349,18 @@ _EXEMPT_RULES = [
         "udtf_tokens/udf_pandas_iter fan-out probes",
     ),
     (
+        # every streaming-lifecycle key, including the streaming SINKS
+        # (sink_python_stream / sink_exactly_once): their wall time is
+        # replay-harness micro-batch scheduling, not codec throughput —
+        # they must not fall through to the I/O-format rule (ADVICE r11)
         lambda k: k.startswith(("stream_", "sink_console", "sink_memory"))
-        or k in ("source_kafka", "source_python_stream"),
+        or k
+        in (
+            "source_kafka",
+            "source_python_stream",
+            "sink_python_stream",
+            "sink_exactly_once",
+        ),
         "micro-batch replay harness key: wall time is fixed scheduling "
         "cost (chunk count pinned by the harness), not row volume; "
         "the state-bearing members stream_tumbling/stream_session/"
