@@ -338,7 +338,7 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderpriority AS pri,
            CAST(ROUND(o_totalprice, 2) AS VARCHAR) AS price_str,
            CAST(2 AS INTEGER) AS n_tags
-    FROM orders WHERE o_orderkey % 11 = 0
+    FROM orders WHERE o_orderkey % 29 = 0
     """,
 )
 def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,15 +354,15 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     routes through ROUND(…, 2) BEFORE serialization on both sides (the
     fn_format %.2f rule: never print an unrounded double).
 
-    Deliberately BOUNDED to an 1/11 slice: each xpath_* call DOM-parses
-    the fragment per row (~180 µs/row measured — 27 s for the full
-    sf0.1 table), which is exactly why bulk XML extraction goes
+    Deliberately BOUNDED to a 1/29 slice (r12; was 1/11): each xpath_*
+    call DOM-parses the fragment per row (~180 µs/row measured — 27 s
+    for the full sf0.1 table), which is exactly why bulk XML extraction goes
     through the native source_xml reader (streaming SAX, schema
     projection) and per-row XPath is reserved for small embedded
     fragments.  The slice pins the function surface; the cost note
     pins the usage contract."""
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 11 == 0
+        F.col("o_orderkey") % 29 == 0
     )
     xml = F.concat(
         F.lit("<o><y>"),

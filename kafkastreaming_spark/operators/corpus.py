@@ -1707,11 +1707,20 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spans are hashed to the portable 120-bit identity (two md5 halves)
     BEFORE any shuffle (llm_contamination discipline): join keys are 16
-    bytes, collision-safe past 10^12 distinct spans.  The dup set is
-    vocabulary-bounded (DISTINCT spans seen in ≥2 docs), never
-    broadcast; both shuffles key on the uniform span hash and the final
-    aggregate keys on doc_id.  Docs shorter than 8 tokens have no spans
-    and no row (grain documented).
+    bytes, collision-safe past 10^12 distinct spans.  Docs shorter than
+    8 tokens have no spans and no row (grain documented).
+
+    Plan (r12 rewrite — was a spans⋈dup self-join whose probe side
+    recomputed the whole explode+2×md5 lattice a second time, the
+    key's dominant cost): ONE span pass → (g, g2, doc_id) partial
+    count (map-side combined), a count() window over (g, g2) gives
+    each span's distinct-doc count nd (the frame is one row per
+    (span, doc) by construction, so count(*) IS countDistinct(doc)),
+    then the doc_id rollup conditions every aggregate on nd ≥ 2.
+    Three shuffles of the DEDUPED (span, doc) table, zero re-scans,
+    no join.  At 100 TB every shuffle keys on the uniform span hash;
+    the window partition is a span's posting list (bounded by doc
+    count, heavy spans are exactly the boilerplate being measured).
 
     Oracle note: n_distinct_dup counts single-60-bit g (not the pair) —
     inside one doc's ≤300-span set the birthday bound is ~2e-5, and
@@ -1730,27 +1739,22 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_H_SPARK.format(x="span")).alias("g"),
         F.expr(_H2_SPARK.format(x="span")).alias("g2"),
     )
-    dup = (
-        spans.groupBy("g", "g2")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select(F.col("g").alias("dg"), F.col("g2").alias("dg2"))
+    per_doc_span = spans.groupBy("g", "g2", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("g", "g2"))
+    dup_c = F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))
     return (
-        spans.join(
-            dup,
-            (spans["g"] == dup["dg"]) & (spans["g2"] == dup["dg2"]),
-            "left",
-        )
+        per_doc_span.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.count("dg").cast("long").alias("n_dup_spans"),
+            F.sum("c").cast("long").alias("n_spans"),
+            F.sum(dup_c).cast("long").alias("n_dup_spans"),
             F.countDistinct(
-                F.when(F.col("dg").isNotNull(), F.col("g"))
+                F.when(F.col("nd") >= 2, F.col("g"))
             ).cast("long").alias("n_distinct_dup"),
             (
-                F.round(F.lit(1000000.0) * F.count("dg") / F.count(F.lit(1)))
+                F.round(F.lit(1000000.0) * F.sum(dup_c) / F.sum("c"))
                 .cast("long") / 1e6
             ).alias("dup_span_frac"),
         )

@@ -194,14 +194,21 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The key drives the full exactly-once loop, not just one poll: each
     ``availableNow`` run consumes the one prefetched batch, then the
     query RESTARTS on the same checkpoint and resumes from the
-    committed offset — the drain loop stops when the parquet sink's
-    row count stops moving (an aggregate probe, never a row fetch).
-    Rows land exactly once across restarts (pytest-pinned: no seq
-    duplicates), so the final per-bucket rollup is hash-checked
-    against the closed-form oracle — a dropped batch, re-read range,
-    or lost offset all break the hash.  At 100 TB this is precisely
-    the Kafka→lake ingestion contract: offsets in the checkpoint, the
-    sink idempotent per batch, restart-safe by construction."""
+    committed offset.  The drain loop stops when the committed
+    endOffset reaches the feed's known high-watermark — the Kafka
+    consume-to-``endOffsets()`` pattern (r12: this replaces the extra
+    zero-row probe lifecycle, which proved nothing the hash doesn't —
+    any missing, duplicated, or EXTRA row breaks the exact per-bucket
+    sums; a zero-row fallback break remains for safety).  Rows land
+    exactly once across restarts (pytest-pinned: no seq duplicates),
+    so the final per-bucket rollup is hash-checked against the
+    closed-form oracle — a dropped batch, re-read range, or lost
+    offset all break the hash.  At 100 TB this is precisely the
+    Kafka→lake ingestion contract: offsets in the checkpoint, the
+    sink idempotent per batch, restart-safe by construction.  Cost is
+    the contract: wall time here is N_restarts × micro-batch query
+    lifecycle (~1.5 s each on this box), not row volume."""
+    import ast
     import os
     import tempfile
     import uuid
@@ -215,7 +222,7 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     from kafkastreaming_spark.streaming.harness import stream_shuffle
 
-    for _ in range(8):  # bounded: ceil(MAX/BATCH) data runs + 1 drain proof
+    for _ in range(8):  # bounded: ceil(MAX/BATCH) restart-resume runs
         with stream_shuffle(spark):
             q = (
                 spark.readStream.format("ks_feed")
@@ -234,6 +241,9 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp = q.lastProgress
         if lp is None or lp["numInputRows"] == 0:
             break
+        end = ast.literal_eval(lp["sources"][0]["endOffset"])
+        if end["offset"] >= _FEED_MAX:
+            break  # caught up to the high-watermark: drained
     df = spark.read.parquet(out)
     return df.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_msgs"),

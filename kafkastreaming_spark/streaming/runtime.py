@@ -121,8 +121,13 @@ def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives the batch count the same way (WHERE i·rpc < n) instead of
     hardcoding 4, so it holds for ALL n ≥ 1 — at n = 4..6 the replay
     genuinely produces fewer than 4 chunks and the oracle now agrees
-    (ADVICE r10: the previous 4-row spelling diverged there)."""
-    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="sinkcon")
+    (ADVICE r10: the previous 4-row spelling diverged there).
+
+    The console half replays 2 chunks (r12): its output is operator
+    logs, not the returned frame — two micro-batches prove the
+    multi-batch console surface at half the scheduling cost; the
+    hash-checked batch table keeps the full 4-chunk replay."""
+    sdf = stream_events(spark, sf_dir, n_chunks=2, tag="sinkcon")
     console_sink(sdf.select("event_id", "ts", "event_type", "value"), num_rows=3)
     batches = foreach_batch_collect(
         stream_events(spark, sf_dir, n_chunks=4, tag="sinkfeb")

@@ -638,13 +638,17 @@ def test_range_bucket_join_is_equi_not_bnlj(spark, sf_dir):
     assert ("BroadcastHashJoin" in tree) or ("SortMergeJoin" in tree)
 
 
-def test_dq_profile_single_scan(spark, sf_dir):
-    """All 18 profile measures must come from ONE scan of orders (the
-    single-pass contract in the docstring); the five exact distincts
-    share one Expand."""
+def test_dq_profile_two_pass_split(spark, sf_dir):
+    """The r12 two-pass contract: plain measures in one Expand-FREE
+    scan, the five exact distincts in a second scan sharing one Expand,
+    cross-joined as 1-row frames.  The fused single-scan spelling was
+    3× slower (the multi-distinct Expand replicated every row 6× while
+    dragging all 17 plain-agg buffers — see the docstring)."""
     tree = _tree(_plan(spark, sf_dir, "dq_profile"))
-    assert tree.count("Scan parquet") == 1
-    assert "Expand" in tree
+    assert tree.count("Scan parquet") == 2
+    assert tree.count("Expand") == 1
+    # both sides reduce to one row before the join — never a real join
+    assert "BroadcastNestedLoopJoin" in tree or "CartesianProduct" in tree
 
 
 def test_dq_constraints_row_checks_fold_into_one_scan(spark, sf_dir):
