@@ -236,3 +236,84 @@ def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    WITH h AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_returnflag, l_linestatus, l_shipdate,
+             CAST(l_orderkey AS HUGEINT) * 60000000000000 AS mul_h,
+             CAST(l_orderkey AS HUGEINT) + 9223372036854775000 AS add_h,
+             -9223372036854775000 - CAST(l_orderkey AS HUGEINT) AS sub_h
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 30 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 30) END AS div_qty30,
+           CASE WHEN l_linenumber = 4 THEN NULL
+                ELSE CAST(l_orderkey AS DOUBLE) / (l_linenumber - 4)
+                END AS div_line4,
+           CASE WHEN l_linenumber = 4 THEN NULL
+                ELSE l_orderkey % (l_linenumber - 4) END AS mod_line4,
+           CAST(CASE WHEN mul_h > 9223372036854775807 THEN NULL
+                     ELSE mul_h END AS BIGINT) AS mul_guard,
+           CAST(CASE WHEN add_h > 9223372036854775807 THEN NULL
+                     ELSE add_h END AS BIGINT) AS add_guard,
+           CAST(CASE WHEN sub_h < -9223372036854775808 THEN NULL
+                     ELSE sub_h END AS BIGINT) AS sub_guard,
+           string_split(l_returnflag || ' ' || l_linestatus, ' ')[l_linenumber]
+             AS elem_at,
+           TRY_CAST(l_linestatus AS BIGINT) AS num_bad,
+           CAST(l_orderkey AS BIGINT) AS num_good,
+           CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ts_good,
+           TRY_CAST(l_returnflag AS TIMESTAMP) AS ts_bad
+    FROM h
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe ``try_*`` expression family (Spark 3.5/4 surface):
+    ``try_add / try_subtract / try_multiply`` (NULL on int64 overflow
+    instead of a wrapped value or an ANSI throw), ``try_divide /
+    try_mod`` (NULL on zero divisor), ``try_element_at`` (NULL past the
+    array end), ``try_to_number`` (NULL on non-numeric text), and
+    ``try_to_timestamp`` (NULL on unparseable text) — the spellings
+    that make a 100 TB ingest job land NULLs in a quarantine column
+    instead of dying 6 hours in on one malformed row.
+
+    Overflow thresholds are chosen so BOTH branches are exercised by
+    real rows (orderkey·6e13 overflows above key 153,740; the add/sub
+    literals sit 807 below the int64 rails so almost every key
+    overflows while the smallest do not).  The DuckDB oracle promotes
+    to HUGEINT and guards with the exact int64 rails — DuckDB's own
+    BIGINT arithmetic THROWS on overflow (no silent wrap to imitate),
+    so the guarded-HUGEINT spelling is the only cross-engine-exact
+    oracle.  Division/mod-by-zero guards are plain CASE (DuckDB double
+    division yields Inf, integer % 0 throws).  All other columns are
+    engine-native try casts/parses on both sides."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", F.col("l_quantity") - 30).alias("div_qty30"),
+        F.try_divide("l_orderkey", F.col("l_linenumber") - 4).alias("div_line4"),
+        F.try_mod("l_orderkey", F.col("l_linenumber") - 4).alias("mod_line4"),
+        F.try_multiply("l_orderkey", F.lit(60000000000000)).alias("mul_guard"),
+        F.try_add("l_orderkey", F.lit(9223372036854775000)).alias("add_guard"),
+        F.try_subtract(F.lit(-9223372036854775000), F.col("l_orderkey")).alias(
+            "sub_guard"
+        ),
+        F.try_element_at(
+            F.split(F.concat_ws(" ", "l_returnflag", "l_linestatus"), " "),
+            F.col("l_linenumber"),
+        ).alias("elem_at"),
+        F.try_to_number("l_linestatus", F.lit("999")).cast("long").alias("num_bad"),
+        F.try_to_number(F.col("l_orderkey").cast("string"), F.lit("999999999999"))
+        .cast("long")
+        .alias("num_good"),
+        F.try_to_timestamp(
+            F.date_format("l_shipdate", "yyyy-MM-dd"), F.lit("yyyy-MM-dd")
+        ).alias("ts_good"),
+        F.try_to_timestamp("l_returnflag").alias("ts_bad"),
+    )

@@ -1225,3 +1225,106 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("n_exact") * 0.05, F.lit(2.0))
         ).alias("est_within_5pct"),
     ).orderBy("event_type")
+
+
+# Count-Min sketch geometry: depth 4 independent hash rows, width 1024
+# counters each — 4 KiB of int64 state total, regardless of input size.
+_CMS_D = 4
+_CMS_W = 1024
+# Portable bucket for depth i of key k: salted 60-bit md5 hash mod width
+# (hashing.H_SPARK/H_DUCK evaluate identically on both engines).
+_CMS_B_SPARK = (
+    H_SPARK.format(x="concat('cms', CAST({i} AS STRING), ':', "
+                     "CAST({k} AS STRING))") + f" % {_CMS_W}"
+)
+_CMS_B_DUCK = (
+    H_DUCK.format(x="'cms' || CAST({i} AS VARCHAR) || ':' || "
+                    "CAST({k} AS VARCHAR)") + f" % {_CMS_W}"
+)
+
+
+@query(
+    "agg_count_min",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    pairs AS (
+      SELECT t.i, {_CMS_B_DUCK.format(i='t.i', k='user_id')} AS bucket
+      FROM events, range({_CMS_D}) t(i)
+    ),
+    sk AS (SELECT i, bucket, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+    keys AS (
+      SELECT user_id, COUNT(*) AS true_count
+      FROM events WHERE user_id % 11 = 0 GROUP BY 1
+    ),
+    probe AS (
+      SELECT k.user_id, k.true_count, MIN(s.c) AS cms_estimate
+      FROM keys k
+      CROSS JOIN range({_CMS_D}) t(i)
+      JOIN sk s
+        ON s.i = t.i
+       AND s.bucket = {_CMS_B_DUCK.format(i='t.i', k='k.user_id')}
+      GROUP BY 1, 2
+    )
+    SELECT user_id, true_count, cms_estimate,
+           cms_estimate - true_count AS overcount
+    FROM probe
+    """,
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a first-class
+    distributed aggregate: d=4 salted-hash rows × w=1024
+    counters give point-frequency estimates for an UNBOUNDED key domain
+    in 4 KiB of state — the mergeable per-key-count summary you keep
+    when groupBy(key) itself is the thing you can't afford (ad-hoc
+    frequency probes over 100 TB of user ids / URLs / IPs).
+
+    Build: each row contributes one increment per depth (posexplode of
+    the d bucket exprs); map-side partial aggregation collapses
+    every partition to ≤d·w rows before the ONLY data-sized shuffle, so
+    the exchange carries sketch cells, not events.  Probe: the finished
+    ≤d·w-row sketch is BROADCAST and each queried key takes the min of
+    its d counters — per-probe cost independent of input size.  The
+    audit probes every user_id ≡ 0 (mod 97) against its exact count:
+    ``overcount`` ≥ 0 always (count-min never under-counts — the only
+    inequality the structure guarantees deterministically) and the
+    estimate itself is an exact function of (data, salts), so the whole
+    table is hash-checked against the oracle's identical SQL-spelled
+    sketch.  Spark's builtin ``count_min_sketch()`` emits an opaque
+    binary blob this cross-engine oracle could never inspect — the
+    open spelling costs one md5 per (row, depth) and stays exact.
+
+    Unlike ``agg_heavy_hitters`` (exact top-k via candidate-prune, output
+    = heavy keys only), the sketch answers ANY point query after one
+    pass, at bounded state, with a quantified overcount."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    bucket_exprs = [
+        F.expr(_CMS_B_SPARK.format(i=i, k="user_id")) for i in range(_CMS_D)
+    ]
+    sk = (
+        ev.select(F.posexplode(F.array(*bucket_exprs)).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = (
+        ev.filter(F.col("user_id") % 11 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    probes = keys.select(
+        "user_id",
+        "true_count",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(_CMS_B_SPARK.format(i=i, k="user_id"))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("i", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sk), ["i", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .withColumn("overcount", F.col("cms_estimate") - F.col("true_count"))
+    )

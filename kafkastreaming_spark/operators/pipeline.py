@@ -2937,3 +2937,90 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("component_id"),
         F.col("cluster_size").alias("component_size"),
     )
+
+
+@query(
+    "llm_filter_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT n_chars >= 100 AS p1,
+             lang IN ('en', 'fr', 'de', 'es') AS p2,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) * 5 <= n_chars
+               AS p3,
+             len(string_split(trim(text), ' ')) >= 20 AS p4,
+             md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT COUNT(*) AS n0,
+             COUNT(*) FILTER (p1) AS n1,
+             COUNT(*) FILTER (p1 AND p2) AS n2,
+             COUNT(*) FILTER (p1 AND p2 AND p3) AS n3,
+             COUNT(*) FILTER (p1 AND p2 AND p3 AND p4) AS n4,
+             COUNT(DISTINCT h) FILTER (p1 AND p2 AND p3 AND p4) AS n5
+      FROM f
+    )
+    SELECT stage_idx, stage, n_in, n_kept, n_in - n_kept AS n_dropped
+    FROM (
+      SELECT CAST(1 AS BIGINT) AS stage_idx, 'min_length' AS stage,
+             n0 AS n_in, n1 AS n_kept FROM c
+      UNION ALL SELECT 2, 'lang_latin', n1, n2 FROM c
+      UNION ALL SELECT 3, 'digit_ratio', n2, n3 FROM c
+      UNION ALL SELECT 4, 'min_words', n3, n4 FROM c
+      UNION ALL SELECT 5, 'exact_dedup', n4, n5 FROM c
+    )
+    """,
+)
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition audit of a five-stage corpus filter cascade —
+    the observability artifact every production cleaning job publishes
+    next to its output: for each stage, how many docs entered, survived,
+    and were dropped (so a regression in ONE heuristic is visible as
+    that stage's drop-rate moving, not as an opaque end-to-end count).
+    Stages mirror the standard web-corpus recipe: min length → script/
+    language allowlist → digit-ratio cap → min word count → exact dedup.
+
+    Everything is ONE pass over the corpus: the four predicate booleans
+    are computed per row and their cumulative ANDs feed conditional
+    counts inside a single global aggregate; the dedup stage rides the
+    same aggregate as COUNT(DISTINCT md5) over stage-4 survivors (the
+    only shuffle, keyed on the uniform hash).  The digit-ratio test is
+    an integer cross-multiply (digits·5 ≤ n_chars) — no float division
+    to disagree across engines.  ``stack`` unpivots the single result
+    row into the five-row funnel with zero extra jobs.  At 100 TB this
+    is strictly cheaper than the filter job it audits: same scan, one
+    extra distinct on survivors.  llm_corpus_clean composes the FILTERS
+    themselves; this key pins the ATTRITION ACCOUNTING contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        (F.col("n_chars") >= 100).alias("p1"),
+        F.col("lang").isin("en", "fr", "de", "es").alias("p2"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", "")) * 5
+            <= F.col("n_chars")
+        ).alias("p3"),
+        (F.size(F.split(F.trim(F.col("text")), " ")) >= 20).alias("p4"),
+        F.md5("text").alias("h"),
+    )
+    k12 = F.col("p1") & F.col("p2")
+    k123 = k12 & F.col("p3")
+    k1234 = k123 & F.col("p4")
+    c = f.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("p1"), 1)).alias("n1"),
+        F.count(F.when(k12, 1)).alias("n2"),
+        F.count(F.when(k123, 1)).alias("n3"),
+        F.count(F.when(k1234, 1)).alias("n4"),
+        F.countDistinct(F.when(k1234, F.col("h"))).alias("n5"),
+    )
+    return c.select(
+        F.expr(
+            "stack(5,"
+            " 1L, 'min_length',  n0, n1,"
+            " 2L, 'lang_latin',  n1, n2,"
+            " 3L, 'digit_ratio', n2, n3,"
+            " 4L, 'min_words',   n3, n4,"
+            " 5L, 'exact_dedup', n4, n5"
+            ") AS (stage_idx, stage, n_in, n_kept)"
+        )
+    ).withColumn("n_dropped", F.col("n_in") - F.col("n_kept"))

@@ -1252,3 +1252,104 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("symbol"),
     )
+
+
+_M4_WIDTH = 64  # pixel-column count: one bucket per rendered column
+
+
+@query(
+    "ts_m4",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE},
+    ext AS (SELECT event_type, MIN(epoch_us(ts)) AS t0,
+                   MAX(epoch_us(ts)) AS t1
+            FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type,
+             CAST(((epoch_us(e.ts) - x.t0) * {_M4_WIDTH})
+                  // (x.t1 - x.t0 + 1) AS BIGINT) AS bucket,
+             epoch_us(e.ts) AS us, e.event_id, e.value
+      FROM events e JOIN ext x USING (event_type)
+    ),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY us, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY us DESC, event_id DESC) AS rn_d,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY value, us, event_id) AS rn_lo,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY value DESC, us DESC, event_id DESC)
+          AS rn_hi
+      FROM b
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MAX(CASE WHEN rn_a = 1 THEN us END) AS first_us,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS first_v,
+           MAX(CASE WHEN rn_d = 1 THEN us END) AS last_us,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS last_v,
+           MAX(CASE WHEN rn_lo = 1 THEN us END) AS min_v_us,
+           MIN(value) AS min_v,
+           MAX(CASE WHEN rn_hi = 1 THEN us END) AS max_v_us,
+           MAX(value) AS max_v
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization-driven downsampling (Jugel et al., VLDB 2014):
+    per series and per pixel column, keep exactly the four extremum
+    tuples — (first, last, min, max) WITH their timestamps — which is
+    provably sufficient to rasterize a line chart pixel-identically to
+    the full series.  The dashboard pattern at 100 TB: a billion-point
+    series leaves the cluster as ≤4·W rows per series, error-free for
+    rendering, no LTTB-style heuristics.
+
+    Buckets are DATA-EXTENT-derived (floor((t−t0)·W/(t1−t0+1)) over the
+    per-series [t0,t1] span — pure int64, exact on both engines), unlike
+    ``ts_ohlc``'s fixed calendar hours: the x-axis IS the viewport.
+
+    Plan: one 5-row extent aggregate broadcast back onto the fact scan,
+    then ONE hash aggregate on (series, bucket) where all four extremes
+    are min/max over (key, tie-break) STRUCTS — lexicographic struct
+    ordering gives arg-min/arg-max with a total (value, us, event_id)
+    order, so the result is tie-deterministic without ts_ohlc's two
+    row_number window passes: map-side partial aggregation collapses
+    each partition to ≤|series|·W structs before the only shuffle.  The
+    oracle spells the identical tie-break with four rank windows
+    (DuckDB's struct min/max lacks Spark's ordering guarantee).
+    events.value is NULL-free by fixture contract, so struct ordering
+    never compares a NULL field (verified: 0 null values at every SF).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ext = ev.groupBy("event_type").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    b = ev.join(F.broadcast(ext), "event_type").select(
+        "event_type",
+        # int64 DIV keeps the bucket exact at any span — floor(double
+        # division) would drift once (t-t0)*W exceeds 2^53
+        F.expr(
+            f"((unix_micros(ts) - t0) * {_M4_WIDTH}) DIV (t1 - t0 + 1)"
+        ).alias("bucket"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    first_s = F.min(F.struct("us", "event_id", "value"))
+    last_s = F.max(F.struct("us", "event_id", "value"))
+    lo_s = F.min(F.struct("value", "us", "event_id"))
+    hi_s = F.max(F.struct("value", "us", "event_id"))
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        first_s.getField("us").alias("first_us"),
+        first_s.getField("value").alias("first_v"),
+        last_s.getField("us").alias("last_us"),
+        last_s.getField("value").alias("last_v"),
+        lo_s.getField("us").alias("min_v_us"),
+        F.min("value").alias("min_v"),
+        hi_s.getField("us").alias("max_v_us"),
+        F.max("value").alias("max_v"),
+    )

@@ -46,14 +46,23 @@ _STREAM_SHUFFLE = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
 
 
 @contextlib.contextmanager
-def stream_shuffle(spark: SparkSession):
-    """Scope spark.sql.shuffle.partitions to _STREAM_SHUFFLE for the
-    duration of a streaming query lifecycle (set → start → awaitTermination
-    → restore).  Safe because every harness query runs synchronously
-    (AvailableNow + awaitTermination) and each uses a fresh checkpoint,
-    so the captured partition count never conflicts with a prior run."""
+def stream_shuffle(spark: SparkSession, n: int | None = None):
+    """Scope spark.sql.shuffle.partitions to ``n`` (default
+    _STREAM_SHUFFLE) for the duration of a streaming query lifecycle
+    (set → start → awaitTermination → restore).  Safe because every
+    harness query runs synchronously (AvailableNow + awaitTermination)
+    and each uses a fresh checkpoint, so the captured partition count
+    never conflicts with a prior run.
+
+    Per-key overrides (r12 sweep, VERDICT r11 item 7 — 4/8/16/32 probed
+    per key at sf0.1): the Python-stateful ``stream_session_ttl`` wins
+    at 16 (more Arrow workers in flight beats per-batch state-store
+    overhead: 6.2 s vs 6.7 s at 8, 9.6 s at 4), while the pure-JVM
+    3-lifecycle ``stream_late_update`` wins at 4 (fixed per-partition
+    state-store cost × 3 lifecycles dominates: 5.3 s vs 5.6 s at 8,
+    12.0 s at 32).  Everything else keeps the fleet-swept default 8."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n or _STREAM_SHUFFLE))
     try:
         yield
     finally:
@@ -122,13 +131,18 @@ def replay_chunks(
 
 
 def run_to_memory(
-    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+    sdf: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+    shuffle_n: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
-    memory sink; returns the sink table as a batch DataFrame."""
+    memory sink; returns the sink table as a batch DataFrame.
+    ``shuffle_n`` forwards a per-key state-partition override to
+    :func:`stream_shuffle` (see its sweep table)."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
-    with stream_shuffle(sdf.sparkSession):
+    with stream_shuffle(sdf.sparkSession, shuffle_n):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)

@@ -453,7 +453,9 @@ def stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "60 minutes").alias("w"))
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
-        out = run_to_memory(agg, mode)
+        # shuffle_n=4: swept optimum for this 3-lifecycle JVM-only key
+        # (stream_shuffle docstring, r12 sweep)
+        out = run_to_memory(agg, mode, shuffle_n=4)
         rows.append((mode, out.count()))
     return spark.createDataFrame(rows, "output_mode string, emitted_rows long")
 
@@ -685,7 +687,9 @@ def stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    return run_to_memory(closed, "append")
+    # shuffle_n=16: swept optimum for this Python-stateful key — more
+    # Arrow workers in flight (stream_shuffle docstring, r12 sweep)
+    return run_to_memory(closed, "append", shuffle_n=16)
 
 
 @query(
@@ -1073,3 +1077,90 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+_DDWW_BUILT: set = set()
+
+
+def _ddww_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """4-chunk replay PLUS a 5th chunk of true duplicate deliveries:
+    every event_id ≡ 0 (mod 7) from the FIRST chunk (state long expired
+    by arrival) and from the LAST chunk (state still live) is delivered
+    a second time, byte-identical, after all originals."""
+    import os
+    import shutil
+    import tempfile
+
+    base_dir = replay_chunks(spark, sf_dir, n_chunks=4, tag="ddww")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ks_ddww_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    if out in _DDWW_BUILT:
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    chunks = sorted(
+        f for f in os.listdir(base_dir) if f.endswith(".parquet")
+    )
+    for f in chunks:  # copy in name order so mtime order == batch order
+        shutil.copyfile(os.path.join(base_dir, f), os.path.join(out, f))
+    dups = pd.concat(
+        [
+            pd.read_parquet(os.path.join(base_dir, chunks[0])),
+            pd.read_parquet(os.path.join(base_dir, chunks[-1])),
+        ]
+    )
+    dups = dups[dups["event_id"] % 7 == 0]
+    dups.to_parquet(
+        os.path.join(out, "chunk_999_dup.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    _DDWW_BUILT.add(out)
+    return out
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle=f"""
+    WITH {EVENTS_ORACLE_CTE}
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` under TRUE duplicate delivery —
+    the at-least-once→exactly-once repair stage in front of every Kafka
+    topic whose producer retries.  Unlike the batch-twin ``stream_dedup``
+    key, this runs the real streaming operator through a real lifecycle
+    with real duplicates and exercises BOTH suppression paths:
+
+    * recent duplicates (re-delivery of last-chunk rows, event time
+      within the 10-min delay of the final watermark) hit LIVE dedup
+      state and are suppressed by the state lookup — the operator's
+      advertised path;
+    * ancient duplicates (re-delivery of first-chunk rows, event time
+      far below the watermark by arrival) are dropped by the late-row
+      filter BEFORE the state lookup — probed empirically (r12): an
+      expired-state duplicate is NOT re-emitted, because the same
+      watermark that evicted its state also classifies its re-delivery
+      as too late.  That coupling is exactly why the operator's state
+      stays bounded at 100 TB without reintroducing duplicates: a key's
+      state may be dropped only once every row that could duplicate it
+      is already outside the watermark.
+
+    Output is therefore the distinct originals — closed-form, the
+    whole-table oracle — despite 2/7 of first+last-chunk rows arriving
+    twice.  Duplicate set: event_id ≡ 0 (mod 7) of chunks 1 and 4,
+    re-delivered byte-identical in a trailing 5th micro-batch
+    (``_ddww_chunks``).  State sizing: watermark horizon bounds live
+    keys exactly as stream_session_ttl's eviction argument."""
+    chunk_dir = _ddww_chunks(spark, sf_dir)
+    sdf = (
+        file_event_stream(spark, chunk_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_to_memory(sdf, "append")
+    return out.select("event_id", "user_id", "ts", "event_type", "value")

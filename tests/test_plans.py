@@ -1180,3 +1180,33 @@ def test_scan_cache_reads_through_imr(spark, sf_dir):
         assert got == want
     finally:
         o.unpersist()
+
+
+def test_ts_m4_single_agg_no_window(spark, sf_dir):
+    """ts_m4's whole point vs ts_ohlc: arg-extremes via struct min/max in
+    ONE hash aggregate — no window exchange may appear, the extent dim
+    must broadcast, and the agg must keep its map-side partial phase."""
+    plan = _plan(spark, sf_dir, "ts_m4")
+    tree = _tree(plan)
+    assert "Window" not in tree
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_filter_funnel_single_scan(spark, sf_dir):
+    """The funnel audits five stages from ONE pass: exactly one parquet
+    scan of documents, and the distinct stage must still partial-agg."""
+    plan = _plan(spark, sf_dir, "llm_filter_funnel")
+    tree = _tree(plan)
+    assert tree.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_count_min_probe_broadcasts_sketch(spark, sf_dir):
+    """agg_count_min: the finished ≤d·w-cell sketch is broadcast to the
+    probe join (a shuffle join there would resize with the key table);
+    the build side keeps its map-side partial phase."""
+    plan = _plan(spark, sf_dir, "agg_count_min")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2

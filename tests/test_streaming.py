@@ -388,3 +388,32 @@ def test_listener_metrics_conserve_and_order(spark, sf_dir):
     assert sum(r.num_input_rows for r in rows) == n
     sizes = [r.num_input_rows for r in rows]
     assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+
+
+def test_dedup_watermark_duplicates_really_delivered(spark, sf_dir):
+    """stream_dedup_watermark's claim is vacuous unless the replay dir
+    truly contains re-deliveries: the dup chunk must exist, be non-empty,
+    and every dup row must be byte-identical to an original — and the
+    streaming output must still equal the distinct originals."""
+    from kafkastreaming_spark.streaming.runtime import _ddww_chunks
+
+    sf = sf_dir
+    out = QUERIES["stream_dedup_watermark"](spark, sf).toPandas()
+    d = _ddww_chunks(spark, sf)
+    dup_path = os.path.join(d, "chunk_999_dup.parquet")
+    assert os.path.exists(dup_path)
+    dups = pd.read_parquet(dup_path)
+    assert len(dups) > 0
+    originals = pd.concat(
+        [
+            pd.read_parquet(os.path.join(d, f))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet") and not f.startswith("chunk_999")
+        ]
+    )
+    # every dup is a re-delivery of an original, keyed by event_id
+    assert set(dups["event_id"]) <= set(originals["event_id"])
+    assert (dups["event_id"] % 7 == 0).all()
+    # output = distinct originals despite len(dups) duplicate deliveries
+    assert len(out) == originals["event_id"].nunique()
+    assert sorted(out["event_id"]) == sorted(originals["event_id"].unique())

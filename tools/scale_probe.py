@@ -451,6 +451,19 @@ HUNDRED_KEYS = {
     "events_survival": "events",
     "llm_exact_dedup": "documents",
     "llm_fingerprint": "documents",
+    # r12 (VERDICT r11 item 3): the shuffle-heaviest families the first
+    # wave skipped — the pinned SortMergeJoin, the manual skew-salted
+    # join, the RocksDB stateful lifecycle, the gram-hash contamination
+    # join, and the two-pass profile battery.  graph_components is NOT
+    # here by design: its driving table (embeddings) is deliberately
+    # byte-copied in the 100x fixture (cosine kernels are O(n^2) by
+    # contract); its distributed-CC regime is already forced + verified
+    # in the `regimes` section at the 60x embeddings blowup.
+    "join_smj": "lineitem",
+    "join_skew_salted": "events",
+    "stream_rocksdb_state": "events",
+    "llm_contamination": "documents",
+    "dq_profile": "orders",
 }
 
 
