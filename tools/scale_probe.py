@@ -860,6 +860,13 @@ def main() -> None:
         prev["exempt"] = exempt
         prev["accounting"] = artifact["accounting"]
         artifact = prev
+    elif os.path.exists(path):
+        # full run after a --hundred run: the 100x section is written by
+        # a different entry point — carry it, don't drop it
+        with open(path) as f:
+            prev = json.load(f)
+        if "hundredfold" in prev:
+            artifact["hundredfold"] = prev["hundredfold"]
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print("wrote", path, flush=True)
