@@ -245,8 +245,14 @@ def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
              l_returnflag, l_linestatus, l_shipdate,
              CAST(l_orderkey AS HUGEINT) * 60000000000000 AS mul_h,
-             CAST(l_orderkey AS HUGEINT) + 9223372036854775000 AS add_h,
-             -9223372036854775000 - CAST(l_orderkey AS HUGEINT) AS sub_h
+             CAST(l_orderkey AS HUGEINT)
+               + CASE WHEN l_orderkey % 970 = 0
+                      THEN 9223372036854775000
+                      ELSE CAST(l_linenumber AS HUGEINT) END AS add_h,
+             CASE WHEN l_orderkey % 970 = 0
+                  THEN -9223372036854775000
+                  ELSE -CAST(l_linenumber AS HUGEINT) END
+               - CAST(l_orderkey AS HUGEINT) AS sub_h
       FROM lineitem WHERE l_orderkey % 10 = 0
     )
     SELECT l_orderkey, l_linenumber,
@@ -283,15 +289,23 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of dying 6 hours in on one malformed row.
 
     Overflow thresholds are chosen so BOTH branches are exercised by
-    real rows (orderkey·6e13 overflows above key 153,740; the add/sub
-    literals sit 807 below the int64 rails so almost every key
-    overflows while the smallest do not).  The DuckDB oracle promotes
-    to HUGEINT and guards with the exact int64 rails — DuckDB's own
-    BIGINT arithmetic THROWS on overflow (no silent wrap to imitate),
-    so the guarded-HUGEINT spelling is the only cross-engine-exact
-    oracle.  Division/mod-by-zero guards are plain CASE (DuckDB double
-    division yields Inf, integer % 0 throws).  All other columns are
-    engine-native try casts/parses on both sides."""
+    real rows at every SF, AND so the overflow branch stays RARE: the
+    JVM's try_add/try_subtract failure path is a caught
+    ArithmeticException measured at ~26 µs/overflowing row (r12 — the
+    same exception-storm trap fn_cast documents for try_cast), so the
+    near-rail add/sub operand is confined to the l_orderkey ≡ 0
+    (mod 970) stratum (~1 % of rows; key 970 overflows at even the
+    smallest SF) while every other row adds/subtracts a small operand
+    on the normal path.  try_multiply's overflow check is branch-based
+    in the JVM (no exception, measured free), so its threshold
+    (orderkey·6e13 overflows above key 153,740) can stay
+    magnitude-split.  The DuckDB oracle promotes to HUGEINT and guards
+    with the exact int64 rails — DuckDB's own BIGINT arithmetic THROWS
+    on overflow (no silent wrap to imitate), so the guarded-HUGEINT
+    spelling is the only cross-engine-exact oracle.  Division/
+    mod-by-zero guards are plain CASE (DuckDB double division yields
+    Inf, integer % 0 throws).  All other columns are engine-native try
+    casts/parses on both sides."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     return li.select(
         "l_orderkey",
@@ -300,10 +314,17 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide("l_orderkey", F.col("l_linenumber") - 4).alias("div_line4"),
         F.try_mod("l_orderkey", F.col("l_linenumber") - 4).alias("mod_line4"),
         F.try_multiply("l_orderkey", F.lit(60000000000000)).alias("mul_guard"),
-        F.try_add("l_orderkey", F.lit(9223372036854775000)).alias("add_guard"),
-        F.try_subtract(F.lit(-9223372036854775000), F.col("l_orderkey")).alias(
-            "sub_guard"
-        ),
+        F.try_add(
+            "l_orderkey",
+            F.when(F.col("l_orderkey") % 970 == 0, F.lit(9223372036854775000))
+            .otherwise(F.col("l_linenumber").cast("bigint")),
+        ).alias("add_guard"),
+        F.try_subtract(
+            F.when(
+                F.col("l_orderkey") % 970 == 0, F.lit(-9223372036854775000)
+            ).otherwise(-F.col("l_linenumber").cast("bigint")),
+            F.col("l_orderkey"),
+        ).alias("sub_guard"),
         F.try_element_at(
             F.split(F.concat_ws(" ", "l_returnflag", "l_linestatus"), " "),
             F.col("l_linenumber"),
