@@ -326,3 +326,85 @@ def test_bit63_mask_spelling_matches_spark_semantics(idxs):
     if want >= 1 << 63:
         want -= 1 << 64
     assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+)
+def test_try_add_rails_match_guarded_hugeint_oracle(a, b):
+    """fn_try's oracle spells try_add/try_subtract as HUGEINT arithmetic
+    guarded by the exact int64 rails.  Pin that spelling against the JVM
+    semantics (Math.addExact: NULL iff the true sum leaves
+    [-2^63, 2^63-1]) for ARBITRARY int64 pairs — the fixture only
+    exercises two strata of it."""
+    con = duckdb.connect()
+    add, sub = con.execute(
+        """
+        SELECT CAST(CASE WHEN h > 9223372036854775807
+                          OR h < -9223372036854775808
+                         THEN NULL ELSE h END AS BIGINT),
+               CAST(CASE WHEN s > 9223372036854775807
+                          OR s < -9223372036854775808
+                         THEN NULL ELSE s END AS BIGINT)
+        FROM (SELECT ?::HUGEINT + ?::HUGEINT AS h,
+                     ?::HUGEINT - ?::HUGEINT AS s)
+        """,
+        [a, b, a, b],
+    ).fetchone()
+    con.close()
+    want_add = a + b if -(2**63) <= a + b <= 2**63 - 1 else None
+    want_sub = a - b if -(2**63) <= a - b <= 2**63 - 1 else None
+    assert add == want_add
+    assert sub == want_sub
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**62),
+    st.integers(min_value=1, max_value=2**62),
+)
+def test_m4_bucket_int_div_exact_beyond_double_range(offset, span):
+    """ts_m4's bucket = ((t - t0) * W) DIV span must stay exact where the
+    rejected floor(double-division) spelling drifts: (t-t0)*W beyond
+    2^53.  Pin DuckDB's `//` == Python floor-div == Spark's DIV (all
+    non-negative here), and the bucket range contract [0, W-1] for any
+    in-span offset."""
+    w = 64
+    t_off = min(offset, span - 1)  # an in-span point
+    num = t_off * w
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT (?::HUGEINT * 64) // ?::HUGEINT", [t_off, span]
+    ).fetchone()[0]
+    con.close()
+    want = num // span
+    assert got == want
+    assert 0 <= want < w
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=400)
+)
+def test_count_min_never_undercounts(keys):
+    """agg_count_min's one deterministic guarantee (overcount >= 0): for
+    any multiset and the key's md5-salted buckets, min-of-depth cells
+    >= the true count — the docstring's claim, pinned on arbitrary
+    inputs instead of the fixture's user_id distribution."""
+    d, w = 4, 1024
+
+    def bucket(i: int, k: int) -> int:
+        return _h_py(f"cms{i}:{k}") % w
+
+    cells: dict = {}
+    for k in keys:
+        for i in range(d):
+            cells[(i, bucket(i, k))] = cells.get((i, bucket(i, k)), 0) + 1
+    from collections import Counter
+
+    true = Counter(keys)
+    for k, n in true.items():
+        est = min(cells[(i, bucket(i, k))] for i in range(d))
+        assert est >= n
