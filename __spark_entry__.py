@@ -57,7 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query key.
 
-    Since r10 every registered key has an oracle (303/303 as of r12):
+    Since r10 every registered key has an oracle (304/304 as of r12):
     approximate
     sketches emit envelope booleans next to exact counts, trained
     indexes emit invariants + recall floors, and streaming keys carry

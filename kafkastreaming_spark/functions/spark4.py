@@ -383,3 +383,118 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("xpath_string(_xml, '/o/p')").alias("price_str"),
         F.expr("size(xpath(_xml, '/o/t'))").alias("n_tags"),
     )
+
+
+@query(
+    "sql_script",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    t AS (SELECT CAST((SELECT COUNT(*) FROM cents WHERE c > 0) // 150
+                      AS BIGINT) AS target),
+    probes AS (
+      SELECT r.k,
+             (SELECT COUNT(*) FROM cents
+              WHERE c > r.k * 5000000) AS n_above
+      FROM range(0, 17) r(k)
+    ),
+    best AS (
+      SELECT p.k, p.n_above, t.target
+      FROM probes p, t
+      WHERE p.n_above <= t.target
+      ORDER BY p.k LIMIT 1
+    )
+    SELECT CAST(k * 50000 AS BIGINT) AS threshold,
+           CAST(n_above AS BIGINT) AS n_above,
+           target
+    FROM best
+    """,
+)
+def sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0, SQL/PSM-style): BEGIN…END with DECLAREd
+    session variables — including a MAP-typed one — scalar-subquery
+    SETs, a data-driven WHILE bisection loop with nested IF/ELSE, and
+    EXECUTE IMMEDIATE (dynamic SQL with typed USING binds) emitting the
+    result: the stored-procedure-shaped surface that replaces
+    driver-side Python glue for migration scripts and runbooks.
+
+    The script is a monotone threshold search — the smallest 50k-step
+    price threshold leaving at most ``count(price > 0) DIV 150`` orders
+    above it — shaped by the surface's measured cost model (r12): every
+    scripting statement pays driver-side parse/plan, ~0.45 s when the
+    statement embeds a scalar SUBQUERY vs ~0.07 s for pure variable
+    arithmetic.  So the data crosses into script state exactly ONCE:
+    one cluster job folds orders to ≤17 exact suffix counts on the
+    money-cents grid (``count(price > k·50k)`` = Σ_{b≥k} cnt_b − e_k
+    with exact-boundary hits e_k, so strict inequality is
+    integer-exact), collect()ed into a LocalRelation (bounded metadata)
+    and loaded into a ``MAP<BIGINT,BIGINT>`` session variable by the
+    script's single subquery SET; every loop probe is then
+    ``element_at`` on that variable — arithmetic-priced, no per-probe
+    plan.  The WHILE bisects [0, 16] under the invariant lo fails / hi
+    satisfies.  The oracle spells the closed form (min k over the step
+    grid): when a loop's fixed point is expressible declaratively, that
+    single query is what production should run — this key pins that the
+    scripting surface reaches the identical exact answer and documents
+    the rewrite.
+
+    Surfaces pinned: DECLARE (scalar and MAP-typed) / DEFAULT,
+    SET var = (scalar subquery), map_from_entries/element_at on a
+    session variable, WHILE…DO…END WHILE, IF…THEN…ELSE…END IF nested in
+    the loop, EXECUTE IMMEDIATE … USING (typed binds, not string
+    splicing — same injection-safety contract as sql_params)."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.select(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c")
+        )
+        .groupBy(F.expr("c DIV 5000000").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.expr("CASE WHEN c % 5000000 = 0 THEN 1 ELSE 0 END")
+            ).alias("e"),
+        )
+    )
+    # suffix[k] = exact count(cents > k*5_000_000), k = 0..16
+    rows = {int(r["b"]): (int(r["cnt"]), int(r["e"])) for r in hist.collect()}
+    suffix = []
+    for k in range(17):
+        n_above = sum(c for b, (c, _) in rows.items() if b >= k)
+        n_above -= rows.get(k, (0, 0))[1]
+        suffix.append((k, n_above))
+    local = spark.createDataFrame(suffix, "k long, n_above long")
+    view = "orders_script_suffix_v"
+    local.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE suffix MAP<BIGINT, BIGINT>;
+          DECLARE target BIGINT;
+          DECLARE lo BIGINT DEFAULT 0;
+          DECLARE hi BIGINT DEFAULT 16;
+          DECLARE mid BIGINT;
+          DECLARE n BIGINT;
+          SET suffix = (SELECT map_from_entries(collect_list(struct(k, n_above)))
+                        FROM {view});
+          SET target = element_at(suffix, 0L) DIV 150;
+          SET n = element_at(suffix, 0L);
+          IF n <= target THEN
+            SET hi = 0;
+          ELSE
+            WHILE hi - lo > 1 DO
+              SET mid = (lo + hi) DIV 2;
+              SET n = element_at(suffix, mid);
+              IF n <= target THEN SET hi = mid; ELSE SET lo = mid; END IF;
+            END WHILE;
+            SET n = element_at(suffix, hi);
+          END IF;
+          EXECUTE IMMEDIATE
+            'SELECT CAST(? AS BIGINT) AS threshold,
+                    CAST(? AS BIGINT) AS n_above,
+                    CAST(? AS BIGINT) AS target'
+            USING hi * 50000, n, target;
+        END
+        """
+    )

@@ -65,9 +65,9 @@ def test_harness_keys_consistent_with_registry():
     # source_binaryfile) + 5 added r11 (events_survival, events_ks_test,
     # llm_bloom_membership, ts_sax, udtf_analyze) + 5 added r12
     # (agg_count_min, fn_try, llm_filter_funnel, stream_dedup_watermark,
-    # ts_m4); per-round headline counts are recorded in BASELINE.md so
+    # ts_m4, then sql_script); per-round headline counts are recorded in BASELINE.md so
     # totals are compared per-key, never raw-total-to-raw-total
-    assert len(set(ORACLES) - bench.HARNESS_KEYS) == 285
+    assert len(set(ORACLES) - bench.HARNESS_KEYS) == 286
 
 
 def _newest_detail_with_canary():
