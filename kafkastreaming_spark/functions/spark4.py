@@ -464,6 +464,19 @@ def sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_above = sum(c for b, (c, _) in rows.items() if b >= k)
         n_above -= rows.get(k, (0, 0))[1]
         suffix.append((k, n_above))
+    # Bisection invariant guard (ADVICE r12): the loop assumes some k in
+    # [0, 16] satisfies n_above <= target, i.e. suffix[16] <= target.
+    # target = suffix[0] DIV 150 makes this equivalent to "< 1/150 of
+    # positive-price orders exceed 16·50k = 800k cents·100"; TPC-H
+    # o_totalprice tops out well below that, so suffix[16] is 0 at every
+    # fixture SF.  If a future fixture broke the bound the script would
+    # emit hi=16 with n > target while the oracle's WHERE…LIMIT 1
+    # returns zero rows — fail loudly here instead of hash-mismatching.
+    if suffix[16][1] > suffix[0][1] // 150:
+        raise ValueError(
+            "sql_script bisection unsatisfiable: "
+            f"suffix[16]={suffix[16][1]} > target={suffix[0][1] // 150}"
+        )
     local = spark.createDataFrame(suffix, "k long, n_above long")
     view = "orders_script_suffix_v"
     local.createOrReplaceTempView(view)

@@ -1228,7 +1228,8 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Count-Min sketch geometry: depth 4 independent hash rows, width 1024
-# counters each — 4 KiB of int64 state total, regardless of input size.
+# counters each — d·w = 4096 int64 counters (32 KiB) total, regardless
+# of input size.
 _CMS_D = 4
 _CMS_W = 1024
 # Portable bucket for depth i of key k: salted 60-bit md5 hash mod width
@@ -1274,7 +1275,7 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) as a first-class
     distributed aggregate: d=4 salted-hash rows × w=1024
     counters give point-frequency estimates for an UNBOUNDED key domain
-    in 4 KiB of state — the mergeable per-key-count summary you keep
+    in 32 KiB of state — the mergeable per-key-count summary you keep
     when groupBy(key) itself is the thing you can't afford (ad-hoc
     frequency probes over 100 TB of user ids / URLs / IPs).
 
@@ -1284,7 +1285,7 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange carries sketch cells, not events.  Probe: the finished
     ≤d·w-row sketch is BROADCAST and each queried key takes the min of
     its d counters — per-probe cost independent of input size.  The
-    audit probes every user_id ≡ 0 (mod 97) against its exact count:
+    audit probes every user_id ≡ 0 (mod 11) against its exact count:
     ``overcount`` ≥ 0 always (count-min never under-counts — the only
     inequality the structure guarantees deterministically) and the
     estimate itself is an exact function of (data, salts), so the whole

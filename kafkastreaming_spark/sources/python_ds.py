@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
 
 from kafkastreaming_spark.io import EVENTS_ORACLE_CTE
 from kafkastreaming_spark.registry import query
+from kafkastreaming_spark.streaming.harness import scratch_dir
 
 _N_SENSORS = 64
 _N_READINGS = 1000
@@ -210,13 +211,12 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle (~1.5 s each on this box), not row volume."""
     import ast
     import os
-    import tempfile
     import uuid
 
     del sf_dir
     spark.dataSource.register(FeedDataSource)
     base = os.path.join(
-        tempfile.gettempdir(), f"ks_feed_{uuid.uuid4().hex[:12]}"
+        scratch_dir(), f"ks_feed_{uuid.uuid4().hex[:12]}"
     )
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -349,12 +349,11 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged-rename pattern is exactly what DBIO/magic committers do;
     per-batch output visibility is atomic at the driver commit."""
     import os
-    import tempfile
     import uuid
 
     spark.dataSource.register(JsonlSinkDataSource)
     base = os.path.join(
-        tempfile.gettempdir(), f"ks_pysink_{uuid.uuid4().hex[:12]}"
+        scratch_dir(), f"ks_pysink_{uuid.uuid4().hex[:12]}"
     )
     outdir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")

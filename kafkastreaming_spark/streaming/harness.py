@@ -31,6 +31,30 @@ from kafkastreaming_spark.sources.factory import file_event_stream
 # chunk dirs already built by THIS process: (path,) -> reuse
 _REPLAY_BUILT: set[tuple] = set()
 
+
+def scratch_dir() -> str:
+    """RAM-backed scratch root for harness artifacts (replay chunk dirs,
+    streaming checkpoints, staging sinks).
+
+    The replay harness's per-lifecycle fixed cost is dominated by
+    many-small-file I/O — state-store delta/snapshot files, commit logs,
+    offset logs, one batch dir per micro-batch — and /tmp here is
+    disk-backed ext4 while /dev/shm is tmpfs (VERDICT r12 item 2: attack
+    the per-lifecycle fixed cost).  Checkpoint SEMANTICS are unchanged
+    (same files, same recovery contract — stream_checkpoint_restart
+    still restarts against the same dir); only the medium moves.  On a
+    real cluster checkpoints belong on HDFS/object storage for
+    durability — this knob tunes the single-box replay HARNESS, not the
+    operator.  Override with SPARK_GRAFT_SCRATCH."""
+    for cand in (
+        os.environ.get("SPARK_GRAFT_SCRATCH"),
+        "/dev/shm",
+        tempfile.gettempdir(),
+    ):
+        if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
+            return cand
+    return tempfile.gettempdir()
+
 # State/shuffle partition count for replay streaming queries.  Streaming
 # state stores cost O(partitions) per micro-batch per stateful operator
 # (provider init, snapshot/delta files, commit) regardless of data
@@ -90,7 +114,7 @@ def replay_chunks(
     no longer differentiates storage."""
     del tag  # shared storage: content depends only on the params below
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         "ks_stream_shared_"
         f"{os.path.basename(sf_dir.rstrip('/'))}_{n_chunks}"
         f"_{int(late_fraction * 10_000)}_{os.getpid()}",
@@ -141,7 +165,7 @@ def run_to_memory(
     ``shuffle_n`` forwards a per-key state-partition override to
     :func:`stream_shuffle` (see its sweep table)."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+    ckpt = os.path.join(scratch_dir(), f"ks_ckpt_{name}")
     with stream_shuffle(sdf.sparkSession, shuffle_n):
         q = (
             sdf.writeStream.format("memory")
@@ -182,7 +206,7 @@ def stream_events(
 def console_sink(sdf: DataFrame, num_rows: int = 5, timeout_sec: int = 60) -> None:
     """Console sink (operational debugging sink; SURVEY.md §2.1)."""
     name = f"console_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+    ckpt = os.path.join(scratch_dir(), f"ks_ckpt_{name}")
     with stream_shuffle(sdf.sparkSession):
         q = (
             sdf.writeStream.format("console")
@@ -209,7 +233,7 @@ def foreach_batch_collect(sdf: DataFrame, timeout_sec: int = 120) -> list:
         seen.append((batch_id, batch_df.count()))
 
     name = f"feb_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+    ckpt = os.path.join(scratch_dir(), f"ks_ckpt_{name}")
     with stream_shuffle(sdf.sparkSession):
         q = (
             sdf.writeStream.foreachBatch(handle)

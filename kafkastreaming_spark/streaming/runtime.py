@@ -35,6 +35,7 @@ from kafkastreaming_spark.streaming.harness import (
     foreach_batch_collect,
     replay_chunks,
     run_to_memory,
+    scratch_dir,
     stream_events,
     stream_shuffle,
 )
@@ -161,11 +162,10 @@ def sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch breaks the oracle."""
     import os
     import shutil
-    import tempfile
     import uuid
 
     sdf = stream_events(spark, sf_dir, n_chunks=4, tag="e1")
-    out = os.path.join(tempfile.gettempdir(), f"ks_e1_{uuid.uuid4().hex[:12]}")
+    out = os.path.join(scratch_dir(), f"ks_e1_{uuid.uuid4().hex[:12]}")
     ckpt = out + "_ckpt"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -723,12 +723,11 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     to object storage, same semantics."""
     import os
     import shutil
-    import tempfile
     import uuid
 
     src_all = replay_chunks(spark, sf_dir, n_chunks=4, tag="ckptr")
     run_id = uuid.uuid4().hex[:12]
-    base = os.path.join(tempfile.gettempdir(), f"ks_ckptr_{run_id}")
+    base = os.path.join(scratch_dir(), f"ks_ckptr_{run_id}")
     src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
     os.makedirs(src)
     chunks = sorted(f for f in os.listdir(src_all) if f.endswith(".parquet"))
@@ -801,7 +800,6 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     source reads each store shard in parallel, one task per state
     partition — the same layout the stream itself maintains."""
     import os
-    import tempfile
     import uuid
 
     from kafkastreaming_spark.streaming.harness import stream_events
@@ -812,7 +810,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
     name = f"streader_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+    ckpt = os.path.join(scratch_dir(), f"ks_ckpt_{name}")
     with stream_shuffle(spark):
         q = (
             agg.writeStream.format("memory")
@@ -894,9 +892,8 @@ def stream_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf = stream_events(spark, sf_dir, n_chunks=4, tag="listener")
         name = f"listener_{uuid.uuid4().hex[:8]}"
         import os
-        import tempfile
 
-        ckpt = os.path.join(tempfile.gettempdir(), f"ks_ckpt_{name}")
+        ckpt = os.path.join(scratch_dir(), f"ks_ckpt_{name}")
         with stream_shuffle(spark):
             q = (
                 sdf.writeStream.format("memory")
@@ -961,14 +958,13 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     background; the apply loop's shape is unchanged."""
     import os
     import shutil
-    import tempfile
     import uuid
 
     from kafkastreaming_spark.streaming.harness import stream_events
 
     sdf = stream_events(spark, sf_dir, n_chunks=4, tag="upsq")
     base = os.path.join(
-        tempfile.gettempdir(), f"ks_upsert_{uuid.uuid4().hex[:12]}"
+        scratch_dir(), f"ks_upsert_{uuid.uuid4().hex[:12]}"
     )
     state: dict = {"path": None}
     w = Window.partitionBy("user_id").orderBy(
@@ -1089,11 +1085,10 @@ def _ddww_chunks(spark: SparkSession, sf_dir: str) -> str:
     a second time, byte-identical, after all originals."""
     import os
     import shutil
-    import tempfile
 
     base_dir = replay_chunks(spark, sf_dir, n_chunks=4, tag="ddww")
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         f"ks_ddww_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     if out in _DDWW_BUILT:
@@ -1103,8 +1098,15 @@ def _ddww_chunks(spark: SparkSession, sf_dir: str) -> str:
     chunks = sorted(
         f for f in os.listdir(base_dir) if f.endswith(".parquet")
     )
-    for f in chunks:  # copy in name order so mtime order == batch order
-        shutil.copyfile(os.path.join(base_dir, f), os.path.join(out, f))
+    # Batch order in FileStreamSource is mtime order; fast sequential
+    # copies can tie at Hadoop's ms granularity, so stamp explicit
+    # strictly-increasing mtimes (ADVICE r12) — a scrambled order would
+    # deliver early originals below the watermark and drop them as late.
+    base_mtime = 1_600_000_000
+    for i, f in enumerate(chunks):
+        dst = os.path.join(out, f)
+        shutil.copyfile(os.path.join(base_dir, f), dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
     dups = pd.concat(
         [
             pd.read_parquet(os.path.join(base_dir, chunks[0])),
@@ -1112,12 +1114,14 @@ def _ddww_chunks(spark: SparkSession, sf_dir: str) -> str:
         ]
     )
     dups = dups[dups["event_id"] % 7 == 0]
+    dup_path = os.path.join(out, "chunk_999_dup.parquet")
     dups.to_parquet(
-        os.path.join(out, "chunk_999_dup.parquet"),
+        dup_path,
         index=False,
         coerce_timestamps="us",
         allow_truncated_timestamps=True,
     )
+    os.utime(dup_path, (base_mtime + len(chunks), base_mtime + len(chunks)))
     _DDWW_BUILT.add(out)
     return out
 

@@ -63,9 +63,9 @@ def test_harness_keys_consistent_with_registry():
     assert bench.HARNESS_KEYS <= set(ORACLES)  # all hash-oracled since r10
     # 273-key r9 protocol set + 2 engine keys added r10 (agg_bitmap_native,
     # source_binaryfile) + 5 added r11 (events_survival, events_ks_test,
-    # llm_bloom_membership, ts_sax, udtf_analyze) + 5 added r12
+    # llm_bloom_membership, ts_sax, udtf_analyze) + 6 added r12
     # (agg_count_min, fn_try, llm_filter_funnel, stream_dedup_watermark,
-    # ts_m4, then sql_script); per-round headline counts are recorded in BASELINE.md so
+    # ts_m4, sql_script); per-round headline counts are recorded in BASELINE.md so
     # totals are compared per-key, never raw-total-to-raw-total
     assert len(set(ORACLES) - bench.HARNESS_KEYS) == 286
 
