@@ -342,11 +342,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fixed input (hash-based, no RNG), so the boolean is stable; at
     rsd=0.01 and fixture cardinalities the sparse encoding is exact.
     The exact countDistinct is the VERIFICATION side only; production
-    reads just the sketch column (the whole point of the operator)."""
+    reads just the sketch column (the whole point of the operator).
+
+    Two-phase spelling (r13): pre-aggregating to (event_type, user_id)
+    partials avoids the multi-distinct Expand (which replicates every
+    input row per distinct clause) — exact = COUNT of partials,
+    n_events = SUM of partial counts, and the HLL estimate is UNCHANGED
+    over the deduplicated keys (duplicate insertions never move HLL
+    registers).  2.2× faster at sf0.1 (2.59 → 1.17 s)."""
     ev = load_table(spark, sf_dir, "events")
-    g = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("long").alias("exact_users"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
+    partial = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    g = partial.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_users"),
+        F.sum("_c").cast("long").alias("n_events"),
         F.approx_count_distinct("user_id", 0.01).alias("_approx"),
     )
     return g.select(

@@ -159,13 +159,47 @@ def run_to_memory(
     output_mode: str = "append",
     timeout_sec: int = 120,
     shuffle_n: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
     memory sink; returns the sink table as a batch DataFrame.
     ``shuffle_n`` forwards a per-key state-partition override to
-    :func:`stream_shuffle` (see its sweep table)."""
+    :func:`stream_shuffle` (see its sweep table).
+
+    ``no_data_batches=False`` scopes
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` to this
+    lifecycle: the trailing zero-row micro-batch exists ONLY to advance
+    the watermark and fire state evictions/timeouts after the last data
+    batch — operators whose evictions EMIT (outer joins, session
+    timeouts, append-mode window finalization) need it; operators whose
+    evictions are output-silent (inner stream-stream join: eviction
+    just drops matched state) pay its full state-store-commit floor
+    (~0.7-0.9 s at 8 partitions × 4 join stores, r13 profile: an EMPTY
+    batch costs addBatch≈712 ms) for nothing.  Only pass False when the
+    final sink is provably independent of the trailing batch."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(scratch_dir(), f"ks_ckpt_{name}")
+    spark_ = sdf.sparkSession
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    ndb_old = spark_.conf.get(ndb_key, "true")
+    if not no_data_batches:
+        spark_.conf.set(ndb_key, "false")
+    try:
+        return _run_to_memory_inner(
+            sdf, output_mode, timeout_sec, shuffle_n, name, ckpt
+        )
+    finally:
+        spark_.conf.set(ndb_key, ndb_old)
+
+
+def _run_to_memory_inner(
+    sdf: DataFrame,
+    output_mode: str,
+    timeout_sec: int,
+    shuffle_n: int | None,
+    name: str,
+    ckpt: str,
+) -> DataFrame:
     with stream_shuffle(sdf.sparkSession, shuffle_n):
         q = (
             sdf.writeStream.format("memory")

@@ -310,7 +310,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
     ).select("click_id", "purchase_id", "c_user", "click_ts", "purchase_ts", "purchase_value")
-    return run_to_memory(joined, "append")
+    # shuffle_n=4: r13 tmpfs re-sweep optimum (4.27 s vs 4.89 at 8); the
+    # trailing no-data batch is skipped because inner-join eviction is
+    # output-silent — the sink equals the batch twin with or without it
+    # (run_to_memory docstring; pinned in tests/test_streaming.py).
+    return run_to_memory(joined, "append", shuffle_n=4, no_data_batches=False)
 
 
 _STATE_SCHEMA = T.StructType(
@@ -454,8 +458,13 @@ def stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
         # shuffle_n=4: swept optimum for this 3-lifecycle JVM-only key
-        # (stream_shuffle docstring, r12 sweep)
-        out = run_to_memory(agg, mode, shuffle_n=4)
+        # (stream_shuffle docstring, r12 sweep).  Only APPEND needs the
+        # trailing no-data batch (it flushes the final evictions the
+        # mode's output is defined by); update-mode eviction emits
+        # nothing and complete re-emits the identical table (r13).
+        out = run_to_memory(
+            agg, mode, shuffle_n=4, no_data_batches=(mode == "append")
+        )
         rows.append((mode, out.count()))
     return spark.createDataFrame(rows, "output_mode string, emitted_rows long")
 
@@ -546,7 +555,10 @@ def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "click_id", "c_user", "click_ts", "purchase_id", "purchase_ts"
     )
-    return run_to_memory(joined, "append")
+    # shuffle_n=4 (r13 tmpfs re-sweep); the no-data batch STAYS — outer
+    # join eviction EMITS the null-padded unmatched clicks, so the
+    # trailing watermark advance is part of the result, not overhead.
+    return run_to_memory(joined, "append", shuffle_n=4)
 
 
 _SESS_GAP_US = 30 * 60 * 1_000_000

@@ -348,15 +348,15 @@ def test_python_sink_two_phase_commit_clean(spark, sf_dir):
     up), and the landed rows equal the events table exactly."""
     import glob
     import os
-    import tempfile
 
     from kafkastreaming_spark.all import QUERIES
     from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.streaming.harness import scratch_dir
 
-    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "ks_pysink_*")))
+    before = set(glob.glob(os.path.join(scratch_dir(), "ks_pysink_*")))
     row = QUERIES["sink_python_stream"](spark, sf_dir).collect()[0]
     newdirs = (
-        set(glob.glob(os.path.join(tempfile.gettempdir(), "ks_pysink_*")))
+        set(glob.glob(os.path.join(scratch_dir(), "ks_pysink_*")))
         - before
     )
     assert len(newdirs) == 1
