@@ -212,6 +212,16 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warm-up must never kill the run
             pass
 
+    # Settle the JVM after the pre-warm allocations so the first timed
+    # keys don't run inside its GC shadow (VERDICT r12 item 3: spreads
+    # >2.4 with first-repeat outliers persisted on keys ALREADY in the
+    # memo list — the build was out of the window but its garbage wasn't).
+    try:
+        spark._jvm.System.gc()  # noqa: SLF001 — bench-only JVM hint
+        time.sleep(0.5)
+    except Exception:  # noqa: BLE001
+        pass
+
     canary_pre = _canary(spark)
 
     # Bench set = every hash-checked key EXCEPT the 18 HARNESS_KEYS —
@@ -225,6 +235,27 @@ def main() -> None:
     # batch-twin spellings) but their wall time measures replay-harness
     # I/O, micro-batch scheduling, or iterative training — not engine
     # throughput — so they stay in the separate harness section.
+    # Keys whose FIRST execution pays a lazy one-time JVM/Python init
+    # that no memo pre-warm covers (r12 repeat_times: first-sample
+    # outliers of 2-8x) — ICU collation tables (fn_collation 2.81 s →
+    # 0.34 s), JCE cipher/digest providers (fn_crypto), Python
+    # DataSource registration + worker spin-up (source_python_ds,
+    # sink_python_stream), first Arrow/pandas kernels after the memo
+    # builds (llm_jaccard_dedup, llm_cosine_clusters, llm_cosine_nn).
+    # One untimed run right before the timed repeats moves the init out
+    # of the measured window; medians were already fine — this is about
+    # making the SPREAD metric mean "environment noise", not "known
+    # lazy init" (VERDICT r12 item 3).
+    cold_init = {
+        "fn_collation",
+        "fn_crypto",
+        "source_python_ds",
+        "sink_python_stream",
+        "llm_jaccard_dedup",
+        "llm_cosine_clusters",
+        "llm_cosine_nn",
+    }
+
     per_query: dict[str, float] = {}
     per_repeat: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
@@ -232,6 +263,10 @@ def main() -> None:
     for key in sorted(set(ORACLES) - HARNESS_KEYS):
         samples = []
         try:
+            if key in cold_init:
+                QUERIES[key](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 # noop sink: full materialization, no driver-side collection

@@ -1037,7 +1037,9 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     """,
 )
-def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_rocksdb_state(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
     """Stateful streaming on the ROCKSDB state store provider — the
     large-state backend (spill-to-disk SST files, incremental
     changelog checkpointing) that replaces the default in-memory
@@ -1071,7 +1073,7 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = None
     spark.conf.set(conf_key, rocks)
     try:
-        sdf = stream_events(spark, sf_dir, n_chunks=4, tag="rocks")
+        sdf = stream_events(spark, sf_dir, n_chunks=n_chunks, tag="rocks")
         agg = sdf.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("bigint"))
@@ -1090,18 +1092,22 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DDWW_BUILT: set = set()
 
 
-def _ddww_chunks(spark: SparkSession, sf_dir: str) -> str:
-    """4-chunk replay PLUS a 5th chunk of true duplicate deliveries:
-    every event_id ≡ 0 (mod 7) from the FIRST chunk (state long expired
-    by arrival) and from the LAST chunk (state still live) is delivered
-    a second time, byte-identical, after all originals."""
+def _ddww_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """n_chunks replay (default 4) PLUS a trailing chunk of true
+    duplicate deliveries: every event_id ≡ 0 (mod 7) from the FIRST
+    chunk (state long expired by arrival) and from the LAST chunk
+    (state still live) is delivered a second time, byte-identical,
+    after all originals."""
     import os
     import shutil
 
-    base_dir = replay_chunks(spark, sf_dir, n_chunks=4, tag="ddww")
+    base_dir = replay_chunks(spark, sf_dir, n_chunks=n_chunks, tag="ddww")
     out = os.path.join(
         scratch_dir(),
-        f"ks_ddww_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        f"ks_ddww_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{n_chunks}_{os.getpid()}",
     )
     if out in _DDWW_BUILT:
         return out
@@ -1145,7 +1151,9 @@ def _ddww_chunks(spark: SparkSession, sf_dir: str) -> str:
     SELECT event_id, user_id, ts, event_type, value FROM events
     """,
 )
-def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_watermark(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
     """``dropDuplicatesWithinWatermark`` under TRUE duplicate delivery —
     the at-least-once→exactly-once repair stage in front of every Kafka
     topic whose producer retries.  Unlike the batch-twin ``stream_dedup``
@@ -1172,7 +1180,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-delivered byte-identical in a trailing 5th micro-batch
     (``_ddww_chunks``).  State sizing: watermark horizon bounds live
     keys exactly as stream_session_ttl's eviction argument."""
-    chunk_dir = _ddww_chunks(spark, sf_dir)
+    chunk_dir = _ddww_chunks(spark, sf_dir, n_chunks=n_chunks)
     sdf = (
         file_event_stream(spark, chunk_dir)
         .withWatermark("ts", "10 minutes")

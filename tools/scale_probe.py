@@ -622,6 +622,287 @@ def run_hundred(rebuild: bool = False) -> None:
     print("wrote", path, flush=True)
 
 
+def _build_chunks_duckdb(src_dir: str, out_dir: str, n_chunks: int) -> str:
+    """(ts, event_id)-ordered chunk split of an events table too large
+    for the harness's pandas splitter (replay_chunks toPandas()-s the
+    whole table — fine at fixture sizes, a driver-memory anti-pattern at
+    60M rows).  One DuckDB window pass assigns chunk ids by ceil
+    division of the global order — the same rule as replay_chunks — and
+    one partitioned COPY writes them; files are then renamed flat with
+    strictly-increasing mtimes so FileStreamSource batch order equals
+    chunk order."""
+    import duckdb
+
+    if os.path.isdir(out_dir) and sorted(os.listdir(out_dir)):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    stage = out_dir + "_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * EXCLUDE (rn, n),
+                 CAST(rn / (n // {n_chunks} + 1) AS INT) AS chunk
+          FROM (
+            SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+                   COUNT(*) OVER () AS n
+            FROM '{src_dir}/events.parquet'
+          )
+        ) TO '{stage}' (FORMAT PARQUET, PARTITION_BY (chunk))
+        """
+    )
+    base_mtime = 1_600_000_000
+    i = 0
+    for part in sorted(
+        os.listdir(stage), key=lambda d: int(d.split("=")[1])
+    ):
+        for f in sorted(os.listdir(os.path.join(stage, part))):
+            dst = os.path.join(out_dir, f"chunk_{i:03d}.parquet")
+            shutil.move(os.path.join(stage, part, f), dst)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+            i += 1
+    shutil.rmtree(stage, ignore_errors=True)
+    return out_dir
+
+
+def run_streaming_state(rebuild: bool = False) -> None:
+    """VERDICT r12 item 6: measure state-store cost growth DIRECTLY on
+    the streaming state path — stream_rocksdb_state (RocksDB LSM) and
+    stream_dedup_watermark (watermark-bounded dedup state) at 100×
+    events with proportionally scaled chunk counts (4 → 40 micro-batches
+    of ~10× base rows each: state volume, commit count, and LSM size all
+    grow, which is the claim being tested).
+
+    Correctness rides along: the RocksDB key's complete-mode sink is
+    fold-compared against the batch groupBy at 100×; the dedup run
+    counts emitted rows via foreachBatch (a memory sink holding 60M
+    rows on the driver would measure the HARNESS anti-pattern, not the
+    operator) and must emit exactly the distinct originals despite the
+    re-delivered duplicate chunk."""
+    print("building 100x fixture ...", flush=True)
+    build_hundred(force=rebuild)
+
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.session import get_session
+    from kafkastreaming_spark.sources.factory import file_event_stream
+    from kafkastreaming_spark.streaming import runtime as rt
+    from kafkastreaming_spark.streaming.harness import (
+        scratch_dir,
+        stream_shuffle,
+    )
+
+    spark = get_session("scale_probe_stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict[str, dict] = {}
+
+    base_rows = load_table(spark, BASE, "events").count()
+    hund_rows = load_table(spark, OUT100, "events").count()
+
+    # --- stream_rocksdb_state: registered callable, chunk count scaled
+    t0 = time.perf_counter()
+    _materialize(rt.stream_rocksdb_state(spark, BASE, n_chunks=4))
+    base_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out100 = rt.stream_rocksdb_state(spark, OUT100, n_chunks=40)
+    hund_sec = time.perf_counter() - t0
+    batch = (
+        load_table(spark, OUT100, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    report["stream_rocksdb_state"] = {
+        "driving_table": "events",
+        "base_rows": base_rows,
+        "hundred_rows": hund_rows,
+        "base_chunks": 4,
+        "hundred_chunks": 40,
+        "base_sec": round(base_sec, 3),
+        "hundred_sec": round(hund_sec, 3),
+        "per_row_ratio": round((hund_sec / hund_rows) / (base_sec / base_rows), 3),
+        "hundred_exact_match": _fold(out100) == _fold(batch),
+    }
+    print("stream_rocksdb_state:", report["stream_rocksdb_state"], flush=True)
+
+    # --- stream_dedup_watermark: base via registered callable; 100× via
+    # the same stream over a DuckDB-built 40-chunk dir + dup trailer,
+    # counted through foreachBatch.
+    t0 = time.perf_counter()
+    rt.stream_dedup_watermark(spark, BASE, n_chunks=4).count()
+    base_sec = time.perf_counter() - t0
+
+    big_dir = _build_chunks_duckdb(
+        OUT100, os.path.join(scratch_dir(), "ks_probe_ddww100"), 40
+    )
+    # duplicate trailer: event_id % 7 == 0 of first and last chunks,
+    # byte-identical, delivered after all originals (same rule as
+    # runtime._ddww_chunks)
+    import pandas as pd
+
+    chunks = sorted(f for f in os.listdir(big_dir) if f.startswith("chunk_0"))
+    dup_path = os.path.join(big_dir, "chunk_999_dup.parquet")
+    if not os.path.exists(dup_path):
+        dups = pd.concat(
+            [
+                pd.read_parquet(os.path.join(big_dir, chunks[0])),
+                pd.read_parquet(os.path.join(big_dir, chunks[-1])),
+            ]
+        )
+        dups = dups[dups["event_id"] % 7 == 0]
+        dups.to_parquet(
+            dup_path,
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(dup_path, (1_600_000_000 + 999,) * 2)
+    n_dups = len(pd.read_parquet(dup_path, columns=["event_id"]))
+
+    emitted = {"n": 0}
+
+    def count_batch(df, _bid):
+        emitted["n"] += df.count()
+
+    sdf = (
+        file_event_stream(spark, big_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    import uuid
+
+    ckpt = os.path.join(scratch_dir(), f"ks_probe_ddww_ck_{uuid.uuid4().hex[:8]}")
+    t0 = time.perf_counter()
+    with stream_shuffle(spark):
+        q = (
+            sdf.writeStream.foreachBatch(count_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("ddww 100x did not drain in 600s")
+    hund_sec = time.perf_counter() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    report["stream_dedup_watermark"] = {
+        "driving_table": "events",
+        "base_rows": base_rows,
+        "hundred_rows": hund_rows,
+        "base_chunks": 4,
+        "hundred_chunks": 40,
+        "hundred_dup_rows_delivered": int(n_dups),
+        "base_sec": round(base_sec, 3),
+        "hundred_sec": round(hund_sec, 3),
+        "per_row_ratio": round((hund_sec / hund_rows) / (base_sec / base_rows), 3),
+        "hundred_emitted_equals_originals": emitted["n"] == hund_rows,
+    }
+    print("stream_dedup_watermark:", report["stream_dedup_watermark"], flush=True)
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["streaming_state_hundredfold"] = {
+        "note": (
+            "VERDICT r12 item 6: streaming state path at 100x events, "
+            "chunk count scaled 4->40 (each micro-batch ~10x base rows; "
+            "state volume, commit count, and RocksDB LSM size all grow). "
+            "per_row_ratio <=~2 means per-row cost held; exact-match / "
+            "emitted-equals-originals are the at-scale correctness "
+            "witnesses."
+        ),
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
+def run_cosine150() -> None:
+    """VERDICT r12 item 7: run the llm_cosine_nn block-cogroup regime
+    SAFELY past the 100k gate — 150k synthetic vectors (75 replicas of
+    the sf0.1 corpus; the 60× fixture's 120k sat right at the boundary,
+    B=8).  At 150k the block count is ceil(150k/16 384)=10 → 100
+    cogroup tasks.  Equivalence is checked on a sample: the 2 000
+    original-replica query vectors get their exact NN against the FULL
+    150k corpus from the broadcast kernel, and the blocked run must
+    agree row-for-row (count+XOR fold).  Timing for both recorded."""
+    import duckdb
+
+    from kafkastreaming_spark.operators import pipeline as P
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.session import get_session
+
+    dir150 = "/tmp/scale_probe/emb150k"
+    pq = os.path.join(dir150, "embeddings.parquet")
+    if not os.path.exists(pq):
+        os.makedirs(dir150, exist_ok=True)
+        duckdb.connect().execute(
+            f"COPY (SELECT t.* REPLACE (vec_id + r * 1000000 AS vec_id) "
+            f"FROM '{BASE}/embeddings.parquet' t, range(75) g(r)) "
+            f"TO '{pq}' (FORMAT PARQUET)"
+        )
+
+    spark = get_session("scale_probe_cos150")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, dir150, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    n_blocks = P._nn_block_count(n)
+
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.all import QUERIES
+
+    t0 = time.perf_counter()
+    nat = QUERIES["llm_cosine_nn"](spark, dir150)
+    nat = nat.localCheckpoint(eager=True)  # materialize once, reuse below
+    blocked_sec = round(time.perf_counter() - t0, 3)
+
+    sample = emb.filter(F.col("vec_id") < 1_000_000)
+    n_sample = sample.count()
+    t0 = time.perf_counter()
+    exact_sample = P._cosine_nn_broadcast(spark, sample, dir150)
+    exact_fold = _fold(exact_sample)
+    exact_sec = round(time.perf_counter() - t0, 3)
+    nat_fold = _fold(nat.filter(F.col("vec_id") < 1_000_000))
+
+    entry = {
+        "n_vectors": n,
+        "gate": P._NN_BROADCAST_MAX_N,
+        "natural_regime": "blocked" if n > P._NN_BROADCAST_MAX_N else "broadcast",
+        "n_blocks": n_blocks,
+        "blocked_full_sec": blocked_sec,
+        "sample_rows": n_sample,
+        "broadcast_sample_sec": exact_sec,
+        "sample_count_xor_match": nat_fold == exact_fold,
+        "out_rows": _fold(nat)[0],
+    }
+    print("llm_cosine_nn_150k:", entry, flush=True)
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact.setdefault("regimes", {})["llm_cosine_nn_150k"] = entry
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--keys", nargs="*", default=None)
@@ -632,7 +913,25 @@ def main() -> None:
         action="store_true",
         help="run the 100x wave only (HUNDRED_KEYS vs sf0.1 base)",
     )
+    ap.add_argument(
+        "--streaming-state",
+        action="store_true",
+        help="run the streaming-state 100x wave only (VERDICT r12 item 6)",
+    )
+    ap.add_argument(
+        "--cosine150",
+        action="store_true",
+        help="run the 150k-vector blocked-regime probe only (VERDICT r12 item 7)",
+    )
     args = ap.parse_args()
+
+    if args.streaming_state:
+        run_streaming_state(rebuild=args.rebuild)
+        return
+
+    if args.cosine150:
+        run_cosine150()
+        return
 
     if args.hundred:
         run_hundred(rebuild=args.rebuild)
