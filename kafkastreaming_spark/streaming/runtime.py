@@ -1186,5 +1186,9 @@ def stream_dedup_watermark(
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    out = run_to_memory(sdf, "append")
+    # dropDuplicatesWithinWatermark emits first-seen rows AT ARRIVAL
+    # (both suppression paths act on the incoming row, batch 5 here);
+    # the trailing no-data batch only evicts state, emitting nothing —
+    # skip it (run_to_memory docstring, r13).
+    out = run_to_memory(sdf, "append", no_data_batches=False)
     return out.select("event_id", "user_id", "ts", "event_type", "value")
