@@ -33,26 +33,23 @@ _REPLAY_BUILT: set[tuple] = set()
 
 
 def scratch_dir() -> str:
-    """RAM-backed scratch root for harness artifacts (replay chunk dirs,
-    streaming checkpoints, staging sinks).
+    """Scratch root for harness artifacts (replay chunk dirs, streaming
+    checkpoints, staging sinks).  Override with SPARK_GRAFT_SCRATCH.
 
-    The replay harness's per-lifecycle fixed cost is dominated by
-    many-small-file I/O — state-store delta/snapshot files, commit logs,
-    offset logs, one batch dir per micro-batch — and /tmp here is
-    disk-backed ext4 while /dev/shm is tmpfs (VERDICT r12 item 2: attack
-    the per-lifecycle fixed cost).  Checkpoint SEMANTICS are unchanged
-    (same files, same recovery contract — stream_checkpoint_restart
-    still restarts against the same dir); only the medium moves.  On a
-    real cluster checkpoints belong on HDFS/object storage for
-    durability — this knob tunes the single-box replay HARNESS, not the
-    operator.  Override with SPARK_GRAFT_SCRATCH."""
-    for cand in (
-        os.environ.get("SPARK_GRAFT_SCRATCH"),
-        "/dev/shm",
-        tempfile.gettempdir(),
-    ):
-        if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
-            return cand
+    Default is the system tempdir, NOT tmpfs — measured r13: a tmpfs
+    (/dev/shm) default was A/B-flat in a fresh process (per-lifecycle
+    checkpoint I/O is buffered small writes either way, never fsync-
+    bound) but 25-60% SLOWER for the Python-stateful and stateful
+    streaming keys inside a long bench session, where tmpfs page
+    allocation competes with the parquet page cache under memory
+    pressure (harness section 55.9 s on /dev/shm vs 44.9 s on /tmp,
+    clean canaries both, byte-identical code).  Checkpoint semantics
+    are medium-independent; on a real cluster checkpoints belong on
+    HDFS/object storage — this knob tunes the single-box replay
+    HARNESS, not the operator."""
+    cand = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
+        return cand
     return tempfile.gettempdir()
 
 # State/shuffle partition count for replay streaming queries.  Streaming
