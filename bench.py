@@ -235,27 +235,19 @@ def main() -> None:
     # batch-twin spellings) but their wall time measures replay-harness
     # I/O, micro-batch scheduling, or iterative training — not engine
     # throughput — so they stay in the separate harness section.
-    # Keys whose FIRST execution pays a lazy one-time JVM/Python init
-    # that no memo pre-warm covers (r12 repeat_times: first-sample
-    # outliers of 2-8x) — ICU collation tables (fn_collation 2.81 s →
-    # 0.34 s), JCE cipher/digest providers (fn_crypto), Python
-    # DataSource registration + worker spin-up (source_python_ds,
-    # sink_python_stream), first Arrow/pandas kernels after the memo
-    # builds (llm_jaccard_dedup, llm_cosine_clusters, llm_cosine_nn).
-    # One untimed run right before the timed repeats moves the init out
-    # of the measured window; medians were already fine — this is about
-    # making the SPREAD metric mean "environment noise", not "known
-    # lazy init" (VERDICT r12 item 3).
-    cold_init = {
-        "fn_collation",
-        "fn_crypto",
-        "source_python_ds",
-        "sink_python_stream",
-        "llm_jaccard_dedup",
-        "llm_cosine_clusters",
-        "llm_cosine_nn",
-    }
-
+    # Every key gets ONE untimed warm run before its timed repeats.
+    # First executions pay lazy one-time inits no memo pre-warm covers —
+    # ICU collation tables (fn_collation 2.81 s → 0.34 s in r12), JCE
+    # cipher/digest providers, Python DataSource registration + worker
+    # spin-up, first Arrow/pandas kernels after a memo build, ORC/XML
+    # reader classes, UDTF analyze-phase workers — and a named
+    # cold-init allowlist just moved the first-sample outlier to
+    # whichever family was named NEXT (r13: the r12 seven went to
+    # spread ≤1.24 while sink_exactly_once/udtf_analyze/source_orc/…
+    # popped above 2).  Warming uniformly makes the timed repeats pure
+    # steady state, so spread >2 now MEANS environment noise
+    # (VERDICT r12 item 3).  Medians move little (median-of-3 already
+    # discarded one cold sample); the protocol note is in BASELINE.md.
     per_query: dict[str, float] = {}
     per_repeat: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
@@ -263,10 +255,9 @@ def main() -> None:
     for key in sorted(set(ORACLES) - HARNESS_KEYS):
         samples = []
         try:
-            if key in cold_init:
-                QUERIES[key](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+            QUERIES[key](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # untimed warm run (see block comment)
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 # noop sink: full materialization, no driver-side collection
@@ -301,6 +292,9 @@ def main() -> None:
     for key in sorted((set(QUERIES) - set(ORACLES)) | HARNESS_KEYS):
         samples = []
         try:
+            QUERIES[key](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # untimed warm run (headline-loop block comment)
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 QUERIES[key](spark, sf_dir).write.format("noop").mode(
