@@ -170,6 +170,9 @@ def main() -> None:
 
     from kafkastreaming_spark.all import ORACLES, QUERIES
     from kafkastreaming_spark.session import get_session
+    from kafkastreaming_spark.streaming.harness import (
+        release_sinks as _release_sinks,
+    )
 
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -272,6 +275,7 @@ def main() -> None:
             continue
         per_query[key] = round(statistics.median(samples), 3)
         per_repeat[key] = [round(s, 3) for s in samples]
+        _release_sinks(spark, keep=2)  # driver memory hygiene (harness.py)
         # max/min within one key's repeats: background-load outliers on the
         # same box show up as spread here, so a cross-round per-key diff can
         # mechanically separate "noisy environment" from "real regression"
@@ -306,6 +310,7 @@ def main() -> None:
             continue
         ro_query[key] = round(statistics.median(samples), 3)
         ro_repeat[key] = [round(s, 3) for s in samples]
+        _release_sinks(spark, keep=2)
         ro_spread[key] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     canary_post = _canary(spark)

@@ -151,6 +151,34 @@ def replay_chunks(
     return out
 
 
+# memory-sink temp views registered by run_to_memory, oldest first —
+# each holds its full result rows on the driver until dropped
+_SINK_TABLES: list[str] = []
+
+
+def release_sinks(spark: SparkSession, keep: int = 4) -> int:
+    """Drop memory-sink temp views registered by earlier
+    :func:`run_to_memory` calls, keeping the newest ``keep``.
+
+    A memory sink retains its full result rows on the driver for as
+    long as its temp view exists; a long session that runs many
+    streaming lifecycles (bench: ~30 keys × 4 runs) otherwise
+    accumulates every sink ever produced.  Callers that have fully
+    materialized the frames a key returned (bench between keys, the
+    verifier between keys) can release all but the newest few — frames
+    from dropped views fail loudly on re-use, never silently.  Returns
+    the number of views dropped."""
+    dropped = 0
+    while len(_SINK_TABLES) > max(keep, 0):
+        name = _SINK_TABLES.pop(0)
+        try:
+            spark.catalog.dropTempView(name)
+            dropped += 1
+        except Exception:  # noqa: BLE001 — already gone is fine
+            pass
+    return dropped
+
+
 def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "append",
@@ -218,6 +246,7 @@ def _run_to_memory_inner(
                 q.stop()
     spark = sdf.sparkSession
     result = spark.table(name)
+    _SINK_TABLES.append(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
 

@@ -99,6 +99,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            from kafkastreaming_spark.streaming.harness import release_sinks
+
+            release_sinks(spark, keep=2)  # driver memory hygiene
             sdf = QUERIES[key](spark, args.sf)
             spdf = sdf.toPandas()
         except Exception:
