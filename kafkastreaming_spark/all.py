@@ -118,7 +118,8 @@ def _reorder_by_evidence() -> None:
         key=lambda k: (newest[k][0], k),
     )
     order = stale_fail + rr + sampled_pass
-    assert len(order) == len(QUERIES)
+    if len(order) != len(QUERIES) or set(order) != set(QUERIES):
+        return  # never break queries() over a bookkeeping mismatch
     q_snap = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({k: q_snap[k] for k in order})
