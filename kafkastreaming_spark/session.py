@@ -83,7 +83,14 @@ def get_session(
         .master(master)
         # AQE: coalesce small shuffle partitions, split skewed ones, demote/
         # promote join strategies with runtime stats (SURVEY.md §4).
-        .config("spark.sql.adaptive.enabled", "true")
+        # SPARK_GRAFT_AQE=false is a debugging/robustness knob: the r13
+        # full-inventory sweep runs with it off to prove no key's
+        # CORRECTNESS depends on runtime re-planning (AQE is a pure
+        # performance layer here, as it must be).
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
