@@ -6,10 +6,12 @@ line ``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
 {key: sec, ...}, "sf": ...}``.
 
 Protocol (BASELINE.md): one warm session, one warm-up run of the flagship
-(discarded), then each query timed over full materialization,
-median-of-3 per key (the default; the cold first sample is discarded by
-the median).  Set ``SPARK_GRAFT_BENCH_REPEATS=1`` for a quick
-single-shot pass while iterating.
+(discarded), a memo pre-warm pass, then per key ONE untimed warm run
+(r13 — moves lazy one-time inits out of the measured window so the
+spread metric means environment noise) followed by timed runs over full
+materialization, median-of-3 (the default).  Set
+``SPARK_GRAFT_BENCH_REPEATS=1`` for a quick single-shot pass while
+iterating.
 """
 
 from __future__ import annotations

@@ -1160,12 +1160,17 @@ def main() -> None:
         prev["accounting"] = artifact["accounting"]
         artifact = prev
     elif os.path.exists(path):
-        # full run after a --hundred run: the 100x section is written by
-        # a different entry point — carry it, don't drop it
+        # full run after --hundred / --streaming-state / --cosine150
+        # runs: those sections are written by different entry points —
+        # carry them, don't drop them (incl. prev regimes entries this
+        # run didn't recompute, e.g. llm_cosine_nn_150k)
         with open(path) as f:
             prev = json.load(f)
-        if "hundredfold" in prev:
-            artifact["hundredfold"] = prev["hundredfold"]
+        for section in ("hundredfold", "streaming_state_hundredfold"):
+            if section in prev:
+                artifact[section] = prev[section]
+        for k, v in prev.get("regimes", {}).items():
+            artifact.setdefault("regimes", {}).setdefault(k, v)
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print("wrote", path, flush=True)
