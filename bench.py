@@ -255,14 +255,21 @@ def main() -> None:
     # discarded one cold sample); the protocol note is in BASELINE.md.
     per_query: dict[str, float] = {}
     per_repeat: dict[str, list[float]] = {}
+    per_warm: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     for key in sorted(set(ORACLES) - HARNESS_KEYS):
         samples = []
         try:
+            w0 = time.perf_counter()
             QUERIES[key](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()  # untimed warm run (see block comment)
+            # The warm run is excluded from the median but its cost must
+            # stay auditable (ADVICE r13): warm_sec per key lets a
+            # cross-round diff account for init cost the steady-state
+            # medians no longer carry.
+            per_warm[key] = round(time.perf_counter() - w0, 3)
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 # noop sink: full materialization, no driver-side collection
@@ -293,14 +300,17 @@ def main() -> None:
     # per-round headline key counts recorded there).
     ro_query: dict[str, float] = {}
     ro_repeat: dict[str, list[float]] = {}
+    ro_warm: dict[str, float] = {}
     ro_spread: dict[str, float] = {}
     ro_errors: dict[str, str] = {}
     for key in sorted((set(QUERIES) - set(ORACLES)) | HARNESS_KEYS):
         samples = []
         try:
+            w0 = time.perf_counter()
             QUERIES[key](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()  # untimed warm run (headline-loop block comment)
+            ro_warm[key] = round(time.perf_counter() - w0, 3)
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 QUERIES[key](spark, sf_dir).write.format("noop").mode(
@@ -340,6 +350,7 @@ def main() -> None:
         "partial": partial,
         "errors": errors,
         "repeat_times": per_repeat,
+        "warm_times": per_warm,
         "spread": spread,
         "noisy": sorted(k for k, s in spread.items() if s > 2.0),
         "canary": {"pre": canary_pre, "post": canary_post},
@@ -351,6 +362,7 @@ def main() -> None:
             "queries": ro_query,
             "total_sec": round(sum(ro_query.values()), 3),
             "repeat_times": ro_repeat,
+            "warm_times": ro_warm,
             "spread": ro_spread,
             "errors": ro_errors,
         },

@@ -346,16 +346,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-phase spelling (r13): pre-aggregating to (event_type, user_id)
     partials avoids the multi-distinct Expand (which replicates every
-    input row per distinct clause) — exact = COUNT of partials,
-    n_events = SUM of partial counts, and the HLL estimate is UNCHANGED
-    over the deduplicated keys (duplicate insertions never move HLL
-    registers).  2.2× faster at sf0.1 (2.59 → 1.17 s)."""
+    input row per distinct clause) — exact = COUNT(user_id) of partials
+    (null-excluding, matching COUNT(DISTINCT user_id) semantics: a NULL
+    user_id forms its own partial group but must not count as a user —
+    ADVICE r13), n_events = SUM of partial counts (COUNT(*) semantics,
+    null rows included), and the HLL estimate is UNCHANGED over the
+    deduplicated keys (duplicate insertions never move HLL registers;
+    approx_count_distinct skips NULLs natively).  2.2× faster at sf0.1
+    (2.59 → 1.17 s)."""
     ev = load_table(spark, sf_dir, "events")
     partial = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("_c")
     )
     g = partial.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_users"),
+        F.count(F.col("user_id")).cast("long").alias("exact_users"),
         F.sum("_c").cast("long").alias("n_events"),
         F.approx_count_distinct("user_id", 0.01).alias("_approx"),
     )

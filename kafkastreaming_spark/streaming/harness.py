@@ -201,7 +201,16 @@ def run_to_memory(
     just drops matched state) pay its full state-store-commit floor
     (~0.7-0.9 s at 8 partitions × 4 join stores, r13 profile: an EMPTY
     batch costs addBatch≈712 ms) for nothing.  Only pass False when the
-    final sink is provably independent of the trailing batch."""
+    final sink is provably independent of the trailing batch.
+
+    Concurrency caveat (ADVICE r13): the toggle is a SESSION conf saved
+    and restored around this one lifecycle — Structured Streaming has no
+    per-query spelling for it — so any OTHER streaming query started on
+    the same session during the window silently inherits the disabled
+    trailing batch.  This harness runs one query at a time (bench /
+    verifier / tests are single-threaded per session); callers embedding
+    it elsewhere must keep that single-query-at-a-time assumption or
+    leave ``no_data_batches=True``."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(scratch_dir(), f"ks_ckpt_{name}")
     spark_ = sdf.sparkSession

@@ -644,7 +644,7 @@ def _build_chunks_duckdb(src_dir: str, out_dir: str, n_chunks: int) -> str:
         f"""
         COPY (
           SELECT * EXCLUDE (rn, n),
-                 CAST(rn / (n // {n_chunks} + 1) AS INT) AS chunk
+                 CAST(rn // (n // {n_chunks} + 1) AS INT) AS chunk
           FROM (
             SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
                    COUNT(*) OVER () AS n
