@@ -381,8 +381,17 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: state is partitioned by user across executors (RocksDB
     state store), and the same processor runs unchanged; the emitted
-    update stream feeds a changelog sink."""
-    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="stateful")
+    update stream feeds a changelog sink.
+
+    Replay at 2 chunks (r14, VERDICT r13 item 2): the residual cost of
+    the Python-stateful pair is per-(batch×partition) Arrow round trips
+    into the state worker, so fewer, larger micro-batches halve it
+    (5.9 → 2.9 s at sf0.1; Arrow maxRecordsPerBatch swept flat at
+    10k/50k/200k).  Two data chunks keep the cross-batch state
+    accumulation the key exists to demonstrate (state written in batch
+    1 is read+updated in batch 2); the batch-twin oracle is closed-form
+    in n_chunks, so the variant stays hash-checked."""
+    sdf = stream_events(spark, sf_dir, n_chunks=2, tag="stateful")
     updates = sdf.groupBy("user_id").applyInPandasWithState(
         _running_user_agg,
         outputStructType=_STATEFUL_OUT,
@@ -685,8 +694,18 @@ def stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the trailing no-data batch fires those EventTimeTimeouts).  Open
     tails still inside the horizon stay in state, unemitted, by design.
     The gaps-and-islands SQL reproduces the exact session bounds since
-    global ts order equals arrival order (no late rows here)."""
-    sdf = stream_events(spark, sf_dir, n_chunks=4, tag="sess_ttl")
+    global ts order equals arrival order (no late rows here).
+
+    Replay at 2 chunks (r14, VERDICT r13 item 2): per-(batch×partition)
+    Arrow round trips dominate this key, so halving the micro-batch
+    count cuts it 9.2 → 5.9 s at sf0.1 on the builder box (≈4 s
+    driver-normalized).  Two data chunks preserve the cross-batch
+    contract: sessions span batches, timeouts set in batch N fire on
+    later watermark advances, and the closed-form oracle is independent
+    of n_chunks (every emitted session is either gap-closed — its
+    closer drains in SOME batch — or tail-timed-out by the final
+    watermark, which depends only on max(ts))."""
+    sdf = stream_events(spark, sf_dir, n_chunks=2, tag="sess_ttl")
     closed = (
         sdf.withWatermark("ts", "10 minutes")
         .select("user_id", "ts", "event_id")
@@ -699,9 +718,12 @@ def stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    # shuffle_n=16: swept optimum for this Python-stateful key — more
-    # Arrow workers in flight (stream_shuffle docstring, r12 sweep)
-    return run_to_memory(closed, "append", shuffle_n=16)
+    # Fleet default 8 state partitions: the r12 16-partition optimum was
+    # specific to 4 chunks (more Arrow workers amortized more batches);
+    # at 2 chunks the r14 sweep has 8 ahead (5.95 s vs 6.19 at 16,
+    # 7.86 at 4, 7.95 at 32 — fewer per-batch state-store commits win
+    # once the batch count is down).
+    return run_to_memory(closed, "append")
 
 
 @query(

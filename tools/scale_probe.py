@@ -279,6 +279,34 @@ TIMED = {
     "llm_bloom_membership": "documents",
     "ts_sax": "events",
     "udtf_analyze": "orders",
+    # wave 22 (r14, VERDICT r13 item 6): exemption-audit conversions —
+    # keys previously covered by a blanket family rule whose OWN driving
+    # table grows in the blowup, so a direct ratio is cheap and stronger
+    # than the family bound.  TPC-H: q21's triple lineitem self-join and
+    # q18's large-cardinality HAVING group are shapes q1/q8 don't time;
+    # q5 is the canonical 6-table join.  Joins: the as-of/interval window
+    # compositions and the salted-skew join are custom operators (not the
+    # plan-pinned builtin exchanges the family rule leaned on).  Aggs:
+    # multi-distinct's Expand replication and rollup's aggregate-before-
+    # Expand rewrite are exactly the shapes whose 10× behavior matters.
+    # Plus the flagship sessionize/funnel shapes, the multiset except,
+    # OHLC window chain, and three documents-pipeline kernels (exact
+    # hash dedup, banded SimHash join, sequential-fold packing).
+    "tpch_q5": "lineitem",
+    "tpch_q18": "lineitem",
+    "tpch_q21": "lineitem",
+    "join_asof": "events",
+    "join_interval": "events",
+    "join_skew_salted": "events",
+    "agg_multi_distinct": "events",
+    "agg_rollup": "lineitem",
+    "set_except_all": "events",
+    "events_sessionize": "events",
+    "events_funnel": "events",
+    "ts_ohlc": "events",
+    "llm_exact_dedup": "documents",
+    "llm_simhash_dedup": "documents",
+    "llm_pack_sequences": "documents",
 }
 # timed separately: its probe-scale pair graph (>10M edges) makes the
 # natural distributed-CC run the headline number, recorded in `regimes`.

@@ -18,6 +18,15 @@ Usage::
 ``--report`` persists a machine-checkable per-key artifact (judge round-5
 "next round" item 1: every never-driver-sampled key carries local evidence
 the judge and driver can diff).
+
+``--axis`` (VERDICT r13 item 5) folds ONE config-robustness axis into the
+run so the four r13 one-time proofs (adversarial partitioning, AQE off,
+hostile host TZ, small driver heap) hold under drift instead of decaying:
+each axis is an env knob applied BEFORE the JVM starts, and the chosen
+axis is recorded in the report JSON.  ``--axis auto`` (the ``--report``
+default) rotates by round number — r14=aqe_off, r15=tz_kiritimati,
+r16=heap3g, r17=local7, then repeats — so every fourth round re-proves
+each axis.  ``--axis none`` opts out (ad-hoc key checks).
 """
 
 from __future__ import annotations
@@ -65,6 +74,31 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# Config-robustness axes (VERDICT r13 item 5).  Every knob is an env var
+# read by session.get_session (or the JVM) BEFORE the first session builds,
+# so applying an axis is valid only in a fresh process — which verify_local
+# always is.  The r13 manual sweeps proved 304/304 under each; the rotation
+# keeps that true as the code drifts.
+AXES: dict[str, dict[str, str]] = {
+    "aqe_off": {"SPARK_GRAFT_AQE": "false"},
+    "tz_kiritimati": {"TZ": "Pacific/Kiritimati"},
+    "heap3g": {"SPARK_GRAFT_DRIVER_MEM": "3g"},
+    "local7": {"SPARK_GRAFT_CPUS": "7"},
+}
+# r14 starts the rotation at aqe_off (VERDICT r13 item 5 names it).
+_AXIS_ORDER = ["aqe_off", "tz_kiritimati", "heap3g", "local7"]
+
+
+def _apply_axis(name: str) -> int | None:
+    """Set the axis env knobs; returns a shuffle-partition override (the
+    local7 axis also pins shuffle=7 like the r13 manual sweep did)."""
+    for k, v in AXES[name].items():
+        os.environ[k] = v
+    if name == "tz_kiritimati":
+        time.tzset()  # before the JVM starts, so Java inherits the zone
+    return 7 if name == "local7" else None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -73,13 +107,30 @@ def main() -> int:
         action="store_true",
         help="write VERIFY_LOCAL_r{N}.json with per-key results",
     )
+    ap.add_argument(
+        "--axis",
+        default=None,
+        choices=["auto", "none", *AXES],
+        help="config-robustness axis (default: auto with --report, "
+        "none otherwise); auto rotates by round number",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
+
+    axis = args.axis or ("auto" if args.report else "none")
+    if axis == "auto":
+        from bench import current_round
+
+        axis = _AXIS_ORDER[(current_round() - 14) % len(_AXIS_ORDER)]
+    shuffle_override = None
+    if axis != "none":
+        shuffle_override = _apply_axis(axis)
+        print(f"config-robustness axis: {axis} ({AXES[axis]})")
 
     from kafkastreaming_spark.all import ORACLES, QUERIES
     from kafkastreaming_spark.session import get_session
 
-    spark = get_session("verify_local", shuffle_partitions=8)
+    spark = get_session("verify_local", shuffle_partitions=shuffle_override or 8)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -146,6 +197,8 @@ def main() -> int:
         with open(path, "w") as f:
             json.dump(
                 {
+                    "axis": axis,
+                    "axis_env": AXES.get(axis, {}),
                     "sf": args.sf,
                     "n_pass": n_pass,
                     "n_fail": n_fail,
