@@ -374,6 +374,34 @@ def test_agg_approx_distinct_within_error_bound(spark, sf_dir):
         assert rows[et]["exact_users"] == n
 
 
+def test_agg_approx_distinct_null_user_ids(spark, tmp_path):
+    """NULL semantics of the two-phase spelling (ADVICE r13): the
+    (event_type, user_id) pre-aggregate forms a NULL-user group, which
+    must NOT count toward exact_users (COUNT(DISTINCT user_id) skips
+    NULLs) but MUST count toward n_events (COUNT(*)).  The fixtures have
+    no NULL user_ids, so this pins the semantics on a synthetic table."""
+    sf = str(tmp_path / "sfnull")
+    rows = [
+        ("click", 1), ("click", 1), ("click", 2),
+        ("click", None), ("click", None),
+        ("view", None),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    df = df.withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["agg_approx_distinct"](spark, sf).collect()
+    }
+    assert out["click"]["exact_users"] == 2      # users 1 and 2, not NULL
+    assert out["click"]["n_events"] == 5         # NULL rows still counted
+    assert out["view"]["exact_users"] == 0       # all-NULL group
+    assert out["view"]["n_events"] == 1
+    # HLL skips NULLs natively: |approx - exact| <= max(5%, 2) holds even
+    # at exact == 0
+    assert out["view"]["approx_within_5pct"] is True
+
+
 def test_dedup_clusters_local_gate_matches_distributed_loop(spark, sf_dir, monkeypatch):
     """The r6 statistics-gated union-find (driver path) must produce
     byte-identical labels to the distributed propagation loop it
