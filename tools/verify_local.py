@@ -25,8 +25,8 @@ hostile host TZ, small driver heap) hold under drift instead of decaying:
 each axis is an env knob applied BEFORE the JVM starts, and the chosen
 axis is recorded in the report JSON.  ``--axis auto`` (the ``--report``
 default) rotates by round number — r14=aqe_off, r15=tz_kiritimati,
-r16=heap3g, r17=local7, then repeats — so every fourth round re-proves
-each axis.  ``--axis none`` opts out (ad-hoc key checks).
+r16=heap3g, r17=local7, r18=splits128m, then repeats — so every fifth
+round re-proves each axis.  ``--axis none`` opts out (ad-hoc key checks).
 """
 
 from __future__ import annotations
@@ -84,9 +84,14 @@ AXES: dict[str, dict[str, str]] = {
     "tz_kiritimati": {"TZ": "Pacific/Kiritimati"},
     "heap3g": {"SPARK_GRAFT_DRIVER_MEM": "3g"},
     "local7": {"SPARK_GRAFT_CPUS": "7"},
+    # fifth axis (r14): cluster-default split size — the local session
+    # pins 2 MB splits for scan parallelism on the tiny fixtures, so
+    # this proves no key's CORRECTNESS leans on split count / per-split
+    # row grouping (a 128 MB split swallows every fixture file whole).
+    "splits128m": {"SPARK_GRAFT_MAX_PARTITION_BYTES": "128m"},
 }
 # r14 starts the rotation at aqe_off (VERDICT r13 item 5 names it).
-_AXIS_ORDER = ["aqe_off", "tz_kiritimati", "heap3g", "local7"]
+_AXIS_ORDER = ["aqe_off", "tz_kiritimati", "heap3g", "local7", "splits128m"]
 
 
 def _apply_axis(name: str) -> int | None:
