@@ -284,7 +284,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing and the drained sink equals the plain batch interval join,
     exactly."""
     clicks = (
-        stream_events(spark, sf_dir, n_chunks=4, tag="ssj_c")
+        stream_events(spark, sf_dir, n_chunks=2, tag="ssj_c")
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "10 minutes")
         .select(
@@ -294,7 +294,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     purchases = (
-        stream_events(spark, sf_dir, n_chunks=4, tag="ssj_p")
+        stream_events(spark, sf_dir, n_chunks=2, tag="ssj_p")
         .filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "10 minutes")
         .select(
@@ -314,6 +314,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trailing no-data batch is skipped because inner-join eviction is
     # output-silent — the sink equals the batch twin with or without it
     # (run_to_memory docstring; pinned in tests/test_streaming.py).
+    # 2-chunk replay (r14): per-batch state-store commits across 4 join
+    # stores dominate; halving batches halves them (4.1 -> 2.0 s at
+    # sf0.1) and the emitted set is chunk-independent (row-count-equal
+    # swept at 1/2/4 chunks), while 2 data chunks keep cross-batch join
+    # state live (batch-1 clicks match batch-2 purchases).
     return run_to_memory(joined, "append", shuffle_n=4, no_data_batches=False)
 
 
@@ -533,7 +538,7 @@ def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven.  At 100 TB state is bounded by the watermark horizon per
     side, exactly as the inner variant."""
     clicks = (
-        stream_events(spark, sf_dir, n_chunks=4, tag="sso_c")
+        stream_events(spark, sf_dir, n_chunks=2, tag="sso_c")
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "10 minutes")
         .select(
@@ -543,7 +548,7 @@ def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     purchases = (
-        stream_events(spark, sf_dir, n_chunks=4, tag="sso_p")
+        stream_events(spark, sf_dir, n_chunks=2, tag="sso_p")
         .filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "10 minutes")
         .select(
@@ -567,6 +572,10 @@ def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle_n=4 (r13 tmpfs re-sweep); the no-data batch STAYS — outer
     # join eviction EMITS the null-padded unmatched clicks, so the
     # trailing watermark advance is part of the result, not overhead.
+    # 2-chunk replay (r14, same argument as the inner key): the
+    # null-pad set depends only on the FINAL min-of-sides watermark,
+    # so the emitted set is chunk-independent (row-count-equal swept
+    # at 1/2/4 chunks; 4.0 -> 2.7 s at sf0.1).
     return run_to_memory(joined, "append", shuffle_n=4)
 
 
