@@ -431,7 +431,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     ch AS (
-      SELECT rn // (n // 4 + 1) AS chunk,
+      SELECT rn // (n // 2 + 1) AS chunk,
              (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us
       FROM ordered
     ),
@@ -457,15 +457,24 @@ def stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (finalized-only vs changed-only vs full-table).
 
     Batch-twin oracle (r10, VERDICT r9 item 3): the deterministic
-    4-chunk replay makes each count closed-form — complete's final
+    chunked replay makes each count closed-form — complete's final
     table holds every distinct 60-min window; update's memory sink
     accumulates one row per (micro-batch, window-touched-in-it), i.e.
-    COUNT(DISTINCT (chunk, window)) over chunk = rn div (n//4 + 1) of
+    COUNT(DISTINCT (chunk, window)) over chunk = rn div (n//2 + 1) of
     the (ts, event_id) order; append holds windows whose end passed the
-    final ms-granular watermark max(ts) − 10 min."""
+    final ms-granular watermark max(ts) − 10 min.
+
+    2-chunk replay (r14): this key pays THREE full lifecycles, so the
+    per-batch scheduling/commit floor triples; halving batches is the
+    only lever left after the r12 shuffle sweep.  Unlike the join/
+    stateful keys the oracle here is chunk-PARAMETERIZED (update mode
+    counts (chunk, window) pairs), so the SQL moved in lockstep; the
+    ts-ordered split lands mid-hour, so windows still span the chunk
+    boundary and update > complete keeps demonstrating the mode
+    difference."""
     rows = []
     for mode in ["append", "update", "complete"]:
-        sdf = stream_events(spark, sf_dir, n_chunks=4, tag=f"mode_{mode}")
+        sdf = stream_events(spark, sf_dir, n_chunks=2, tag=f"mode_{mode}")
         agg = (
             sdf.withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "60 minutes").alias("w"))
