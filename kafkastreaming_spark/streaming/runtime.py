@@ -100,11 +100,11 @@ def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_console",
     oracle="""
     WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                      CAST(COUNT(*) // 4 + 1 AS BIGINT) AS rpc
+                      CAST(COUNT(*) // 2 + 1 AS BIGINT) AS rpc
                FROM main.events)
     SELECT CAST(t.range AS BIGINT) AS batch_id,
            CAST(LEAST(rpc, n - t.range * rpc) AS BIGINT) AS n_rows
-    FROM range(4) t, c
+    FROM range(2) t, c
     WHERE t.range * rpc < n
     """,
 )
@@ -115,23 +115,23 @@ def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Batch-twin oracle (r10, VERDICT r9 item 3): the replay harness
     chunks the ts-sorted events by ceil division (rows_per_chunk = rpc
-    = n//4 + 1), SKIPS empty chunks (harness.py), and
+    = n//2 + 1), SKIPS empty chunks (harness.py), and
     maxFilesPerTrigger=1 maps one non-empty chunk to one batch id in
     file order, so the per-batch counts are closed-form in n: batch i
     exists iff i·rpc < n and carries min(rpc, n − i·rpc).  The oracle
     derives the batch count the same way (WHERE i·rpc < n) instead of
-    hardcoding 4, so it holds for ALL n ≥ 1 — at n = 4..6 the replay
-    genuinely produces fewer than 4 chunks and the oracle now agrees
-    (ADVICE r10: the previous 4-row spelling diverged there).
+    hardcoding the chunk count, so it holds for ALL n ≥ 1 — at n = 1..2
+    the replay genuinely produces fewer chunks and the oracle agrees
+    (ADVICE r10: a hardcoded row count diverged there).
 
-    The console half replays 2 chunks (r12): its output is operator
-    logs, not the returned frame — two micro-batches prove the
-    multi-batch console surface at half the scheduling cost; the
-    hash-checked batch table keeps the full 4-chunk replay."""
+    Both halves replay 2 chunks (console since r12, foreachBatch since
+    r14 with the oracle's rpc/range moved in lockstep): two
+    micro-batches are the minimal multi-batch proof, at half the
+    scheduling cost of four."""
     sdf = stream_events(spark, sf_dir, n_chunks=2, tag="sinkcon")
     console_sink(sdf.select("event_id", "ts", "event_type", "value"), num_rows=3)
     batches = foreach_batch_collect(
-        stream_events(spark, sf_dir, n_chunks=4, tag="sinkfeb")
+        stream_events(spark, sf_dir, n_chunks=2, tag="sinkfeb")
     )
     return spark.createDataFrame(
         [(int(b), int(n)) for b, n in batches], "batch_id long, n_rows long"
