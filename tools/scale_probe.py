@@ -712,6 +712,14 @@ def run_streaming_state(rebuild: bool = False) -> None:
     print("building 100x fixture ...", flush=True)
     build_hundred(force=rebuild)
 
+    # The session_ttl 100x replay needs a deeper driver thread stack:
+    # at default Xss the stream execution thread dies mid-replay with a
+    # StackOverflowError fully inside java.util.regex (1024 identical
+    # Loop/GroupTail/Branch frames — a backtracking pattern over a
+    # per-batch string that grows with scale; r14 probe log).  Must be
+    # set before the FIRST session of this process builds.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_XSS", "32m")
+
     from pyspark.sql import functions as F
 
     from kafkastreaming_spark.io import load_table
@@ -833,6 +841,93 @@ def run_streaming_state(rebuild: bool = False) -> None:
         "hundred_emitted_equals_originals": emitted["n"] == hund_rows,
     }
     print("stream_dedup_watermark:", report["stream_dedup_watermark"], flush=True)
+
+    # --- stream_session_ttl (r14): the EVICTION key at 100× — state keys
+    # grow 100× (the blowup offsets user_id per replica, so ~100× distinct
+    # users hold open-session state inside the watermark horizon), which
+    # is exactly the bounded-state claim the key's docstring makes.
+    # Exactness: fold-compare the streamed emission (accumulated per
+    # batch via foreachBatch — no driver-resident 100× memory sink)
+    # against the DuckDB gaps-and-islands oracle run on the 100× events
+    # and folded with the SAME Spark hash after a parquet round-trip.
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t0 = time.perf_counter()
+    _materialize(rt.stream_session_ttl(spark, BASE))
+    base_sec = time.perf_counter() - t0
+
+    sttl_dir = _build_chunks_duckdb(
+        OUT100, os.path.join(scratch_dir(), "ks_probe_sttl100"), 20
+    )
+    acc = {"n": 0, "x": 0}
+
+    def fold_batch(df, _bid):
+        n, x = _fold(df)
+        acc["n"] += n
+        acc["x"] ^= x
+
+    sdf100 = (
+        file_event_stream(spark, sttl_dir)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            rt._session_ttl_fn,
+            outputStructType=rt._SESS_OUT,
+            stateStructType=rt._SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    ck = os.path.join(scratch_dir(), f"ks_probe_sttl_ck_{uuid.uuid4().hex[:8]}")
+    # State partitions SCALED to the 100x state volume (one per core),
+    # not the base-optimal 8: at 10M events / ~150k state groups the
+    # Python state-processing compute dominates and 32 workers run the
+    # batch 3x faster (1270 s at 8 partitions vs 447 s at 32, r14 —
+    # exactly the "size state partitions for state VOLUME" rule the
+    # harness _STREAM_SHUFFLE docstring prescribes for real deployments).
+    t0 = time.perf_counter()
+    with stream_shuffle(spark, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))):
+        q = (
+            sdf100.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise TimeoutError("session_ttl 100x did not drain in 1800s")
+    hund_sec = time.perf_counter() - t0
+    shutil.rmtree(ck, ignore_errors=True)
+
+    import duckdb
+
+    from kafkastreaming_spark.all import ORACLES
+
+    ora_pq = os.path.join(scratch_dir(), "ks_probe_sttl_oracle.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{OUT100}/events.parquet'"
+    )
+    # the registered oracle references main.events (view above); COPY its
+    # result out so Spark can fold it with the identical hash
+    con.execute(
+        f"COPY ({ORACLES['stream_session_ttl']}) TO '{ora_pq}' (FORMAT PARQUET)"
+    )
+    oracle_fold = _fold(spark.read.parquet(ora_pq))
+    report["stream_session_ttl"] = {
+        "driving_table": "events",
+        "base_rows": base_rows,
+        "hundred_rows": hund_rows,
+        "base_chunks": 2,
+        "hundred_chunks": 20,
+        "base_sec": round(base_sec, 3),
+        "hundred_sec": round(hund_sec, 3),
+        "per_row_ratio": round((hund_sec / hund_rows) / (base_sec / base_rows), 3),
+        "hundred_emitted_sessions": acc["n"],
+        "hundred_exact_match": (acc["n"], acc["x"]) == oracle_fold,
+    }
+    print("stream_session_ttl:", report["stream_session_ttl"], flush=True)
 
     from bench import current_round
 
