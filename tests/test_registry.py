@@ -219,8 +219,16 @@ def test_registry_order_leads_with_least_driver_evidence():
     from kafkastreaming_spark.all import QUERIES
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, os.path.join(repo, "tools"))
-    from update_rotation import evidence_order
+    # Load via importlib (ADVICE r14): mutating sys.path would leave
+    # repo/tools shadowing same-named modules for every later test import.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_update_rotation_for_pin", os.path.join(repo, "tools", "update_rotation.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    evidence_order = mod.evidence_order
 
     # (a) live order == committed rotation (no unregistered strays)
     assert list(QUERIES) == [k for k in ROTATION if k in QUERIES]
@@ -254,4 +262,9 @@ def test_registry_order_leads_with_least_driver_evidence():
     assert ROTATION[: len(stale)] == stale
     if len(never_block) >= 40:
         fams = {k.split("_", 1)[0] for k in never_block[:40]}
-        assert len(fams) >= 15, sorted(fams)
+        # The round-robin can only show as many families as the pool
+        # still CONTAINS — as driver sampling drains the never-sampled
+        # pool (198/304 sampled after r14) the remaining keys span fewer
+        # prefixes, so cap the expectation at what is achievable.
+        all_fams = {k.split("_", 1)[0] for k in never_block}
+        assert len(fams) >= min(15, len(all_fams)), sorted(fams)

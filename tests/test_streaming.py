@@ -417,3 +417,31 @@ def test_dedup_watermark_duplicates_really_delivered(spark, sf_dir):
     # output = distinct originals despite len(dups) duplicate deliveries
     assert len(out) == originals["event_id"].nunique()
     assert sorted(out["event_id"]) == sorted(originals["event_id"].unique())
+
+
+def test_state_partitions_sized_for_state_volume():
+    """VERDICT r14 item 3 pin: the harness derives state partitions from
+    expected state VOLUME.  The r14 100x probe A/B'd 10M events through
+    stream_session_ttl in fresh processes: 447 s at 32 partitions vs
+    1270-1348 s at 8 — once per-group state compute dominates the fixed
+    per-partition state-store overhead, fewer-partitions-than-cores is a
+    3x loss.  Below the threshold the swept replay default (8) must hold
+    (stream_stream_join/_outer halved when 32 -> 8 at sf0.1, r11)."""
+    import os
+
+    from kafkastreaming_spark.streaming.harness import (
+        _STATE_VOLUME_THRESHOLD,
+        _STREAM_SHUFFLE,
+        state_partitions,
+    )
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    # at/above threshold: >= one partition per core, never below the default
+    assert state_partitions(_STATE_VOLUME_THRESHOLD) >= cores
+    assert state_partitions(10_000_000) == max(cores, _STREAM_SHUFFLE)
+    assert state_partitions(10_000_000, cores=4) == max(4, _STREAM_SHUFFLE)
+    # below threshold / unknown: the swept replay default
+    assert state_partitions(100_000) == _STREAM_SHUFFLE
+    assert state_partitions(None) == _STREAM_SHUFFLE
+    # explicit cores override wins above threshold
+    assert state_partitions(10_000_000, cores=64) == 64

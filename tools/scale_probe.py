@@ -883,11 +883,13 @@ def run_streaming_state(rebuild: bool = False) -> None:
     # State partitions SCALED to the 100x state volume (one per core),
     # not the base-optimal 8: at 10M events / ~150k state groups the
     # Python state-processing compute dominates and 32 workers run the
-    # batch 3x faster (1270 s at 8 partitions vs 447 s at 32, r14 —
-    # exactly the "size state partitions for state VOLUME" rule the
-    # harness _STREAM_SHUFFLE docstring prescribes for real deployments).
+    # batch 3x faster (1270 s at 8 partitions vs 447 s at 32, r14).
+    # r15: the rule is now the harness DEFAULT — state_partitions()
+    # derives it from state volume; the probe exercises that same path.
+    from kafkastreaming_spark.streaming.harness import state_partitions
+
     t0 = time.perf_counter()
-    with stream_shuffle(spark, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))):
+    with stream_shuffle(spark, state_partitions(10_000_000)):
         q = (
             sdf100.writeStream.foreachBatch(fold_batch)
             .option("checkpointLocation", ck)
@@ -939,8 +941,14 @@ def run_streaming_state(rebuild: bool = False) -> None:
     artifact["streaming_state_hundredfold"] = {
         "note": (
             "VERDICT r12 item 6: streaming state path at 100x events, "
-            "chunk count scaled 4->40 (each micro-batch ~10x base rows; "
-            "state volume, commit count, and RocksDB LSM size all grow). "
+            "chunk count scaled 10x per key (per-key base/hundred chunk "
+            "counts recorded in each timed entry; each micro-batch ~10x "
+            "base rows, so state volume, commit count, and RocksDB LSM "
+            "size all grow). r14 note: the chunker switched from CAST "
+            "(round-half-away) to // (floor) division, shifting chunk "
+            "boundaries vs pre-r14 artifacts — cross-round per_row_ratio "
+            "diffs for stream_dedup_watermark are not strictly "
+            "like-for-like across that fix. "
             "per_row_ratio <=~2 means per-row cost held; exact-match / "
             "emitted-equals-originals are the at-scale correctness "
             "witnesses."
