@@ -492,6 +492,25 @@ HUNDRED_KEYS = {
     "stream_rocksdb_state": "events",
     "llm_contamination": "documents",
     "dq_profile": "orders",
+    # r15 (VERDICT r14 item 5): the join tree at 100x — the 10x probe
+    # covers these, but skew/spill behavior in multi-join plans only
+    # shows where the build sides stop fitting comfortably: the two
+    # largest TPC-H join trees (q9 5-way, q21 lineitem self-join x3),
+    # two more multi-join trees (q5 6-way, q18 group-then-join), the
+    # theta/residual join, and the four distinct non-equi join shapes
+    # over events (grid equi-bucket spatial, range-bucketed interval,
+    # point-in-time multi-key asof, gaps-and-islands sessionize) plus
+    # the day-grid distinct-count join (events_dau_wau, 100x users).
+    "tpch_q9": "lineitem",
+    "tpch_q21": "lineitem",
+    "tpch_q5": "lineitem",
+    "tpch_q18": "lineitem",
+    "join_theta": "lineitem",
+    "events_dau_wau": "events",
+    "join_spatial_grid": "events",
+    "join_range_bucket": "events",
+    "join_pit_multi": "events",
+    "events_sessionize": "events",
 }
 
 
