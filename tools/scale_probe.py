@@ -52,6 +52,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import shutil
@@ -979,6 +980,230 @@ def run_streaming_state(rebuild: bool = False) -> None:
     print("wrote", path, flush=True)
 
 
+OUT100SKEW = "/tmp/scale_probe/sf10_skew"
+
+
+def build_skew(force: bool = False) -> None:
+    """100x lineitem with a genuinely HOT join key: every replica re-keys
+    a deterministic 10% of its rows onto o_orderkey=0 (replica 0 keeps
+    natural keys, so order 0 exists exactly once in the 100x orders
+    fixture).  The uniform 100x blowup replicates skew-free — each
+    orderkey's weight stays ~4 lineitems — so the hundredfold wave never
+    actually exercises a straggler; this fixture puts ~6M of 60M rows on
+    ONE key, which a hash shuffle must land on one reducer."""
+    import duckdb
+
+    build_hundred(force=force)  # provides the 100x orders side
+    manifest = os.path.join(OUT100SKEW, "_MANIFEST.json")
+    want = {"base": BASE, "reps": HUNDRED_REPS, "hot_pct": 10}
+    if not force and os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == json.loads(json.dumps(want)):
+                return
+    shutil.rmtree(OUT100SKEW, ignore_errors=True)
+    os.makedirs(OUT100SKEW, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT t.* REPLACE (CASE WHEN "
+        f"hash(t.l_orderkey * 31 + t.l_linenumber + g.r) % 10 = 0 THEN 0 "
+        f"ELSE t.l_orderkey + g.r * 1_000_000 END AS l_orderkey) "
+        f"FROM '{BASE}/lineitem.parquet' t, range({HUNDRED_REPS}) g(r)) "
+        f"TO '{OUT100SKEW}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+
+
+def run_skew_ab(rebuild: bool = False) -> None:
+    """Skew A/B at 100x (r15, VERDICT r14 item 5 follow-through): the
+    join-tree wave proved the multi-join PLANS sub-linear, but the
+    uniform blowup cannot produce a straggler.  This probe joins the
+    hot-key lineitem fixture (10% of 60M rows on o_orderkey=0) to the
+    100x orders three ways and fold-compares the outputs EXACTLY:
+
+      aqe_skew_on  — AQE skew-join split enabled, thresholds scaled to
+                     the local shuffle sizes (factor 2 / 64m threshold /
+                     32m advisory; at production partition sizes the
+                     DEFAULT 256MB threshold fires without tuning — the
+                     scaling substitutes for being on a real cluster),
+      aqe_skew_off — same plan with the splitter disabled: the honest
+                     cost of the straggler reducer,
+      salted_known — the pre-AQE production pattern for skew KNOWN ahead
+                     of time: targeted salting — only the hot key fans
+                     out over 16 salts on the fact side, and only the
+                     hot dim row replicates 16x (never the whole dim).
+
+    Timing = min of 2 runs per variant; the executed-plan string is
+    scanned for AQE's skew markers so the artifact proves the split
+    actually happened (not just that a config was set)."""
+    print("building skew fixture ...", flush=True)
+    t0 = time.perf_counter()
+    build_skew(force=rebuild)
+    print(f"skew fixture ready in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("scale_probe_skew")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li_path = f"{OUT100SKEW}/lineitem.parquet"
+    o_path = f"{OUT100}/orders.parquet"
+    hot_rows = (
+        spark.read.parquet(li_path).filter(F.col("l_orderkey") == 0).count()
+    )
+    total_rows = spark.read.parquet(li_path).count()
+    print(f"skew fixture: {total_rows} rows, {hot_rows} on the hot key", flush=True)
+
+    def plain_join():
+        li = spark.read.parquet(li_path).select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        o = spark.read.parquet(o_path).select("o_orderkey", "o_orderdate")
+        return li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "o_orderdate"
+        )
+
+    def salted_join():
+        # targeted salting: ONLY the known-hot key fans out — everything
+        # else keeps salt 0, and the dim side replicates one row 16x
+        li = spark.read.parquet(li_path).select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            F.when(
+                F.col("l_orderkey") == 0,
+                F.pmod(F.xxhash64("l_quantity", "l_extendedprice"), F.lit(16)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("salt"),
+        )
+        o = (
+            spark.read.parquet(o_path)
+            .select("o_orderkey", "o_orderdate")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.when(
+                        F.col("o_orderkey") == 0, F.expr("sequence(0, 15)")
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .withColumn("salt", F.col("salt").cast("int"))
+        )
+        return li.join(
+            o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt)
+        ).select("l_orderkey", "l_quantity", "l_extendedprice", "o_orderdate")
+
+    def fold_with_plan(df):
+        folded = df.select(
+            F.xxhash64(
+                *[F.col(c).cast("string") for c in sorted(df.columns)]
+            ).alias("h")
+        ).agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+        row = folded.collect()[0]
+        plan = folded._jdf.queryExecution().executedPlan().toString()
+        # count only the runtime markers AQE stamps on actually-split
+        # operators ("skew=true" on the join, "skewed" on AQEShuffleRead)
+        # - the bare substring "skew" also matches conf echoes in the
+        # plan header and is non-zero even when no split happened
+        marks = plan.count("skew=true") + plan.lower().count("skewed")
+        return int(row["n"]), int(row["x"] or 0), marks
+
+    @contextlib.contextmanager
+    def confs(pairs):
+        old = {k: spark.conf.get(k, None) for k in pairs}
+        for k, v in pairs.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    scaled = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    variants = {
+        "aqe_skew_on": (
+            plain_join,
+            {**scaled, "spark.sql.adaptive.skewJoin.enabled": "true"},
+        ),
+        "aqe_skew_off": (
+            plain_join,
+            {**scaled, "spark.sql.adaptive.skewJoin.enabled": "false"},
+        ),
+        "salted_known": (
+            salted_join,
+            {**scaled, "spark.sql.adaptive.skewJoin.enabled": "false"},
+        ),
+    }
+
+    # warm-up: parquet footers + codegen on a cheap slice
+    spark.read.parquet(li_path).limit(1000).count()
+    report: dict[str, dict] = {}
+    folds = {}
+    for name, (builder, conf) in variants.items():
+        times = []
+        with confs(conf):
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n, x, skew_marks = fold_with_plan(builder())
+                times.append(round(time.perf_counter() - t0, 3))
+        folds[name] = (n, x)
+        report[name] = {
+            "runs_sec": times,
+            "best_sec": min(times),
+            "rows": n,
+            "plan_skew_marks": skew_marks,
+        }
+        print(f"{name}: {report[name]}", flush=True)
+
+    vals = set(folds.values())
+    report["_equivalence"] = {
+        "count_xor_match": len(vals) == 1,
+        "rows": folds["aqe_skew_on"][0],
+    }
+    assert len(vals) == 1, f"variant outputs diverge: {folds}"
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["skew_ab_hundredfold"] = {
+        "note": (
+            "hot-key skew A/B at 100x: 10% of 60M lineitem rows on ONE "
+            "orderkey, joined to 100x orders (15M). aqe_skew_on vs "
+            "aqe_skew_off isolates AQE's skew-join split; salted_known "
+            "is the targeted-salt production pattern for skew known "
+            "ahead of time. All three outputs fold-match exactly. Skew "
+            "thresholds scaled to local shuffle sizes (factor 2 / 64m / "
+            "advisory 32m) because the hot partition here is ~10^2 MB "
+            "while the production default threshold is 256MB; on a real "
+            "cluster the default fires on multi-GB partitions untouched."
+        ),
+        "hot_rows": hot_rows,
+        "total_rows": total_rows,
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def run_cosine150() -> None:
     """VERDICT r12 item 7: run the llm_cosine_nn block-cogroup regime
     SAFELY past the 100k gate — 150k synthetic vectors (75 replicas of
@@ -1073,7 +1298,17 @@ def main() -> None:
         action="store_true",
         help="run the 150k-vector blocked-regime probe only (VERDICT r12 item 7)",
     )
+    ap.add_argument(
+        "--skew-ab",
+        action="store_true",
+        help="run the hot-key skew A/B at 100x only (r15: AQE skew split "
+        "vs straggler vs targeted salting, fold-matched)",
+    )
     args = ap.parse_args()
+
+    if args.skew_ab:
+        run_skew_ab(rebuild=args.rebuild)
+        return
 
     if args.streaming_state:
         run_streaming_state(rebuild=args.rebuild)
