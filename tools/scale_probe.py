@@ -1204,6 +1204,155 @@ def run_skew_ab(rebuild: bool = False) -> None:
     print("wrote", path, flush=True)
 
 
+def run_provider_ab() -> None:
+    """State-store provider A/B at 100x state volume (r15).  SCALE.md has
+    ARGUED since r11 that 'at scale you swap in RocksDB'; the only
+    RocksDB lifecycle we run (stream_rocksdb_state) keys on event_type —
+    5 state rows — which exercises the provider's correctness, not its
+    regime.  This probe runs the identical per-USER count+cents
+    aggregation (150k state groups at 100x: the blowup offsets user_id
+    per replica) through a 40-chunk replay twice — once on the default
+    in-heap HDFSBackedStateStoreProvider, once on RocksDB — and
+    fold-compares the final complete-mode snapshot of BOTH against the
+    batch groupBy.  What it measures: RocksDB's per-update JNI +
+    serialization overhead vs the in-heap HashMap at a state volume the
+    heap still holds comfortably — i.e. the cost of enabling RocksDB
+    BELOW its regime.  (Its regime — state that outgrows the heap —
+    cannot be reached on this box without also crossing into
+    allocation-failure territory for the in-heap leg; the r14 eviction
+    probe and the spill sweep cover the memory-pressure side.)
+
+    State partitions come from the promoted harness default:
+    state_partitions(150_000) -> 8 (below the 10^6 threshold), the same
+    sizing either provider would get in production at this volume."""
+    print("building 100x fixture ...", flush=True)
+    build_hundred()
+
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.io import load_table
+    from kafkastreaming_spark.session import get_session
+    from kafkastreaming_spark.sources.factory import file_event_stream
+    from kafkastreaming_spark.streaming.harness import (
+        scratch_dir,
+        state_partitions,
+        stream_shuffle,
+    )
+
+    spark = get_session("scale_probe_provider")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    big_dir = _build_chunks_duckdb(
+        OUT100, os.path.join(scratch_dir(), "ks_probe_prov100"), 40
+    )
+    batch = (
+        load_table(spark, OUT100, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    batch_fold = _fold(batch)
+    n_state = batch_fold[0]
+    print(f"state groups at 100x: {n_state}", flush=True)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    base_cls = "org.apache.spark.sql.execution.streaming.state."
+    providers = {
+        "hdfs_backed_default": base_cls + "HDFSBackedStateStoreProvider",
+        "rocksdb": base_cls + "RocksDBStateStoreProvider",
+    }
+    shuffle_n = state_partitions(n_state)
+
+    report: dict[str, dict] = {}
+    for name, cls in providers.items():
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, cls)
+        try:
+            runs = []
+            final_fold = None
+            for _ in range(2):
+                last: dict = {}
+
+                def fold_batch(df, bid, _last=last):
+                    _last["fold"] = _fold(df)
+                    _last["bid"] = bid
+
+                sdf = (
+                    file_event_stream(spark, big_dir)
+                    .groupBy("user_id")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("n_events"),
+                        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                        .cast("long")
+                        .alias("cents"),
+                    )
+                )
+                ck = os.path.join(
+                    scratch_dir(), f"ks_probe_prov_ck_{uuid.uuid4().hex[:8]}"
+                )
+                t0 = time.perf_counter()
+                with stream_shuffle(spark, shuffle_n):
+                    q = (
+                        sdf.writeStream.foreachBatch(fold_batch)
+                        .outputMode("complete")
+                        .option("checkpointLocation", ck)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    if not q.awaitTermination(900):
+                        q.stop()
+                        raise TimeoutError(f"{name} leg did not drain in 900s")
+                runs.append(round(time.perf_counter() - t0, 3))
+                shutil.rmtree(ck, ignore_errors=True)
+                final_fold = last["fold"]
+            report[name] = {
+                "provider_class": cls.rsplit(".", 1)[-1],
+                "runs_sec": runs,
+                "best_sec": min(runs),
+                "state_rows": n_state,
+                "state_partitions": shuffle_n,
+                "final_state_equals_batch": final_fold == batch_fold,
+            }
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        print(f"{name}: {report[name]}", flush=True)
+        assert report[name]["final_state_equals_batch"], name
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["state_provider_ab_hundredfold"] = {
+        "note": (
+            "HDFSBacked (in-heap) vs RocksDB state store on the SAME "
+            "150k-group count+cents aggregation over a 40-chunk 10M-row "
+            "replay, complete-mode final snapshot fold-matched against "
+            "the batch groupBy for BOTH providers. Measures RocksDB's "
+            "per-update overhead below its regime (state fits the heap); "
+            "the rule is a crossover, not a constant: pay the overhead "
+            "only when state threatens the heap - see SCALE.md r15."
+        ),
+        "hundred_rows": 10_000_000,
+        "hundred_chunks": 40,
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def run_spill() -> None:
     """Spill measured directly (r15): the brief's 'spill-aware' rule —
     size shuffle partitions so each fits in executor memory — has been
@@ -1478,7 +1627,17 @@ def main() -> None:
         help="run the 2g-heap partition-sizing spill A/B only (r15); "
         "must be a fresh process (sets SPARK_GRAFT_DRIVER_MEM=2g)",
     )
+    ap.add_argument(
+        "--provider-ab",
+        action="store_true",
+        help="run the state-store provider A/B at 100x state volume "
+        "only (r15: in-heap HDFSBacked vs RocksDB, fold-matched)",
+    )
     args = ap.parse_args()
+
+    if args.provider_ab:
+        run_provider_ab()
+        return
 
     if args.spill:
         run_spill()
