@@ -1204,6 +1204,150 @@ def run_skew_ab(rebuild: bool = False) -> None:
     print("wrote", path, flush=True)
 
 
+def run_bucket_ab() -> None:
+    """Bucketed co-located join economics at 100x (r15).  sink_bucketed's
+    no-Exchange property is plan-PINNED at sf scale, but the claim that
+    carries it to 100 TB — 'pay the shuffle once at write time, then
+    every join/agg on the bucket key is shuffle-free' — has a price tag
+    nobody measured: the one-time bucketed write vs the per-join saving.
+    This probe, over the 60M-row lineitem x 15M-row orders blowup:
+
+      plain     — parquet-direct SMJ join (shuffles BOTH sides every
+                  time) and parquet-direct groupBy(l_orderkey),
+      bucketed  — both tables written bucketBy(32, orderkey)+sortBy once
+                  (timed: the amortized cost), then the same join and
+                  the same groupBy read from the bucketed tables.
+
+    The bucketed join plan is string-asserted to have no hash exchange
+    on either join key (same check as the plan pin), outputs fold-match
+    the plain legs exactly, and the artifact records the breakeven: how
+    many joins the write cost amortizes over."""
+    print("building 100x fixture ...", flush=True)
+    build_hundred()
+
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("scale_probe_bucket")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{OUT100}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{OUT100}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def join_of(left, right):
+        return left.hint("merge").join(
+            right, left.l_orderkey == right.o_orderkey
+        ).select(
+            "l_orderkey", "l_quantity", "l_extendedprice",
+            "o_orderdate", "o_totalprice",
+        )
+
+    def agg_of(left):
+        return left.groupBy("l_orderkey").agg(
+            F.sum("l_quantity").alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def time2(thunk):
+        best, out = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = thunk()
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        return round(best, 3), out
+
+    report: dict[str, dict] = {}
+    plain_join_sec, plain_join_fold = time2(lambda: _fold(join_of(li, o)))
+    plain_agg_sec, plain_agg_fold = time2(lambda: _fold(agg_of(li)))
+    report["plain_parquet"] = {
+        "join_sec": plain_join_sec,
+        "agg_sec": plain_agg_sec,
+        "join_rows": plain_join_fold[0],
+    }
+    print("plain_parquet:", report["plain_parquet"], flush=True)
+
+    t_li, t_ord = "probe_bucket_li", "probe_bucket_ord"
+    for t in (t_li, t_ord):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    t0 = time.perf_counter()
+    # repartition on the bucket key first so each task holds one hash
+    # slice and writes ~one file per bucket (otherwise every task emits
+    # a file for every bucket: tasks x buckets small files)
+    (
+        li.repartition(32, "l_orderkey")
+        .write.bucketBy(32, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable(t_li)
+    )
+    (
+        o.repartition(32, "o_orderkey")
+        .write.bucketBy(32, "o_orderkey")
+        .sortBy("o_orderkey")
+        .format("parquet")
+        .saveAsTable(t_ord)
+    )
+    write_sec = round(time.perf_counter() - t0, 3)
+
+    try:
+        bli, bo = spark.table(t_li), spark.table(t_ord)
+        bucketed = join_of(bli, bo)
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        no_shuffle = (
+            "hashpartitioning(l_orderkey" not in plan
+            and "hashpartitioning(o_orderkey" not in plan
+        )
+        b_join_sec, b_join_fold = time2(lambda: _fold(join_of(bli, bo)))
+        b_agg_sec, b_agg_fold = time2(lambda: _fold(agg_of(bli)))
+        report["bucketed"] = {
+            "one_time_write_sec": write_sec,
+            "join_sec": b_join_sec,
+            "agg_sec": b_agg_sec,
+            "join_no_exchange_on_keys": no_shuffle,
+            "join_fold_match": b_join_fold == plain_join_fold,
+            "agg_fold_match": b_agg_fold == plain_agg_fold,
+        }
+        saving = plain_join_sec - b_join_sec
+        report["breakeven_joins"] = (
+            round(write_sec / saving, 1) if saving > 0 else None
+        )
+        print("bucketed:", report["bucketed"], flush=True)
+        assert no_shuffle, "bucketed join still shuffles on a join key"
+        assert report["bucketed"]["join_fold_match"]
+        assert report["bucketed"]["agg_fold_match"]
+    finally:
+        for t in (t_li, t_ord):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["bucket_ab_hundredfold"] = {
+        "note": (
+            "bucketed co-located join economics over 60M x 15M: one-time "
+            "bucketBy(32)+sortBy write vs per-join saving of eliminating "
+            "both shuffles (join plan asserted Exchange-free on the join "
+            "keys; join and bucket-key agg fold-match the parquet-direct "
+            "legs exactly). breakeven_joins = write_sec / per-join "
+            "saving: how many downstream joins amortize the layout."
+        ),
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def run_provider_ab() -> None:
     """State-store provider A/B at 100x state volume (r15).  SCALE.md has
     ARGUED since r11 that 'at scale you swap in RocksDB'; the only
@@ -1633,7 +1777,17 @@ def main() -> None:
         help="run the state-store provider A/B at 100x state volume "
         "only (r15: in-heap HDFSBacked vs RocksDB, fold-matched)",
     )
+    ap.add_argument(
+        "--bucket-ab",
+        action="store_true",
+        help="run the bucketed co-located join economics probe at 100x "
+        "only (r15: one-time bucketBy write vs per-join shuffle saving)",
+    )
     args = ap.parse_args()
+
+    if args.bucket_ab:
+        run_bucket_ab()
+        return
 
     if args.provider_ab:
         run_provider_ab()
