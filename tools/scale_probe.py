@@ -1204,6 +1204,104 @@ def run_skew_ab(rebuild: bool = False) -> None:
     print("wrote", path, flush=True)
 
 
+def run_broadcast_xover() -> None:
+    """Broadcast-join crossover at 100x (r15).  'Broadcast small dims' is
+    plan-pinned everywhere, and Spark's default autoBroadcastJoinThreshold
+    (10MB) encodes a folklore answer to 'how small is small' — this probe
+    measures the actual crossover on this box: the 60M-row lineitem fact
+    joined to orders-derived dims of 100k / 1M / 5M / 15M rows under
+    three forced strategies (broadcast hint, sort-merge hint,
+    shuffle-hash hint), outputs fold-matched across strategies per size.
+
+    What broadcast buys: the 60M fact side never shuffles.  What it
+    costs: building + shipping the dim to every task and holding it on
+    the heap.  The crossover is where build cost eats the saved shuffle;
+    the artifact records best-of-2 per (size, strategy) so the curve is
+    read off directly rather than inferred from a byte threshold."""
+    print("building 100x fixture ...", flush=True)
+    build_hundred()
+
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("scale_probe_bcast")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{OUT100}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{OUT100}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    # deterministic dim subsets: every k-th orderkey survives
+    sizes = {"100k": 150, "1m": 15, "5m": 3, "15m": 1}
+
+    def dim_of(mod):
+        d = orders
+        if mod > 1:
+            d = d.filter(F.col("o_orderkey") % mod == 0)
+        return d
+
+    strategies = {
+        "broadcast": lambda d: F.broadcast(d),
+        "sort_merge": lambda d: d.hint("merge"),
+        "shuffle_hash": lambda d: d.hint("shuffle_hash"),
+    }
+
+    li.limit(1000).count()  # warm-up
+    report: dict[str, dict] = {}
+    for size_name, mod in sizes.items():
+        dim_rows = dim_of(mod).count()
+        entry: dict = {"dim_rows": dim_rows}
+        folds = {}
+        for strat_name, hint in strategies.items():
+            try:
+                best = None
+                for _ in range(2):
+                    d = hint(dim_of(mod))
+                    j = li.join(d, li.l_orderkey == d.o_orderkey).select(
+                        "l_orderkey", "l_quantity", "o_totalprice"
+                    )
+                    t0 = time.perf_counter()
+                    folds[strat_name] = _fold(j)
+                    sec = time.perf_counter() - t0
+                    best = sec if best is None else min(best, sec)
+                entry[strat_name + "_sec"] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001 — a strategy FAILING
+                # at a size (broadcast OOM/timeout) IS the finding there
+                entry[strat_name + "_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        entry["fold_match_across_strategies"] = len(set(folds.values())) == 1
+        assert entry["fold_match_across_strategies"], (size_name, folds)
+        report[size_name] = entry
+        print(f"{size_name}: {entry}", flush=True)
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["broadcast_xover_hundredfold"] = {
+        "note": (
+            "forced-strategy sweep: 60M-row fact joined to dims of "
+            "100k..15M rows under broadcast / sort-merge / shuffle-hash "
+            "hints, best of 2, folds exact across strategies per size. "
+            "Reads off where broadcast's build+ship cost eats the saved "
+            "60M-row fact shuffle on this box; a strategy error at a "
+            "size (broadcast OOM) is recorded as the finding, not a "
+            "probe failure."
+        ),
+        "fact_rows": 60_000_000,
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def run_bucket_ab() -> None:
     """Bucketed co-located join economics at 100x (r15).  sink_bucketed's
     no-Exchange property is plan-PINNED at sf scale, but the claim that
@@ -1783,7 +1881,17 @@ def main() -> None:
         help="run the bucketed co-located join economics probe at 100x "
         "only (r15: one-time bucketBy write vs per-join shuffle saving)",
     )
+    ap.add_argument(
+        "--broadcast-xover",
+        action="store_true",
+        help="run the broadcast-vs-shuffle crossover sweep at 100x only "
+        "(r15: forced strategies over 100k..15M-row dims)",
+    )
     args = ap.parse_args()
+
+    if args.broadcast_xover:
+        run_broadcast_xover()
+        return
 
     if args.bucket_ab:
         run_bucket_ab()
