@@ -54,6 +54,10 @@ from __future__ import annotations
 import argparse
 import contextlib
 import json
+
+import pandas as pd  # module-level so pandas_udf string type hints
+# ('pd.Series', stringified by `from __future__ import annotations`)
+# resolve from module globals at decoration time
 import os
 import shutil
 import sys
@@ -1204,6 +1208,141 @@ def run_skew_ab(rebuild: bool = False) -> None:
     print("wrote", path, flush=True)
 
 
+def run_udf_tax() -> None:
+    """Python-UDF tax measured at 100x (r15).  'UDFs are the slow path;
+    pandas UDFs beat row-at-a-time by 10-100x' is the most-quoted Spark
+    folklore of all — this probe puts this box's numbers on record.  One
+    scalar computation (cents bucketing: round(value*100) % 97, exact
+    int result) runs over the 60M-row blowup four ways, folds exact:
+
+      builtin     — pyspark.sql.functions expression (whole-stage
+                    codegen, JVM-only),
+      pandas_udf  — Arrow-batched vectorized Python (per-batch
+                    serialization, numpy kernel),
+      python_udf  — row-at-a-time Python UDF (pickle per row),
+      rdd_map     — the RDD escape hatch people reach for (Row objects
+                    per row, no codegen, no Arrow).
+
+    The row-UDF and RDD legs run ONE timed pass (they are minutes, not
+    seconds); the builtin/pandas legs take best of 2."""
+    print("building 100x fixture ...", flush=True)
+    build_hundred()
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("scale_probe_udftax")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{OUT100}/lineitem.parquet").select(
+        "l_extendedprice"
+    )
+
+    def agg_fold(df_with_b):
+        # tiny (97-group) aggregate so the probe times the EXPRESSION,
+        # not a shuffle: map-side partials collapse everything
+        out = df_with_b.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+        return _fold(out)
+
+    # all four legs use floor(x*100 + 0.5): JVM round() is HALF_UP but
+    # pandas .round()/python round() are HALF_EVEN - the one spelling
+    # that is bit-identical across all four runtimes
+    def builtin():
+        return li.withColumn(
+            "b",
+            (F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") % 97),
+        )
+
+    @F.pandas_udf(LongType())
+    def bucket_pd(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return (np.floor(s * 100 + 0.5).astype("int64")) % 97
+
+    def pandas_leg():
+        return li.withColumn("b", bucket_pd("l_extendedprice"))
+
+    @F.udf(LongType())
+    def bucket_py(v):
+        import math
+
+        return int(math.floor(v * 100 + 0.5)) % 97
+
+    def python_leg():
+        return li.withColumn("b", bucket_py("l_extendedprice"))
+
+    def rdd_leg_fold():
+        # count per bucket via RDD map — the no-DataFrame escape hatch
+        counts = (
+            li.rdd.map(
+                lambda r: (int(__import__("math").floor(r[0] * 100 + 0.5)) % 97, 1)
+            )
+            .reduceByKey(lambda a, b: a + b)
+            .collect()
+        )
+        return sorted(counts)
+
+    li.limit(1000).count()  # warm-up
+    report: dict[str, dict] = {}
+    folds = {}
+    for name, leg, reps in (
+        ("builtin", builtin, 2),
+        ("pandas_udf", pandas_leg, 2),
+        ("python_udf", python_leg, 1),
+    ):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            folds[name] = agg_fold(leg())
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        report[name] = {"best_sec": round(best, 3), "buckets": folds[name][0]}
+        print(f"{name}: {report[name]}", flush=True)
+    t0 = time.perf_counter()
+    rdd_counts = rdd_leg_fold()
+    report["rdd_map"] = {
+        "best_sec": round(time.perf_counter() - t0, 3),
+        "buckets": len(rdd_counts),
+    }
+    print(f"rdd_map: {report['rdd_map']}", flush=True)
+
+    assert len(set(folds.values())) == 1, folds
+    # the RDD leg's (bucket, count) pairs must equal the builtin's groups
+    b = builtin().groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    builtin_counts = sorted((int(r["b"]), int(r["n"])) for r in b.collect())
+    assert rdd_counts == builtin_counts
+    base = report["builtin"]["best_sec"]
+    for name in report:
+        report[name]["vs_builtin"] = round(report[name]["best_sec"] / base, 1)
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["udf_tax_hundredfold"] = {
+        "note": (
+            "one scalar expression (exact cents bucketing mod 97) over "
+            "60M rows via builtin / pandas_udf / row python_udf / "
+            "rdd.map, all four outputs exactly equal. Times the "
+            "expression, not a shuffle (97-group agg). The folklore "
+            "'builtin >> pandas_udf >> python_udf' with this box's "
+            "actual multipliers on record."
+        ),
+        "rows": 60_000_000,
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def run_coalesce_ab() -> None:
     """AQE partition-coalescing value at 100x (r15).  The spill sweep
     showed too FEW shuffle partitions converts memory into disk I/O;
@@ -1984,7 +2123,17 @@ def main() -> None:
         help="run the AQE partition-coalescing A/B at 100x only (r15: "
         "over-partitioning safety)",
     )
+    ap.add_argument(
+        "--udf-tax",
+        action="store_true",
+        help="run the Python-UDF tax probe at 100x only (r15: builtin "
+        "vs pandas_udf vs row udf vs rdd.map, outputs exactly equal)",
+    )
     args = ap.parse_args()
+
+    if args.udf_tax:
+        run_udf_tax()
+        return
 
     if args.coalesce_ab:
         run_coalesce_ab()
