@@ -1208,6 +1208,93 @@ def run_skew_ab(rebuild: bool = False) -> None:
     print("wrote", path, flush=True)
 
 
+def run_smallfiles() -> None:
+    """Small-files tax measured at 100x (r15).  sink_compaction implements
+    the cure; this measures the disease: the same 60M-row dataset written
+    as 2048 splinter files vs 32 right-sized files, then scanned by an
+    aggregate.  Locally the tax is footer-parse + per-file task overhead;
+    on an object store every file open is an HTTP round-trip and the
+    same layout is catastrophically worse — the local number is the
+    FLOOR of the problem.  Folds exact across layouts; file counts and
+    bytes recorded so the artifact shows layout, not data, changed."""
+    print("building 100x fixture ...", flush=True)
+    build_hundred()
+
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("scale_probe_smallfiles")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = spark.read.parquet(f"{OUT100}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    layouts = {"splinter_2048": 2048, "rightsized_32": 32}
+    dirs = {}
+    report: dict[str, dict] = {}
+    for name, n in layouts.items():
+        out = os.path.join("/tmp/scale_probe", f"smallfiles_{n}")
+        if not os.path.isdir(out) or not os.listdir(out):
+            src.repartition(n).write.mode("overwrite").parquet(out)
+        dirs[name] = out
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        report[name] = {
+            "n_files": len(files),
+            "total_mb": round(
+                sum(os.path.getsize(os.path.join(out, f)) for f in files) / 1e6,
+                1,
+            ),
+        }
+
+    def scan_agg(path):
+        df = spark.read.parquet(path)
+        return _fold(
+            df.groupBy((F.col("l_orderkey") % 97).alias("b")).agg(
+                F.sum("l_quantity").alias("sq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    folds = {}
+    for name in layouts:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            folds[name] = scan_agg(dirs[name])
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        report[name]["scan_agg_sec"] = round(best, 3)
+        print(f"{name}: {report[name]}", flush=True)
+    assert len(set(folds.values())) == 1, folds
+    report["tax"] = round(
+        report["splinter_2048"]["scan_agg_sec"]
+        / report["rightsized_32"]["scan_agg_sec"],
+        2,
+    )
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["smallfiles_hundredfold"] = {
+        "note": (
+            "same 60M rows as 2048 splinter files vs 32 right-sized "
+            "files, scan+agg best of 3, folds exact. Local tax is the "
+            "FLOOR: footer parse + task overhead only - object-store "
+            "deployments add an HTTP round-trip per file open. "
+            "sink_compaction is the cure; this is the measured disease."
+        ),
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def run_udf_tax() -> None:
     """Python-UDF tax measured at 100x (r15).  'UDFs are the slow path;
     pandas UDFs beat row-at-a-time by 10-100x' is the most-quoted Spark
@@ -2129,7 +2216,17 @@ def main() -> None:
         help="run the Python-UDF tax probe at 100x only (r15: builtin "
         "vs pandas_udf vs row udf vs rdd.map, outputs exactly equal)",
     )
+    ap.add_argument(
+        "--smallfiles",
+        action="store_true",
+        help="run the small-files tax probe at 100x only (r15: 2048 "
+        "splinter files vs 32 right-sized, same 60M rows)",
+    )
     args = ap.parse_args()
+
+    if args.smallfiles:
+        run_smallfiles()
+        return
 
     if args.udf_tax:
         run_udf_tax()
