@@ -1208,6 +1208,92 @@ def run_skew_ab(rebuild: bool = False) -> None:
     print("wrote", path, flush=True)
 
 
+def run_codec_ab() -> None:
+    """Parquet codec trade-off at 100x (r15).  At 100 TB the compression
+    codec is a standing storage-vs-CPU contract: snappy is Spark's
+    default, zstd compresses tighter for more CPU, uncompressed is the
+    'are we I/O- or CPU-bound' control.  The same 60M-row projection is
+    written once per codec and scan+agg'd (best of 3), folds exact —
+    the artifact records both axes so the choice is a read-off:
+    bytes-on-disk (what you pay the object store forever) vs scan time
+    (what every downstream query pays)."""
+    print("building 100x fixture ...", flush=True)
+    build_hundred()
+
+    from pyspark.sql import functions as F
+
+    from kafkastreaming_spark.session import get_session
+
+    spark = get_session("scale_probe_codec")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = spark.read.parquet(f"{OUT100}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    codecs = ["snappy", "zstd", "uncompressed"]
+    report: dict[str, dict] = {}
+    folds = {}
+    for codec in codecs:
+        out = os.path.join("/tmp/scale_probe", f"codec_{codec}")
+        if not os.path.isdir(out) or not os.listdir(out):
+            t0 = time.perf_counter()
+            (
+                src.repartition(32)
+                .write.mode("overwrite")
+                .option("compression", codec)
+                .parquet(out)
+            )
+            write_sec = round(time.perf_counter() - t0, 3)
+        else:
+            write_sec = None
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        entry = {
+            "total_mb": round(
+                sum(os.path.getsize(os.path.join(out, f)) for f in files) / 1e6,
+                1,
+            ),
+            "write_sec": write_sec,
+        }
+        best = None
+        for _ in range(3):
+            df = spark.read.parquet(out)
+            t0 = time.perf_counter()
+            folds[codec] = _fold(
+                df.groupBy((F.col("l_orderkey") % 97).alias("b")).agg(
+                    F.sum("l_quantity").alias("sq"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        entry["scan_agg_sec"] = round(best, 3)
+        report[codec] = entry
+        print(f"{codec}: {entry}", flush=True)
+    assert len(set(folds.values())) == 1, folds
+
+    from bench import current_round
+
+    path = os.path.join(REPO, f"SCALE_PROBE_r{current_round():02d}.json")
+    artifact = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+    artifact["codec_ab_hundredfold"] = {
+        "note": (
+            "same 60M-row projection written per codec (32 files each), "
+            "scan+agg best of 3, folds exact. Two axes: bytes-on-disk "
+            "(paid forever) vs scan/write time (paid per query/ingest). "
+            "Local NVMe + page cache understates the I/O saving of "
+            "smaller files - on object-store bandwidth the compression "
+            "win grows."
+        ),
+        "timed": report,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
 def run_smallfiles() -> None:
     """Small-files tax measured at 100x (r15).  sink_compaction implements
     the cure; this measures the disease: the same 60M-row dataset written
@@ -2222,7 +2308,17 @@ def main() -> None:
         help="run the small-files tax probe at 100x only (r15: 2048 "
         "splinter files vs 32 right-sized, same 60M rows)",
     )
+    ap.add_argument(
+        "--codec-ab",
+        action="store_true",
+        help="run the parquet codec trade-off probe at 100x only (r15: "
+        "snappy vs zstd vs uncompressed, same 60M rows)",
+    )
     args = ap.parse_args()
+
+    if args.codec_ab:
+        run_codec_ab()
+        return
 
     if args.smallfiles:
         run_smallfiles()
