@@ -2587,15 +2587,17 @@ def main() -> None:
         prev["accounting"] = artifact["accounting"]
         artifact = prev
     elif os.path.exists(path):
-        # full run after --hundred / --streaming-state / --cosine150
-        # runs: those sections are written by different entry points —
-        # carry them, don't drop them (incl. prev regimes entries this
-        # run didn't recompute, e.g. llm_cosine_nn_150k)
+        # full run after specialized entry points (--hundred,
+        # --streaming-state, --cosine150, and the r15 A/B probes): their
+        # sections are written by different code paths — carry EVERY
+        # section this run did not itself recompute, don't drop them.
+        # (r15 lesson: a hardcoded carry list silently dropped the nine
+        # new A/B sections when the full wave ran after them.)
         with open(path) as f:
             prev = json.load(f)
-        for section in ("hundredfold", "streaming_state_hundredfold"):
-            if section in prev:
-                artifact[section] = prev[section]
+        for section, value in prev.items():
+            if section not in artifact:
+                artifact[section] = value
         for k, v in prev.get("regimes", {}).items():
             artifact.setdefault("regimes", {}).setdefault(k, v)
     with open(path, "w") as f:
