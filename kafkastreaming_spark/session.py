@@ -38,6 +38,12 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write codec: zstd strictly dominated the snappy default in the r15
+    # codec A/B (SCALE_PROBE_r15 codec_ab_hundredfold — 24% smaller AND
+    # 27% faster scans over identical 60M rows; at object-store
+    # bandwidth the gap widens).  Values are codec-independent, so every
+    # hash oracle is unaffected; DuckDB reads zstd parquet natively.
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 # Lazily-resolved runtime confs (env-dependent; same values get_session uses).

@@ -137,3 +137,26 @@ def test_sink_compaction_shrinks_file_count_preserving_rows(spark, sf_dir):
     for t in want:
         assert out[t]["n_events"] == want[t]["n_events"]
         assert out[t]["id_hash_xor"] == want[t]["id_hash_xor"]
+
+
+def test_write_codec_default_is_zstd(spark, tmp_path):
+    """r15 codec A/B promotion (SCALE_PROBE_r15 codec_ab_hundredfold):
+    zstd strictly dominated snappy — 24% smaller files AND 27% faster
+    scans over identical 60M rows, timing-neutral on the sf0.1 write
+    keys — so the engine writes parquet with zstd by default.  Pin both
+    the session conf and the bytes-on-disk effect so a Spark upgrade
+    changing the default back to snappy is caught."""
+    assert (
+        spark.conf.get("spark.sql.parquet.compression.codec") == "zstd"
+    )
+    out = str(tmp_path / "codec_pin")
+    spark.range(100_000).selectExpr(
+        "id", "CAST(id % 97 AS STRING) AS s"
+    ).write.mode("overwrite").parquet(out)
+    import pyarrow.parquet as pq
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    md = pq.ParquetFile(os.path.join(out, files[0])).metadata
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
