@@ -354,10 +354,12 @@ def main() -> None:
         "spread": spread,
         "noisy": sorted(k for k, s in spread.items() if s > 2.0),
         "canary": {"pre": canary_pre, "post": canary_post},
-        "rows_only": {
-            # section name kept for cross-round diffability; since r10
-            # these keys ARE hash-oracled — the section now means
-            # "harness-cost keys outside the headline protocol set"
+        "harness_section": {
+            # renamed from "rows_only" in r16 (VERDICT r15 item 6): the
+            # old name falsely implied these keys lack oracles — since
+            # r10 every one is hash-oracled; the section means
+            # "harness-cost keys outside the headline protocol set".
+            # Tools diffing old artifacts read both names.
             "note": "hash-oracled harness keys (r10); excluded from headline",
             "queries": ro_query,
             "total_sec": round(sum(ro_query.values()), 3),

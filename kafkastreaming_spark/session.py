@@ -59,7 +59,18 @@ def _runtime_confs() -> dict[str, str]:
 
 
 def prepare(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an externally-owned session (idempotent)."""
+    """Apply runtime confs to an externally-owned session (idempotent).
+
+    Note one deliberate bytes-on-disk side effect: this sets
+    ``spark.sql.parquet.compression.codec=zstd`` session-wide, so any
+    parquet the *host* session writes after ``prepare()`` — not just this
+    engine's sink operators — comes out zstd-compressed instead of the
+    snappy default.  Values are codec-independent and every mainstream
+    reader (Spark 3.2+, DuckDB, pyarrow, Trino, Hive 4) decodes zstd
+    natively; a caller that must keep snappy for a legacy reader can
+    re-set the conf after ``prepare()`` without affecting this engine's
+    correctness (the r15 codec A/B showed zstd only changes size/speed).
+    """
     for k, v in _runtime_confs().items():
         try:
             if spark.conf.get(k, None) != v:
@@ -113,7 +124,6 @@ def get_session(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
         )
-        .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -314,11 +314,23 @@ def stream_events(
     return file_event_stream(spark, chunk_dir)
 
 
-def console_sink(sdf: DataFrame, num_rows: int = 5, timeout_sec: int = 60) -> None:
-    """Console sink (operational debugging sink; SURVEY.md §2.1)."""
+def console_sink(
+    sdf: DataFrame,
+    num_rows: int = 5,
+    timeout_sec: int = 60,
+    state_groups: int | None = None,
+) -> None:
+    """Console sink (operational debugging sink; SURVEY.md §2.1).
+
+    ``state_groups`` (expected state-store volume) sizes state partitions
+    via :func:`state_partitions`, exactly like :func:`run_to_memory` —
+    replay-sized state keeps the swept 8-partition default, >=threshold
+    state sizes to the machine (ADVICE r15: previously only run_to_memory
+    had this, so large-state lifecycles through this sink silently kept
+    the 3x-slow small-state default)."""
     name = f"console_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(scratch_dir(), f"ks_ckpt_{name}")
-    with stream_shuffle(sdf.sparkSession):
+    with stream_shuffle(sdf.sparkSession, state_partitions(state_groups)):
         q = (
             sdf.writeStream.format("console")
             .option("numRows", str(num_rows))
@@ -335,9 +347,14 @@ def console_sink(sdf: DataFrame, num_rows: int = 5, timeout_sec: int = 60) -> No
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def foreach_batch_collect(sdf: DataFrame, timeout_sec: int = 120) -> list:
+def foreach_batch_collect(
+    sdf: DataFrame, timeout_sec: int = 120, state_groups: int | None = None
+) -> list:
     """foreachBatch sink: collects (batch_id, row_count) per micro-batch —
-    the arbitrary-sink escape hatch (JDBC/object-store writes in prod)."""
+    the arbitrary-sink escape hatch (JDBC/object-store writes in prod).
+
+    ``state_groups`` sizes state partitions via :func:`state_partitions`,
+    matching :func:`run_to_memory` (ADVICE r15 — see :func:`console_sink`)."""
     seen: list = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -345,7 +362,7 @@ def foreach_batch_collect(sdf: DataFrame, timeout_sec: int = 120) -> list:
 
     name = f"feb_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(scratch_dir(), f"ks_ckpt_{name}")
-    with stream_shuffle(sdf.sparkSession):
+    with stream_shuffle(sdf.sparkSession, state_partitions(state_groups)):
         q = (
             sdf.writeStream.foreachBatch(handle)
             .option("checkpointLocation", ckpt)
