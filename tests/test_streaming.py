@@ -445,3 +445,35 @@ def test_state_partitions_sized_for_state_volume():
     assert state_partitions(None) == _STREAM_SHUFFLE
     # explicit cores override wins above threshold
     assert state_partitions(10_000_000, cores=64) == 64
+
+
+def test_sinks_thread_state_groups_to_state_partitions(spark, sf_dir, monkeypatch):
+    """ADVICE r15 pin: console_sink and foreach_batch_collect size their
+    state partitions from ``state_groups`` via state_partitions(), the
+    same way run_to_memory does — a large-state lifecycle through these
+    sinks must not silently keep the 8-partition replay default."""
+    from kafkastreaming_spark.streaming import harness
+
+    captured: list[int | None] = []
+    real = harness.stream_shuffle
+
+    def spy(session, n=None):
+        captured.append(n)
+        return real(session, n)
+
+    monkeypatch.setattr(harness, "stream_shuffle", spy)
+
+    sdf = harness.stream_events(spark, sf_dir, n_chunks=2).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    big = 10_000_000  # above _STATE_VOLUME_THRESHOLD
+    harness.console_sink(sdf, num_rows=1, state_groups=big)
+    batches = harness.foreach_batch_collect(sdf, state_groups=big)
+    assert captured == [harness.state_partitions(big)] * 2
+    assert captured[0] >= harness._STREAM_SHUFFLE
+    assert sum(n for _, n in batches) == sdf.sparkSession.read.parquet(
+        harness.replay_chunks(spark, sf_dir, 2)
+    ).count()
+    # default path (no state_groups) keeps the swept replay default
+    harness.console_sink(sdf, num_rows=1)
+    assert captured[-1] == harness._STREAM_SHUFFLE
