@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from kafkastreaming_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
 from kafkastreaming_spark.hashing import H_DUCK, H_SPARK
-from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table, spread
 from kafkastreaming_spark.memo import release_local_checkpoint
 from kafkastreaming_spark.registry import query
 
@@ -51,8 +51,20 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # r16: project to the 6 agg columns, then repair input skew — the sf
+    # fixtures are single-row-group files, so without `spread` the scan AND
+    # the partial HashAggregate (7 double→decimal casts/row, the key's real
+    # cost) fuse into ONE task (guide §2.5; measured 1.83→0.70 s on this
+    # box).  On a healthy multi-row-group layout `spread` is a no-op and
+    # the plan is the original scan→partial→exchange(4 groups)→final.
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        spread(filtered, key="l_extendedprice")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
@@ -86,7 +98,12 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungrouped aggregate — collapses to a single row before the exchange."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_shipdate"
+        ),
+        key="l_extendedprice",
+    )
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_quantity", "sum_qty"),

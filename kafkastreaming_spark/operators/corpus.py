@@ -24,7 +24,7 @@ from kafkastreaming_spark.hashing import H2_DUCK as _H2_DUCK
 from kafkastreaming_spark.hashing import H2_SPARK as _H2_SPARK
 from kafkastreaming_spark.hashing import H_DUCK as _H_DUCK
 from kafkastreaming_spark.hashing import H_SPARK as _H_SPARK
-from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.io import load_table, spread
 from kafkastreaming_spark.registry import query
 
 # Portable 60-bit hash of a salted doc key (hashing.H_SPARK/H_DUCK),
@@ -141,7 +141,7 @@ def llm_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DESCENDING in Spark, and ``element_at(tk, 0)`` would throw), and
     ``explode`` drops them — exactly the oracle's ``generate_series(1,0)``
     emitting no rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("lang", F.split("text", " ").alias("tk"))
     big = toks.select(
         "lang",
@@ -248,7 +248,7 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is too (regime equivalence pinned in tests/test_pipeline.py)."""
     from kafkastreaming_spark.memo import memo
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", "lang", F.split("text", " ").alias("tk"))
     big = toks.select(
         "doc_id",
@@ -409,7 +409,7 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-partition on the gram hash (uniform by construction — md5
     output), the per-doc counts then aggregate on doc_id.  No broadcast:
     a 100 TB train gram set never fits one executor."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     bucket = F.expr(_SPLIT_H_SPARK.format(salt="split"))
     toks = docs.select(
         "doc_id", bucket.alias("bucket"), F.split("text", " ").alias("tk")
@@ -508,7 +508,7 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     step rounded 6dp, identical in both engines.  Docs shorter than two
     tokens keep n_words ≥ 1 but drop from bigrams and are excluded by
     the final inner join — mirrored exactly in the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
     words = toks.select("doc_id", F.explode("tk").alias("w"))
     word_counts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
@@ -730,7 +730,7 @@ def llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you'd pre-filter `HAVING freq > corpus_n / 1e9` before the
     window to bound the ranked table; at any scale the top-50 head is
     by definition tiny."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     tf = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
@@ -810,7 +810,7 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper bound is a 1-row aggregate broadcast back (sub_scalar
     pattern).  At 100 TB substitute ingest order / partition id for
     doc_id and the same single-pass shape holds."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
     toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
     first_seen = (
@@ -1033,7 +1033,7 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything map-side; the ranking window runs on the tiny counted
     table.  At 100 TB this is one scan + one combine-heavy shuffle per
     BPE iteration, the canonical distributed-tokenizer-training shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     words = docs.select(
         F.explode(F.split("text", " ")).alias("word")
     ).filter(F.length("word") >= 2)
@@ -1097,7 +1097,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg partial-combines the head map-side, and the join's hot grams
     are exactly the ones whose first_doc resolves early — skew-safe
     because the payload is one int64, not a row set."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", F.split("text", " ").alias("tk")).filter(
         F.size("tk") >= 3
     )
@@ -1188,7 +1188,7 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the open-vocabulary fallback.  Sets stay as arrays inside one
     codegen'd stage — no explode×explode token join, so shuffle volume
     is O(corpus), not O(tokens²)."""
-    toks = load_table(spark, sf_dir, "documents").select(
+    toks = spread(load_table(spark, sf_dir, "documents"), key="doc_id").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
     blocked = (
@@ -1474,7 +1474,7 @@ def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is two combine-heavy aggs + a broadcast join — the model side
     is CONSTANT-width no matter the corpus, which is the entire point
     of hashed DSIR."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select(
         "doc_id", "lang", F.split("text", " ").alias("tk")
     ).filter(F.size("tk") >= 2)
@@ -1621,7 +1621,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction."""
     from kafkastreaming_spark.operators.pipeline import llm_simhash_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     exact_keep = (
         docs.groupBy(F.md5("text"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -1725,7 +1725,7 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle note: n_distinct_dup counts single-60-bit g (not the pair) —
     inside one doc's ≤300-span set the birthday bound is ~2e-5, and
     BOTH engines count the same g column, so the check stays exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
     span_txt = (
         "CASE WHEN size(tk) < 8 THEN array() "
@@ -1944,7 +1944,7 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf, corpus stats, the query battery) is broadcast-sized.  The
     top-10 window runs per query over the scored subset, not the
     corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
@@ -2036,7 +2036,7 @@ def llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) with map-side combine — output width is 64·docs rows max
     regardless of vocabulary, which is the hashing trick's entire
     point at 100 TB (no vocab table to build, broadcast, or shard)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -2159,7 +2159,7 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup with map-side combine.  Aho-Corasick-style substring
     matching would swap the equi-join for a mapInPandas automaton pass
     — same surrounding plan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     bl = docs.sparkSession.createDataFrame(_BLOCKLIST, ["term", "cat"])
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -2273,7 +2273,7 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice below as candidate AND reference side): checkpoint-pin the
     # tokenized base and both gram-count tables, the tpch_q15/q11
     # shared-intermediate discipline.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     base = docs.select(
         "doc_id", "lang", "source", F.split("text", " ").alias("tk")
     ).localCheckpoint(eager=False)

@@ -21,7 +21,7 @@ from kafkastreaming_spark.functions.numeric import (
     oracle_davg,
     oracle_dsum,
 )
-from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.io import load_table, spread
 from kafkastreaming_spark.registry import query
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -52,8 +52,17 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical two-phase partial+final HashAggregate; the shipdate
     predicate reaches the parquet scan.  All money math goes through the
     §5.4 decimal discipline (3-way products are ≤6-decimal exact)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= "2001-09-02"
+    # r16: project then `spread` (guide §2.5) — single-row-group fixture
+    # files otherwise fuse scan + the decimal partial aggregate into one
+    # task (same fix and measurement as agg_group; no-op on healthy layouts).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "2001-09-02")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ),
+        key="l_extendedprice",
     )
     disc_price = F.expr(_REV)
     charge = F.expr(f"{_REV} * (1 + l_tax)")
