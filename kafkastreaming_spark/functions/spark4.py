@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table, spread
 from kafkastreaming_spark.registry import query
 
 
@@ -52,7 +52,7 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse/extract is JVM-native columnar work, the 100 TB path for
     schema-on-read telemetry lakes (parse once, bind paths lazily,
     no Python)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"), key="event_id")
     rt = F.parse_json(
         F.to_json(
             F.struct(
@@ -361,8 +361,11 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection) and per-row XPath is reserved for small embedded
     fragments.  The slice pins the function surface; the cost note
     pins the usage contract."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 29 == 0
+    o = spread(
+        load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 29 == 0
+        ),
+        key="o_orderkey",
     )
     xml = F.concat(
         F.lit("<o><y>"),

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.io import load_table, spread
 from kafkastreaming_spark.registry import query
 
 
@@ -81,7 +81,10 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     would instead go through candidate generation first (length bands +
     shared-gram candidates, as in the dedup family); edit distance is
     only ever computed on candidate pairs at scale."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust = spread(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        key="c_custkey",
+    )
     probe = cust.filter(F.col("c_custkey") < 20).select(
         F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("probe_name")
     )

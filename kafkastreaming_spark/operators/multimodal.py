@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.io import load_table, spread
 from kafkastreaming_spark.registry import query
 
 
@@ -258,7 +258,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload column arrives from the lake instead of the synthesizer and
     the kernel drops ``_make_wav``; nothing else changes."""
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), key="doc_id")
         .filter(F.length("text") >= 1)
         .select("doc_id", "text")
     )
@@ -347,7 +347,7 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), key="doc_id")
         .filter(F.length("text") >= frame)
         .select("doc_id", "text")
     )
@@ -541,7 +541,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), key="doc_id")
         .filter(F.length("text") >= _BMP_W)
         .select("doc_id", "text")
     )
@@ -637,11 +637,18 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), key="doc_id")
         .filter(F.length("text") >= _BMP_W)
         .select("doc_id", "text")
     )
-    sig = docs.mapInPandas(phash_batches, "doc_id long, dhash long")
+    # r16: sig feeds BOTH the bucket aggregate and the join probe — without
+    # a pin the decode+signature kernel executes twice per run (the
+    # tpch_q15 shared-intermediate disease).  localCheckpoint materializes
+    # the (doc_id, dhash) pairs once; at any scale that intermediate is 16
+    # bytes/doc, far cheaper than a second decode pass over the blobs.
+    sig = docs.mapInPandas(
+        phash_batches, "doc_id long, dhash long"
+    ).localCheckpoint(eager=False)
     grp = sig.groupBy("dhash").agg(
         F.count(F.lit(1)).cast("long").alias("bucket_size"),
         F.min("doc_id").alias("keep_doc"),
@@ -723,8 +730,13 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc frame counts are container-bounded, so window partitions
     never funnel; at 100 TB every stage shuffles rows ∝ frames of
     ACTIVE audio only."""
-    en = mm_audio_energy(spark, sf_dir).select(
-        "doc_id", "frame_idx", "energy"
+    # r16: en feeds BOTH the threshold aggregate and the active-frame
+    # join — checkpoint the frame table so the wave-decode kernel runs
+    # once per query, not twice (same fix as mm_phash_dedup).
+    en = (
+        mm_audio_energy(spark, sf_dir)
+        .select("doc_id", "frame_idx", "energy")
+        .localCheckpoint(eager=False)
     )
     stats = en.groupBy("doc_id").agg(
         F.sum("energy").cast("long").alias("tot"),
