@@ -153,6 +153,8 @@ def spread(
     hash-partition (deterministic, no sort-before-repartition cost) —
     without one, round-robin is used.
     """
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df  # kill switch: plans revert to the raw scan (A/B, debug)
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
             os.cpu_count() or 8

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkastreaming_spark.functions.numeric import dsum, oracle_dsum
-from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.io import load_table, spread
 from kafkastreaming_spark.registry import query
 
 _PIVOT_YEARS = [1995, 1996, 1997, 1998]
@@ -76,7 +76,12 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the wide→long reshape feeding metric stores and plotting.
     ``DataFrame.unpivot`` is a zero-shuffle Expand over the wide input;
     the oracle uses the equivalent UNION ALL spelling."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+        ),
+        key="l_extendedprice",
+    )
     wide = li.groupBy("l_returnflag").agg(
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_price"),

@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table, spread
 from kafkastreaming_spark.registry import query
 
 
@@ -746,6 +746,12 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x", "y", F.expr(f"({_z_interleave('x', 'y')}) DIV 1024").alias("bucket")
     )
     path = _sink_path("ks_spark_sink_zorder", sf_dir)
+    # r16: hash-repartition on the bucket key before the partitioned write —
+    # the single-row-group fixture scan otherwise writes all ~64 bucket
+    # directories from ONE task.  Keyed on bucket, each bucket still lands
+    # in exactly one task, preserving the one-file-per-bucket layout claim
+    # while the write fans out across cores.
+    z = spread(z, key="bucket")
     z.write.mode("overwrite").partitionBy("bucket").parquet(path)
     back = spark.read.parquet(path)
     return (

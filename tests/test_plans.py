@@ -923,9 +923,10 @@ _AUDIT_PINS_3 = [
         "llm_chunk",
         lambda t: _shuffles(t) == 0 and "BatchEvalPython" not in t,
     ),
-    # unpivot's Expand adds ZERO shuffles of its own — the one exchange
-    # belongs to the pre-aggregate it unpivots
-    ("agg_unpivot", lambda t: "Expand" in t and _shuffles(t) == 1),
+    # unpivot's Expand adds ZERO shuffles of its own — the exchanges
+    # belong to the pre-aggregate it unpivots (plus, r16, io.spread's
+    # layout-gated input-skew repair on the fixture scan)
+    ("agg_unpivot", lambda t: "Expand" in t and _shuffles(t) <= 2),
     (
         "sub_not_in",
         lambda t: "LeftAnti" in t and "BroadcastHashJoin" in t,
