@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table, spread
 from kafkastreaming_spark.registry import query
 
 
@@ -125,7 +125,7 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object / from_json → struct / to_json round trip."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"), key="event_id")
     parsed = F.from_json("props", "k INT")
     return ev.select(
         "event_id",

@@ -269,7 +269,7 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``%.2f`` of an unrounded double is a last-ulp trap).
 
     Map-only codegen'd projections — scan speed at any scale."""
-    o = load_table(spark, sf_dir, "orders")
+    o = spread(load_table(spark, sf_dir, "orders"), key="o_orderkey")
     return o.select(
         "o_orderkey",
         F.format_string("ORD-%08d", "o_orderkey").alias("order_tag"),

@@ -2270,13 +2270,16 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison exists anywhere: each candidate meets exactly ONE
     reference, the eval-harness contract."""
     # ONE documents scan feeds refs/lens/uni/big (each consumed up to
-    # twice below as candidate AND reference side): checkpoint-pin the
-    # tokenized base and both gram-count tables, the tpch_q15/q11
-    # shared-intermediate discipline.
+    # twice below as candidate AND reference side); the spread() exchange
+    # is the shared materialization point every consumer re-reads.
     docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+    # r16: the localCheckpoint pins were A/B'd and LOST to exchange reuse —
+    # spread()'s repartition is an Exchange below every consumer of base, so
+    # Catalyst re-reads its shuffle output (ReusedExchange) instead of
+    # re-scanning; the ckpt write+read only added cost (llm_tfidf lesson).
     base = docs.select(
         "doc_id", "lang", "source", F.split("text", " ").alias("tk")
-    ).localCheckpoint(eager=False)
+    )
     wref = Window.partitionBy("lang", "source")
     refs = base.select(
         "doc_id", F.min("doc_id").over(wref).alias("ref_id")
@@ -2286,7 +2289,6 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("doc_id", F.explode("tk").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     big = (
         base.select(
@@ -2302,19 +2304,32 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
 
+    # r16: the reference side is BOUNDED (one doc per (lang, source) group)
+    # but the old spelling joined the FULL gram table against itself with
+    # the ref condition as a join predicate — two fact×fact sort-merge
+    # joins.  Pre-filter the ref side to reference docs (semi-join on the
+    # tiny distinct ref-id set) and broadcast it, which is what the clip
+    # join's docstring contract ("the join's build side broadcasts at any
+    # corpus size") always claimed.  Values are unchanged: rows with
+    # r_id ∉ ref_ids could never satisfy cand.ref_id == r_id.
+    ref_ids = refs.select(F.col("ref_id").alias("r_doc")).distinct()
+
     def _clip(grams: DataFrame) -> DataFrame:
-        cand = grams.join(refs, "doc_id")
-        ref = grams.select(
+        cand = grams.join(F.broadcast(refs), "doc_id")
+        ref = grams.join(
+            F.broadcast(ref_ids),
+            grams["doc_id"] == F.col("r_doc"),
+            "left_semi",
+        ).select(
             F.col("doc_id").alias("r_id"),
             F.col("g").alias("r_g"),
             F.col("c").alias("r_c"),
         )
         return (
             cand.join(
-                ref,
+                F.broadcast(ref),
                 (cand.ref_id == ref.r_id) & (cand.g == ref.r_g),
             )
             .groupBy("doc_id")

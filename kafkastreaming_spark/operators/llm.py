@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreaming_spark.hashing import H2_DUCK, H2_SPARK, H_DUCK, H_SPARK
-from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.io import load_table, spread
 from kafkastreaming_spark.memo import memo, release_local_checkpoint
 from kafkastreaming_spark.registry import query
 
@@ -569,11 +569,18 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode → two hash aggs (term-per-doc, df) + a broadcast
     join of the tiny df dimension → per-doc window.  N comes from a
     one-row count, not a driver collect of data rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r16: spread repairs the single-row-group fixture scan (guide §2.5),
+    # and df derives from the tf table instead of a second explode+distinct
+    # pass over the corpus — tf already holds one row per (doc, term), so
+    # count(*) per term IS countDistinct(doc_id); Catalyst reuses tf's
+    # exchange for both consumers (ReusedExchange), so the explode+partial
+    # agg run once.  (A localCheckpoint pin was A/B'd and LOST to exchange
+    # reuse: 0.67 vs 0.52 s — the write+read of the pin costs more.)
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     n_docs = docs.count()  # scalar dimension; exact and tiny
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_), "term").select(
         "doc_id",
         "term",

@@ -1030,7 +1030,12 @@ def test_plan_hygiene_sweep(spark, sf_dir):
     # (r10): its invariant output CONTAINS the recall check vs the exact
     # brute-force top-5, so the plan runs both ANN pipelines over the
     # same corpus by definition — the multi-scan IS the verification.
-    allowed_multiscan = {"llm_ann_ivf", "llm_ann_ivf_trained"}
+    # llm_bleu (r16): static-plan-only multi-scan — every consumer sits
+    # above the SAME spread() repartition, which AQE materializes once
+    # and re-reads (runtime ReusedExchange); the localCheckpoint pin
+    # that used to hide the repeat scans was A/B'd and lost to exchange
+    # reuse (OPTIMIZATION_r16.md).
+    allowed_multiscan = {"llm_ann_ivf", "llm_ann_ivf_trained", "llm_bleu"}
     skip = tuple(("sink_", "stream_", "source_", "mm_", "llm_pipeline_e2e"))
     offenders = []
     for k in sorted(ORACLES):
