@@ -374,6 +374,21 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.bin")
         .load(base)
     )
+    # r16: binaryFile plans ~one task per small file (openCost-dominated
+    # split packing) — 5k scheduling-overhead tasks at sf0.1, measured 8x
+    # slower than reading the same bytes in core-sized tasks.  coalesce
+    # (shuffle-free) packs the splits down to max(cores, total/128MB)
+    # tasks; on a big media lake the 128MB-per-task floor keeps the target
+    # at or above the planned partition count, so coalesce is a no-op.
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
+        os.cpu_count() or 8
+    )
+    tot_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(base)
+        if e.name.endswith(".bin")
+    )
+    bf = bf.coalesce(max(cores, 1 + tot_bytes // (128 << 20)))
     return bf.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
         .cast("long")
@@ -666,13 +681,16 @@ def scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file audit rollup (small-files detection pairs it with
     ``file_size``)."""
     li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    # r16: spread AFTER binding the _metadata columns (they are split-local
+    # virtual columns; values are fixed at the scan, so the repartition
+    # only parallelizes the distinct/xor partial aggregation — guide §2.5).
     return (
-        li.select(
+        spread(li.select(
             F.col("_metadata.file_name").alias("file_name"),
             F.col("_metadata.file_size").alias("fsz"),
             F.col("_metadata.row_index").alias("ridx"),
             (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("key"),
-        )
+        ), key="ridx")
         .filter(F.col("fsz") > 0)
         .groupBy("file_name")
         .agg(
