@@ -98,12 +98,7 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungrouped aggregate — collapses to a single row before the exchange."""
-    li = spread(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_quantity", "l_extendedprice", "l_shipdate"
-        ),
-        key="l_extendedprice",
-    )
+    li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_quantity", "sum_qty"),

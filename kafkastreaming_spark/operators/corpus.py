@@ -141,7 +141,7 @@ def llm_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DESCENDING in Spark, and ``element_at(tk, 0)`` would throw), and
     ``explode`` drops them — exactly the oracle's ``generate_series(1,0)``
     emitting no rows."""
-    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("lang", F.split("text", " ").alias("tk"))
     big = toks.select(
         "lang",
@@ -730,7 +730,7 @@ def llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you'd pre-filter `HAVING freq > corpus_n / 1e9` before the
     window to bound the ranked table; at any scale the top-50 head is
     by definition tiny."""
-    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+    docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
@@ -810,7 +810,7 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper bound is a 1-row aggregate broadcast back (sub_scalar
     pattern).  At 100 TB substitute ingest order / partition id for
     doc_id and the same single-pass shape holds."""
-    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+    docs = load_table(spark, sf_dir, "documents")
     bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
     toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
     first_seen = (
@@ -1188,7 +1188,7 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the open-vocabulary fallback.  Sets stay as arrays inside one
     codegen'd stage — no explode×explode token join, so shuffle volume
     is O(corpus), not O(tokens²)."""
-    toks = spread(load_table(spark, sf_dir, "documents"), key="doc_id").select(
+    toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
     blocked = (
@@ -1474,7 +1474,7 @@ def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is two combine-heavy aggs + a broadcast join — the model side
     is CONSTANT-width no matter the corpus, which is the entire point
     of hashed DSIR."""
-    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.split("text", " ").alias("tk")
     ).filter(F.size("tk") >= 2)
@@ -1621,7 +1621,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction."""
     from kafkastreaming_spark.operators.pipeline import llm_simhash_dedup
 
-    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+    docs = load_table(spark, sf_dir, "documents")
     exact_keep = (
         docs.groupBy(F.md5("text"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -1944,7 +1944,7 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf, corpus stats, the query battery) is broadcast-sized.  The
     top-10 window runs per query over the scored subset, not the
     corpus."""
-    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
@@ -2272,7 +2272,7 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE documents scan feeds refs/lens/uni/big (each consumed up to
     # twice below as candidate AND reference side); the spread() exchange
     # is the shared materialization point every consumer re-reads.
-    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+    docs = load_table(spark, sf_dir, "documents")
     # r16: the localCheckpoint pins were A/B'd and LOST to exchange reuse —
     # spread()'s repartition is an Exchange below every consumer of base, so
     # Catalyst re-reads its shuffle output (ReusedExchange) instead of

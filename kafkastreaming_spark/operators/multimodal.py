@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafkastreaming_spark.io import load_table, spread
+from kafkastreaming_spark.io import load_table
 from kafkastreaming_spark.registry import query
 
 
@@ -258,7 +258,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload column arrives from the lake instead of the synthesizer and
     the kernel drops ``_make_wav``; nothing else changes."""
     docs = (
-        spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+        load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 1)
         .select("doc_id", "text")
     )
@@ -347,7 +347,7 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     docs = (
-        spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+        load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= frame)
         .select("doc_id", "text")
     )
@@ -541,7 +541,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     docs = (
-        spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+        load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= _BMP_W)
         .select("doc_id", "text")
     )
@@ -637,7 +637,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
 
     docs = (
-        spread(load_table(spark, sf_dir, "documents"), key="doc_id")
+        load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= _BMP_W)
         .select("doc_id", "text")
     )

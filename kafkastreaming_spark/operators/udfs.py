@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf, udtf
 
-from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table, spread
+from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table
 from kafkastreaming_spark.registry import query
 
 # Fixed 64-d query vector for udf_pandas: 6dp-rounded sines, so the SQL
@@ -289,7 +289,7 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     must (the fn_xpath usage-contract discipline).  Row-at-a-time
     Python is the UDTF execution model by definition; bulk unpivot of
     fixed columns belongs to agg_unpivot (pure JVM stack())."""
-    spread(load_table(spark, sf_dir, "orders"), key="o_orderkey").createOrReplaceTempView(
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "ks_udtf_orders"
     )
     spark.udtf.register("ks_melt", udtf(_MeltUDTF))

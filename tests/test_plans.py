@@ -1030,11 +1030,13 @@ def test_plan_hygiene_sweep(spark, sf_dir):
     # (r10): its invariant output CONTAINS the recall check vs the exact
     # brute-force top-5, so the plan runs both ANN pipelines over the
     # same corpus by definition — the multi-scan IS the verification.
-    # llm_bleu (r16): static-plan-only multi-scan — every consumer sits
-    # above the SAME spread() repartition, which AQE materializes once
-    # and re-reads (runtime ReusedExchange); the localCheckpoint pin
-    # that used to hide the repeat scans was A/B'd and lost to exchange
-    # reuse (OPTIMIZATION_r16.md).
+    # llm_bleu (r16): the tokenized base feeds refs/lens/uni/big, so the
+    # plan re-reads the documents scan per consumer.  The localCheckpoint
+    # pin that used to hide this was A/B'd and LOST (the 600 KB scan is
+    # far cheaper than the pin's write+read; OPTIMIZATION_r16.md) — the
+    # multi-scan is the measured-faster shape here, and at 100 TB the
+    # same query would re-introduce a pin on the (tiny) gram aggregates,
+    # not on the corpus scan.
     allowed_multiscan = {"llm_ann_ivf", "llm_ann_ivf_trained", "llm_bleu"}
     skip = tuple(("sink_", "stream_", "source_", "mm_", "llm_pipeline_e2e"))
     offenders = []
