@@ -166,6 +166,26 @@ def _canary(spark) -> dict:
     }
 
 
+def contract_line(base: dict, per_query: dict[str, float]) -> str:
+    """Serialize the one-line stdout contract, packing as many slowest
+    keys as fit ``SPARK_GRAFT_BENCH_LINE_BYTES`` (default 1800 — safely
+    under the driver's 2000-char stdout-tail capture that truncated the
+    90-entry r1 line).  Slowest-first, so the old slowest-5 set is always
+    a subset: entries are only ever added, never dropped, relative to the
+    r16 line."""
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1800"))
+    qmap: dict[str, float] = {}
+    line = json.dumps({**base, "queries": qmap}, separators=(",", ":"))
+    for k in sorted(per_query, key=per_query.get, reverse=True):
+        qmap[k] = per_query[k]
+        cand = json.dumps({**base, "queries": qmap}, separators=(",", ":"))
+        if len(cand) > budget:
+            del qmap[k]
+            break
+        line = cand
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -347,6 +367,11 @@ def main() -> None:
         "queries": per_query,
         "sf": sf_val,
         "repeats": repeats,
+        # Executor core count the run actually used (r17): the driver's
+        # end-of-round 8-core scaling run also lands a BENCH_DETAIL file,
+        # and without this field the r8-idle regression gate can't tell
+        # a deliberately-downsized run from a plan regression.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "partial": partial,
         "errors": errors,
         "repeat_times": per_repeat,
@@ -369,26 +394,68 @@ def main() -> None:
             "errors": ro_errors,
         },
     }
-    for name in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{current_round():02d}.json"):
+    # Canary-normalized diff vs the PREVIOUS round's detail (VERDICT r16
+    # item 10): pure reporting, zero protocol change.  Cross-round per-key
+    # comparisons keep getting poisoned by host drift (r16: a 2.3x canary
+    # swing made 237 untouched keys look regressed), so the detail file
+    # now records the canary ratio next to every per-key ratio — a reader
+    # can mechanically separate "box got slower" from "plan regressed".
+    rnd = current_round()
+    prev_path = os.path.join(REPO, f"BENCH_DETAIL_r{rnd - 1:02d}.json")
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            pc, cc = prev.get("canary") or {}, detail["canary"]
+            canary_ratio = {
+                probe: round(
+                    max(cc["pre"][probe], cc["post"][probe])
+                    / max(pp, 1e-9),
+                    3,
+                )
+                for probe in ("jvm_sec", "shuffle_sec", "job_overhead_sec")
+                if (
+                    pp := max(
+                        (pc.get("pre") or {}).get(probe, 0),
+                        (pc.get("post") or {}).get(probe, 0),
+                    )
+                )
+            }
+            detail["vs_prev"] = {
+                "prev_file": os.path.basename(prev_path),
+                "prev_cpus": prev.get("cpus"),
+                "canary_ratio": canary_ratio,
+                "per_key_ratio": {
+                    k: round(per_query[k] / p, 3)
+                    for k, p in (prev.get("queries") or {}).items()
+                    if k in per_query and p
+                },
+            }
+        except Exception:  # noqa: BLE001 — reporting must never kill a run
+            pass
+
+    for name in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{rnd:02d}.json"):
         with open(os.path.join(REPO, name), "w") as f:
             json.dump(detail, f, indent=1)
 
-    # The machine-readable contract line: SHORT, and the LAST stdout line.
-    slowest = sorted(per_query, key=per_query.get, reverse=True)[:5]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": None if partial else total,
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(per_query),
-                "n_errors": len(errors),
-                "partial": partial,
-                "queries": {k: per_query[k] for k in slowest},
-            }
-        )
-    )
+    # The machine-readable contract line: the LAST stdout line, and it must
+    # fit the driver's 2000-char stdout-tail capture (the r1 overflow: a
+    # 90-entry map with default separators truncated and parsed as null).
+    # r16 printed only the 5 slowest keys, which blinded the driver's
+    # PERF/scaling comparison to 2 common keys (VERDICT r16 item 2/4).
+    # r17: pack as many slowest keys as fit a conservative byte budget
+    # (compact separators; ~60 keys at 1800 bytes) — the top-5 of r16 are
+    # always a subset, so entries are only ever ADDED round-over-round.
+    base = {
+        "metric": "suite_wall_sec",
+        "value": None if partial else total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(per_query),
+        "n_errors": len(errors),
+        "partial": partial,
+    }
+    print(contract_line(base, per_query))
     spark.stop()
     if partial:
         sys.exit(3)

@@ -101,6 +101,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _ROW_GROUP_CACHE: dict[str, int] = {}
 
 
+def session_cores() -> int:
+    """Executor-core count for scale-adaptive sizing: the driver contract's
+    ``SPARK_GRAFT_CPUS`` if set, else the host's CPU count (r17 — factored
+    out of spread()/source_binaryfile, which each duplicated it)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
+        os.cpu_count() or 8
+    )
+
+
 def _parquet_row_groups(uri: str) -> int | None:
     """Row-group count of one local parquet file; None if unreadable."""
     if uri in _ROW_GROUP_CACHE:
@@ -156,9 +165,7 @@ def spread(
     if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
         return df  # kill switch: plans revert to the raw scan (A/B, debug)
     if cores is None:
-        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
-            os.cpu_count() or 8
-        )
+        cores = session_cores()
     width = scan_width(df)
     if width is None or width >= max(2, cores // 4):
         return df

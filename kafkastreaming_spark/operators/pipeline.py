@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from kafkastreaming_spark import hashing as hashing_mod
 from kafkastreaming_spark.hashing import H_DUCK as _H_DUCK
 from kafkastreaming_spark.hashing import H_SPARK as _H_SPARK
-from kafkastreaming_spark.io import load_table, spread
+from kafkastreaming_spark.io import load_table
 from kafkastreaming_spark.memo import memo
 from kafkastreaming_spark.operators.llm import _DOT, _SQ_NORM
 from kafkastreaming_spark.registry import query

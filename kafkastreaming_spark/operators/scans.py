@@ -15,7 +15,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkastreaming_spark.io import EVENTS_ORACLE_CTE, load_table, spread
+from kafkastreaming_spark.io import (
+    EVENTS_ORACLE_CTE,
+    load_table,
+    session_cores,
+    spread,
+)
 from kafkastreaming_spark.registry import query
 
 
@@ -380,15 +385,21 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (shuffle-free) packs the splits down to max(cores, total/128MB)
     # tasks; on a big media lake the 128MB-per-task floor keeps the target
     # at or above the planned partition count, so coalesce is a no-op.
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
-        os.cpu_count() or 8
-    )
-    tot_bytes = sum(
-        e.stat().st_size
-        for e in os.scandir(base)
-        if e.name.endswith(".bin")
-    )
-    bf = bf.coalesce(max(cores, 1 + tot_bytes // (128 << 20)))
+    # The size probe is driver-side os.scandir, which only works for
+    # local paths — on an object store it degrades to the raw plan
+    # instead of crashing (ADVICE r16).
+    try:
+        tot_bytes = sum(
+            e.stat().st_size
+            for e in os.scandir(base)
+            if e.name.endswith(".bin")
+        )
+    except OSError:
+        tot_bytes = None
+    if tot_bytes is not None:
+        bf = bf.coalesce(
+            max(session_cores(), 1 + tot_bytes // (128 << 20))
+        )
     return bf.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
         .cast("long")

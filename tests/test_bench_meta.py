@@ -79,6 +79,14 @@ def _newest_detail_with_canary():
     for p in sorted(glob.glob(os.path.join(repo, "BENCH_DETAIL_r*.json"))):
         with open(p) as f:
             d = json.load(f)
+        # The r8 idle reference ran the 32-core protocol; a detail file
+        # stamped with a different core count (the driver's end-of-round
+        # scaling run, or a local quick pass) is not comparable — r17
+        # inherited a red gate because the driver's 8-core run landed as
+        # the newest detail.  Files predating the "cpus" field are all
+        # 32-core runs.
+        if d.get("cpus") not in (None, 32):
+            continue
         if d.get("canary") and d.get("queries") and not d.get("partial"):
             best = (p, d)
     return best
@@ -133,3 +141,39 @@ def test_bench_regression_gate_vs_r08_idle():
         f"{path} (box_factor {box_factor:.2f}): keys beyond the "
         f"canary-normalized 2x budget vs r8 idle: {offenders}"
     )
+
+
+def test_contract_line_packs_slowest_within_budget(monkeypatch):
+    """r17 (VERDICT r16 items 2/4): the one-line JSON must carry as many
+    slowest keys as fit the driver's 2000-char tail capture — always
+    including the old slowest-5 subset — and stay parseable."""
+    import json
+
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_LINE_BYTES", raising=False)
+    base = {"metric": "suite_wall_sec", "value": 1.0, "unit": "sec"}
+    per_query = {f"some_query_key_{i:03d}": round(0.1 + i * 0.01, 3) for i in range(300)}
+    line = bench.contract_line(base, per_query)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    got = parsed["queries"]
+    # slowest keys first: the max-time key is present, and every included
+    # key is >= every excluded key
+    slowest = sorted(per_query, key=per_query.get, reverse=True)
+    assert slowest[0] in got
+    assert set(got) == set(slowest[: len(got)])
+    assert len(got) >= 5  # never narrower than the r16 slowest-5 line
+    assert got[slowest[0]] == per_query[slowest[0]]
+
+
+def test_contract_line_small_suite_is_complete(monkeypatch):
+    import json
+
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_LINE_BYTES", raising=False)
+    base = {"metric": "suite_wall_sec", "value": 1.0, "unit": "sec"}
+    per_query = {"a": 1.0, "b": 2.0}
+    parsed = json.loads(bench.contract_line(base, per_query))
+    assert parsed["queries"] == {"b": 2.0, "a": 1.0}

@@ -10,7 +10,7 @@ import os
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
-from kafkastreaming_spark.io import load_table
+from kafkastreaming_spark.io import load_table, spread
 
 _MICROS = 1_705_312_800_000_000  # 2024-01-15 10:00:00 UTC
 
@@ -160,3 +160,87 @@ def test_write_codec_default_is_zstd(spark, tmp_path):
     assert files
     md = pq.ParquetFile(os.path.join(out, files[0])).metadata
     assert md.row_group(0).column(0).compression.lower() == "zstd"
+
+
+# ---------------------------------------------------------------------------
+# spread()'s layout gate (VERDICT r16 item 4): the no-op branches are what
+# make the 18 hot-path spread sites safe at 100 TB — a regression that made
+# spread fire on healthy layouts would tax every scan and nothing else in
+# the suite would catch it.
+
+
+def _single_rg(spark, tmp_path, name: str):
+    """One parquet file with ONE row group (the sf-fixture layout)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / name)
+    os.makedirs(p, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": list(range(10_000))}),
+        os.path.join(p, "part-0.parquet"),
+    )
+    return spark.read.parquet(p)
+
+
+def test_spread_fires_on_single_row_group(spark, tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
+    df = _single_rg(spark, tmp_path, "srg")
+    out = spread(df, key="id", cores=16)
+    assert out is not df
+    assert "Exchange" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.rdd.getNumPartitions() == 16
+
+
+def test_spread_noop_on_multi_row_group_layout(spark, tmp_path, monkeypatch):
+    """A healthy layout (many row groups >= cores//4) must pass through
+    untouched — this is the 100 TB safety branch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
+    p = str(tmp_path / "mrg")
+    os.makedirs(p, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": list(range(10_000))}),
+        os.path.join(p, "part-0.parquet"),
+        row_group_size=500,  # 20 row groups
+    )
+    df = spark.read.parquet(p)
+    assert spread(df, key="id", cores=16) is df  # 20 >= 16//4
+
+
+def test_spread_noop_on_many_files(spark, tmp_path, monkeypatch):
+    """>256 input files = the layout already parallelizes (or is too
+    expensive to probe): spread must not touch it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
+    p = str(tmp_path / "manyfiles")
+    os.makedirs(p, exist_ok=True)
+    tbl = pa.table({"id": [1]})
+    for i in range(260):
+        pq.write_table(tbl, os.path.join(p, f"part-{i:04d}.parquet"))
+    df = spark.read.parquet(p)
+    assert spread(df, key="id", cores=4096) is df
+
+
+def test_spread_noop_on_non_parquet_scan(spark, tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
+    p = str(tmp_path / "csvsrc")
+    spark.createDataFrame([(1,)], "id long").write.mode("overwrite").csv(p)
+    df = spark.read.schema("id long").csv(p)
+    assert spread(df, key="id", cores=64) is df
+
+
+def test_spread_kill_switch(spark, tmp_path, monkeypatch):
+    df = _single_rg(spark, tmp_path, "kill")
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "0")
+    assert spread(df, key="id", cores=16) is df
+
+
+def test_spread_noop_without_file_scan(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
+    df = spark.range(100)  # no file source below the plan
+    assert spread(df, key="id", cores=64) is df

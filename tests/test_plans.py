@@ -548,13 +548,14 @@ def test_ngram_novelty_no_python_bounded_shuffles(spark, sf_dir):
 def test_bpe_pairs_rank_window_on_counted_table(spark, sf_dir):
     """llm_bpe_pairs: the merge-rank window is a single global sort of
     the COUNTED pair table (<= alphabet² rows), never of the exploded
-    pair stream — exactly three exchanges: the spread() input-skew
-    repair on the single-row-group fixture scan (r16, io.spread — a
-    no-op on healthy multi-row-group layouts), the pair-count agg,
-    and the single-partition rank."""
+    pair stream — the pair-count agg and the single-partition rank,
+    plus (layout-dependent) the spread() input-skew repair on the
+    single-row-group fixture scan (r16, io.spread — a no-op on healthy
+    multi-row-group layouts and under SPARK_GRAFT_SPREAD=0, hence the
+    tolerant 2-or-3 pin; ADVICE r16)."""
     plan = _plan(spark, sf_dir, "llm_bpe_pairs")
     tree = _tree(plan)
-    assert tree.count("Exchange") == 3
+    assert tree.count("Exchange") in (2, 3)
     assert tree.count("Window") == 1
     win_at = tree.index("Window")
     assert "HashAggregate" in tree[win_at:]
