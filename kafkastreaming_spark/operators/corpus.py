@@ -2263,89 +2263,107 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is where the metric aggregation belongs (it's a scalar over
     these per-doc columns).
 
-    Scale: gram tables shuffle once on (doc, gram); the clip joins key
-    on (ref_id, gram) — reference-side counts are one row per distinct
-    gram of a BOUNDED reference set (one doc per corpus group), so the
-    join's build side broadcasts at any corpus size.  No all-pairs
-    comparison exists anywhere: each candidate meets exactly ONE
-    reference, the eval-harness contract."""
-    # ONE documents scan feeds refs/lens/uni/big (each consumed up to
-    # twice below as candidate AND reference side); the spread() exchange
-    # is the shared materialization point every consumer re-reads.
-    docs = load_table(spark, sf_dir, "documents")
-    # r16: the localCheckpoint pins were A/B'd and LOST to exchange reuse —
-    # spread()'s repartition is an Exchange below every consumer of base, so
-    # Catalyst re-reads its shuffle output (ReusedExchange) instead of
-    # re-scanning; the ckpt write+read only added cost (llm_tfidf lesson).
-    base = docs.select(
+    Scale (r17 single-pass spelling): ONE explode emits unigrams and
+    bigrams together, tagged with the gram order n ∈ {1, 2}, with the
+    group's ref_id already attached via a broadcast of the BOUNDED
+    per-(lang, source) reference map — one row per corpus group, never
+    per doc (the r16 tree broadcast the per-doc refs table, VERDICT r16
+    item 1).  The per-(doc, n, gram) count is the only corpus-sized
+    aggregation; reference gram counts and reference lengths are bounded
+    derivatives of that one table (Catalyst reuses its exchange per
+    consumer), so every broadcast side is bounded by the corpus-group
+    count at any corpus size.  No all-pairs comparison exists anywhere:
+    each candidate meets exactly ONE reference, the eval-harness
+    contract."""
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", F.split("text", " ").alias("tk")
     )
-    wref = Window.partitionBy("lang", "source")
-    refs = base.select(
-        "doc_id", F.min("doc_id").over(wref).alias("ref_id")
+    # Bounded reference map (replaces the r15/r16 per-doc window): same
+    # values as min(doc_id) OVER (PARTITION BY lang, source), but the
+    # attach side is one row per GROUP, so broadcasting it is safe at any
+    # corpus size.  Null-safe keys: the window grouped NULL lang/source
+    # into a real partition, so the attach join must match them too.
+    ref_map = (
+        docs.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("ref_id"))
+        .select(
+            F.col("lang").alias("_rm_lang"),
+            F.col("source").alias("_rm_source"),
+            "ref_id",
+        )
     )
-    lens = base.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
-    uni = (
-        base.select("doc_id", F.explode("tk").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    base = docs.join(
+        F.broadcast(ref_map),
+        F.col("lang").eqNullSafe(F.col("_rm_lang"))
+        & F.col("source").eqNullSafe(F.col("_rm_source")),
+    ).select("doc_id", "ref_id", "tk")
+
+    # ONE pass over the corpus: unigrams and bigrams explode together.
+    # explode_outer keeps a NULL-text doc as a single (n NULL, g NULL)
+    # row, so its output row survives with the same NULL cand_len the
+    # oracle's len(NULL) produces.  spread() repairs the single-row-group
+    # fixture layout (guide §2.5; no-op on healthy layouts).
+    gram = F.expr(
+        "concat("
+        " transform(tk, x -> struct(1 AS n, x AS g)),"
+        " CASE WHEN size(tk) < 2"
+        "      THEN CAST(array() AS array<struct<n: int, g: string>>)"
+        "      ELSE transform(sequence(1, size(tk) - 1),"
+        "           i -> struct(2 AS n, concat(element_at(tk, i), ' ',"
+        "                       element_at(tk, i + 1)) AS g)) END)"
     )
-    big = (
-        base.select(
+    grams = (
+        spread(base, key="doc_id")
+        .select("doc_id", "ref_id", F.explode_outer(gram).alias("t"))
+        .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(tk) < 2 THEN array()"
-                    " ELSE transform(sequence(1, size(tk) - 1),"
-                    "   i -> concat(element_at(tk, i), ' ',"
-                    "               element_at(tk, i + 1))) END"
-                )
-            ).alias("g"),
+            "ref_id",
+            F.col("t.n").alias("n"),
+            F.col("t.g").alias("g"),
         )
-        .groupBy("doc_id", "g")
+        .groupBy("doc_id", "ref_id", "n", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-
-    # r16: the reference side is BOUNDED (one doc per (lang, source) group)
-    # but the old spelling joined the FULL gram table against itself with
-    # the ref condition as a join predicate — two fact×fact sort-merge
-    # joins.  Pre-filter the ref side to reference docs (semi-join on the
-    # tiny distinct ref-id set) and broadcast it, which is what the clip
-    # join's docstring contract ("the join's build side broadcasts at any
-    # corpus size") always claimed.  Values are unchanged: rows with
-    # r_id ∉ ref_ids could never satisfy cand.ref_id == r_id.
-    ref_ids = refs.select(F.col("ref_id").alias("r_doc")).distinct()
-
-    def _clip(grams: DataFrame) -> DataFrame:
-        cand = grams.join(F.broadcast(refs), "doc_id")
-        ref = grams.join(
-            F.broadcast(ref_ids),
-            grams["doc_id"] == F.col("r_doc"),
-            "left_semi",
-        ).select(
-            F.col("doc_id").alias("r_id"),
-            F.col("g").alias("r_g"),
-            F.col("c").alias("r_c"),
-        )
-        return (
-            cand.join(
-                F.broadcast(ref),
-                (cand.ref_id == ref.r_id) & (cand.g == ref.r_g),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum(F.least("c", "r_c")).alias("clip"))
-        )
-
-    c1 = _clip(uni).withColumnRenamed("clip", "clip1_raw")
-    c2 = _clip(big).withColumnRenamed("clip", "clip2_raw")
-    lr = lens.select(
-        F.col("doc_id").alias("lr_id"), F.col("n_tok").alias("ref_len")
+    # Reference-side gram counts: rows of the SAME aggregate where the
+    # doc is its group's reference — bounded (one doc per corpus group).
+    ref_grams = grams.where(F.col("doc_id") == F.col("ref_id")).select(
+        F.col("ref_id").alias("r_id"),
+        F.col("n").alias("r_n"),
+        F.col("g").alias("r_g"),
+        F.col("c").alias("r_c"),
     )
-    out = (
-        refs.join(lens, "doc_id")
-        .join(lr, F.col("ref_id") == F.col("lr_id"))
-        .join(c1, "doc_id", "left")
-        .join(c2, "doc_id", "left")
+    # Reference lengths from the bounded ref gram counts: Σ unigram
+    # counts == token count (split() never yields an empty array for
+    # non-null text; a NULL-text reference keeps its row with NULL).
+    ref_lens = ref_grams.groupBy("r_id").agg(
+        F.sum(F.when(F.col("r_n") == 1, F.col("r_c"))).alias("ref_len")
+    )
+    # Candidate grams LEFT-join the broadcast reference counts, then one
+    # aggregation yields token count and both clipped sums per doc.
+    joined = grams.join(
+        F.broadcast(ref_grams),
+        (F.col("ref_id") == F.col("r_id"))
+        & (F.col("n") == F.col("r_n"))
+        & (F.col("g") == F.col("r_g")),
+        "left",
+    )
+    per_doc = joined.groupBy("doc_id", "ref_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("n_tok"),
+        F.sum(
+            F.when(
+                (F.col("n") == 1) & F.col("r_c").isNotNull(),
+                F.least("c", "r_c"),
+            )
+        ).alias("clip1_raw"),
+        F.sum(
+            F.when(
+                (F.col("n") == 2) & F.col("r_c").isNotNull(),
+                F.least("c", "r_c"),
+            )
+        ).alias("clip2_raw"),
+    )
+    out = per_doc.join(
+        F.broadcast(ref_lens), F.col("ref_id") == F.col("r_id")
     )
     clip1 = F.coalesce("clip1_raw", F.lit(0)).cast("long")
     clip2 = F.coalesce("clip2_raw", F.lit(0)).cast("long")

@@ -569,9 +569,10 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode → two hash aggs (term-per-doc, df) + a broadcast
     join of the tiny df dimension → per-doc window.  N comes from a
     one-row count, not a driver collect of data rows."""
-    # r16: spread repairs the single-row-group fixture scan (guide §2.5),
-    # and df derives from the tf table instead of a second explode+distinct
-    # pass over the corpus — tf already holds one row per (doc, term), so
+    # r16: df derives from the tf table instead of a second explode+
+    # distinct pass over the corpus (a spread() on the scan was A/B'd
+    # flat and reverted in the final consolidation — the exchange reuse
+    # below is the real win here) — tf already holds one row per (doc, term), so
     # count(*) per term IS countDistinct(doc_id); Catalyst reuses tf's
     # exchange for both consumers (ReusedExchange), so the explode+partial
     # agg run once.  (A localCheckpoint pin was A/B'd and LOST to exchange

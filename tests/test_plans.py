@@ -1031,13 +1031,14 @@ def test_plan_hygiene_sweep(spark, sf_dir):
     # (r10): its invariant output CONTAINS the recall check vs the exact
     # brute-force top-5, so the plan runs both ANN pipelines over the
     # same corpus by definition — the multi-scan IS the verification.
-    # llm_bleu (r16): the tokenized base feeds refs/lens/uni/big, so the
-    # plan re-reads the documents scan per consumer.  The localCheckpoint
-    # pin that used to hide this was A/B'd and LOST (the 600 KB scan is
-    # far cheaper than the pin's write+read; OPTIMIZATION_r16.md) — the
-    # multi-scan is the measured-faster shape here, and at 100 TB the
-    # same query would re-introduce a pin on the (tiny) gram aggregates,
-    # not on the corpus scan.
+    # llm_bleu (r17 single-pass respelling): one gram pass with ref_id
+    # pre-attached via the bounded per-group reference map; the reference
+    # side derives from the gram aggregate.  The STATIC plan still prints
+    # the scan once per consumer subtree (6 appearances, down from 11 in
+    # r16) because broadcast builds replicate their child subtree;
+    # runtime materializes the spread/agg exchanges once (AQE
+    # ReusedExchange — the alternating A/B confirms the single-pass
+    # cost).  test_bleu_single_pass_plan pins the scan-count ceiling.
     allowed_multiscan = {"llm_ann_ivf", "llm_ann_ivf_trained", "llm_bleu"}
     skip = tuple(("sink_", "stream_", "source_", "mm_", "llm_pipeline_e2e"))
     offenders = []
@@ -1122,6 +1123,29 @@ def test_holt_winters_level_tracks_series(spark, sf_dir):
         lo, hi = g["y_cents"].min(), g["y_cents"].max()
         margin = int(abs(g["trend_cents"]).max()) + 1
         assert g["level_cents"].between(lo - margin, hi + margin).all(), et
+
+
+def test_bleu_single_pass_plan(spark, sf_dir):
+    """llm_bleu (r17): the single-pass respelling must keep (a) every
+    join broadcast (the fact side is never shuffled for a join — no
+    SortMergeJoin), (b) no per-doc window (the r16 refs window was the
+    unbounded-broadcast source, VERDICT r16 item 1), and (c) at most 6
+    static scans of documents (one per consumer subtree; r16 printed
+    11).  Runtime materializes the gram exchanges once (ReusedExchange)."""
+    import re
+
+    plan = QUERIES["llm_bleu"](spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    cut = plan.find("\n\n(1)")
+    tree = plan[:cut] if cut != -1 else plan
+    assert "SortMergeJoin" not in tree
+    assert "Window" not in tree
+    assert "BroadcastHashJoin" in tree
+    n_scans = len(re.findall(r"Scan parquet", tree))
+    assert n_scans <= 6, f"documents scanned {n_scans}x statically"
 
 
 def test_bleu_self_reference_is_perfect(spark, sf_dir):

@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plan", action="store_true", help="skip writing the plan file")
+    ap.add_argument(
+        "--round-dir",
+        default="r17",
+        help="plans/<round-dir>/ to write the explain dumps into",
+    )
     args = ap.parse_args()
 
     from kafkastreaming_spark.all import QUERIES
@@ -46,7 +51,7 @@ def main() -> None:
     # warm the JVM/codegen path the same way bench.py does
     QUERIES["agg_group"](spark, args.sf_dir).count()
 
-    plans_dir = os.path.join(REPO, "plans", "r16")
+    plans_dir = os.path.join(REPO, "plans", args.round_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, dict] = {}
