@@ -75,19 +75,50 @@ def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo(spark, sf_dir, "ivf_trained_centroids_sqrtn", build)
 
 
+def count_and_init(emb: DataFrame, k: int) -> tuple[int, np.ndarray]:
+    """Corpus count AND the first-k init vectors in ONE job (r17 —
+    previously two: a count() and a filter+orderBy+collect).  Values are
+    identical: collect_list skips the when()'s nulls, sort_array orders
+    the surviving structs by vec_id (unique), so the init matrix is the
+    first k vectors by vec_id exactly as before."""
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("vec_id") < k, F.struct("vec_id", "embedding")
+                )
+            )
+        ).alias("init"),
+    ).first()
+    cent = np.array(
+        [s["embedding"] for s in row["init"]], dtype=np.float64
+    )
+    return int(row["n"]), cent
+
+
 def kmeans_fit(
-    spark: SparkSession, emb: DataFrame, k: int = _K, iters: int = _ITERS
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = _K,
+    iters: int = _ITERS,
+    init_cent: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, list[float]]:
     """Lloyd's algorithm; returns (centroids k×d, member counts, per-iter
     inertia).  Deterministic: init = first k vectors by vec_id, argmin
-    ties → lowest cid, partial sums folded in sorted order."""
-    init = (
-        emb.filter(F.col("vec_id") < k)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    cent = np.array([r["embedding"] for r in init], dtype=np.float64)
+    ties → lowest cid, partial sums folded in sorted order.
+    ``init_cent`` lets a caller that already fetched the first-k matrix
+    (:func:`count_and_init`) skip the init job."""
+    if init_cent is not None:
+        cent = init_cent.astype(np.float64, copy=True)
+    else:
+        init = (
+            emb.filter(F.col("vec_id") < k)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        cent = np.array([r["embedding"] for r in init], dtype=np.float64)
     d = cent.shape[1]
     counts = np.zeros(k, dtype=np.int64)
     inertia: list[float] = []
@@ -189,8 +220,11 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact itself (``ivf_train_artifact``) for determinism and
     convergence."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_vectors = emb.count()
-    cent, counts, inertia = kmeans_fit(spark, emb)
+    # r17: one job yields the corpus count and the first-K init matrix
+    # (count_and_init) — the count stays an independent scan-side fact
+    # the member-count invariant is checked against.
+    n_vectors, cent0 = count_and_init(emb, _K)
+    cent, counts, inertia = kmeans_fit(spark, emb, init_cent=cent0)
     row = (
         int(cent.shape[0]),
         len(inertia),

@@ -1446,10 +1446,19 @@ def llm_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_buckets = trained_centroids(spark, sf_dir).count()
     asg = _semdedup_trained_assign(spark, sf_dir)
     man = semdedup_trained_manifest(spark, sf_dir)
-    assignment_total_match = man.count() == n_vectors
+    # r17: one aggregation yields both the coverage count and the drop
+    # count — the manifest's within-bucket pair-scan kernel previously
+    # ran once for man.count() and again for dropped.count() (the
+    # manifest derives from the memoized assignment but is itself
+    # recomputed per action).
+    stats = man.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("keep") == 0).cast("long")).alias("n_dropped"),
+    ).first()
+    assignment_total_match = stats["n_rows"] == n_vectors
 
     dropped = man.filter(F.col("keep") == 0).select("vec_id")
-    n_dropped = dropped.count()
+    n_dropped = int(stats["n_dropped"] or 0)
     d = asg.join(dropped, "vec_id").select(
         F.col("vec_id").alias("b_id"),
         "bucket",

@@ -1102,6 +1102,16 @@ def stream_rocksdb_state(
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     )
+    # r17: changelog checkpointing is RocksDB's incremental-checkpoint
+    # mode (commit uploads the batch's changelog instead of snapshotting
+    # SST files every commit) — the setting this key's docstring already
+    # names as the at-scale story; off by default in Spark 4.  State
+    # contents are identical (replayed on recovery); A/B 3/3 pairs
+    # faster locally (medians 2.55 -> 2.31 s).
+    chlog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
     from kafkastreaming_spark.streaming.harness import (
         run_to_memory,
         stream_events,
@@ -1111,7 +1121,12 @@ def stream_rocksdb_state(
         prev = spark.conf.get(conf_key)
     except Exception:
         prev = None
+    try:
+        chlog_prev = spark.conf.get(chlog_key)
+    except Exception:
+        chlog_prev = None
     spark.conf.set(conf_key, rocks)
+    spark.conf.set(chlog_key, "true")
     try:
         sdf = stream_events(spark, sf_dir, n_chunks=n_chunks, tag="rocks")
         agg = sdf.groupBy("event_type").agg(
@@ -1127,6 +1142,10 @@ def stream_rocksdb_state(
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+        if chlog_prev is None:
+            spark.conf.unset(chlog_key)
+        else:
+            spark.conf.set(chlog_key, chlog_prev)
 
 
 _DDWW_BUILT: set = set()
