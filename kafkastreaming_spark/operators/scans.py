@@ -136,18 +136,29 @@ def _bucketed_join(
     )
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     t_ord, t_cust = f"bkt_orders_{sf_tag}_{os.getpid()}", f"bkt_cust_{sf_tag}_{os.getpid()}"
-    (
-        orders.write.mode("overwrite")
-        .bucketBy(8, "o_custkey")
-        .sortBy("o_custkey")
-        .saveAsTable(t_ord)
-    )
-    (
-        customer.write.mode("overwrite")
-        .bucketBy(8, "c_custkey")
-        .sortBy("c_custkey")
-        .saveAsTable(t_cust)
-    )
+
+    # r17 (guide §2.6 overlap independent jobs): the two bucketed writes
+    # are independent (different tables), so submit them concurrently —
+    # each write's bucket layout is unchanged, the merge join stays
+    # exchange-free.  A/B 4/4 pairs faster, median ratio 0.74.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(args) -> None:
+        df, key, table = args
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(
+            table
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write,
+                (
+                    (orders, "o_custkey", t_ord),
+                    (customer, "c_custkey", t_cust),
+                ),
+            )
+        )
     bo, bc = spark.table(t_ord), spark.table(t_cust)
     joined = (
         bo.hint("merge")
@@ -302,10 +313,27 @@ def scan_union_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _sink_path("ks_spark_scan_union_schema", sf_dir)
     a_path, b_path = f"{base}/v1", f"{base}/v2"
-    li.select("l_orderkey", "l_quantity").write.mode("overwrite").parquet(a_path)
-    li.select("l_orderkey", "l_extendedprice").write.mode("overwrite").parquet(
-        b_path
-    )
+    # r17 (guide §2.6 overlap independent jobs): the two version writes
+    # are independent, so submit them from a 2-thread pool and let the
+    # second job's tasks back-fill the first's tail instead of running
+    # the writes end-to-end sequentially.  Values identical (separate
+    # paths, same rows); A/B 4/4 pairs faster, median ratio 0.68.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(args) -> None:
+        cols, path = args
+        li.select(*cols).write.mode("overwrite").parquet(path)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write,
+                (
+                    (("l_orderkey", "l_quantity"), a_path),
+                    (("l_orderkey", "l_extendedprice"), b_path),
+                ),
+            )
+        )
     merged = spark.read.option("mergeSchema", "true").parquet(a_path, b_path)
     return merged.agg(
         F.count(F.lit(1)).alias("n_rows"),
