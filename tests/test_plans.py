@@ -1040,7 +1040,16 @@ def test_plan_hygiene_sweep(spark, sf_dir):
     # runtime materializes the spread/agg exchanges once (AQE
     # ReusedExchange — the alternating A/B confirms the single-pass
     # cost).  test_bleu_single_pass_plan pins the scan-count ceiling.
-    allowed_multiscan = {"llm_ann_ivf", "llm_ann_ivf_trained", "llm_bleu"}
+    # dq_profile (r17): six deliberate one-column subtrees over orders
+    # (plain agg + five single-distinct aggs) — the Expand-free split
+    # that replaced the multi-distinct; each scan prunes to at most one
+    # data column, pinned in test_dq_profile_expand_free_split.
+    allowed_multiscan = {
+        "llm_ann_ivf",
+        "llm_ann_ivf_trained",
+        "llm_bleu",
+        "dq_profile",
+    }
     skip = tuple(("sink_", "stream_", "source_", "mm_", "llm_pipeline_e2e"))
     offenders = []
     for k in sorted(ORACLES):
